@@ -1,0 +1,59 @@
+"""Benchmark harness — driver contract.
+
+Runs every headline query from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is executed with the ``noop`` sink so the timing covers the full
+distributed computation without driver-collect overhead. A warmup pass of
+the flagship query amortizes JVM/codegen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from go_simple_embedding_database_spark.session import get_spark
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="gsed-bench")
+
+    # Warmup: JVM + codegen + parquet footer reads out of the measurement.
+    _run(entry_mod.queries()["topk_cosine"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.perf_counter()
+        _run(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(json.dumps({
+        "metric": "sum_of_query_times",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Vector kernels as native Catalyst higher-order-function expressions.
+
+Reference parity: ``CosineSimilarity`` (/root/reference/utils/utils.go:9-24):
+  cos(x,y) = Σ xᵢyᵢ / (‖x‖·‖y‖)
+  - length mismatch  → error      (utils/utils.go:11-13)
+  - either norm == 0 → 0.0, NO error (utils/utils.go:19-21)
+
+Why higher-order functions and not a UDF: ``zip_with`` + ``aggregate``
+compile into the JVM expression tree — the whole similarity scan stays
+inside whole-stage codegen with zero Python/Arrow boundary. On a 100 TB
+scan this is the difference between a saturated CPU pipeline and an
+Arrow-serialization bottleneck. A vectorized numpy ``pandas_udf`` variant
+is provided for comparison benchmarking only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    """Promote array<float>/array<int> to array<double> so arithmetic is f64
+    (reference vectors are []float64, records/records.go:12)."""
+    return v.cast("array<double>")
+
+
+def dot_product(x: Column, y: Column) -> Column:
+    """Σ xᵢyᵢ as a sequential left fold (deterministic order, matching a
+    scalar loop — utils/utils.go:14-18)."""
+    x, y = _as_double(x), _as_double(y)
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm_sq(x: Column) -> Column:
+    """Σ xᵢ² (the un-rooted norm; kept separate so cosine can take one sqrt
+    per side like the reference does, utils/utils.go:22-23)."""
+    x = _as_double(x)
+    return F.aggregate(x, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def l2_norm(x: Column) -> Column:
+    return F.sqrt(l2_norm_sq(x))
+
+
+def cosine_similarity(x: Column, y: Column, *, strict: bool = False) -> Column:
+    """Cosine similarity column expression with reference semantics.
+
+    ``strict=True`` raises at evaluation time on length mismatch (parity
+    with utils/utils.go:11-13). With ``strict=False`` (the vectorized
+    default for homogeneous columns) mismatched lengths yield NULL —
+    ``zip_with`` pads with nulls, which poison the fold — so mismatches
+    are visible, not silently wrong.
+
+    Zero-norm vectors return 0.0 with no error (utils/utils.go:19-21).
+    NULL inputs propagate NULL (SQL semantics; insertion of null embeddings
+    is rejected upstream, collection/collection.go:40-42).
+    """
+    x, y = _as_double(x), _as_double(y)
+    dot = dot_product(x, y)
+    denom = l2_norm(x) * l2_norm(y)
+    sim = F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise(dot / denom)
+    if strict:
+        mismatch = F.size(x) != F.size(y)
+        sim = F.when(
+            mismatch,
+            F.raise_error(
+                F.format_string(
+                    "lengths of x (%d) and y (%d) do not match",
+                    F.size(x),
+                    F.size(y),
+                )
+            ).cast("double"),
+        ).otherwise(sim)
+    return sim
+
+
+def cosine_similarity_pandas(dim: int):
+    """Benchmark-only alternative: vectorized numpy pandas_udf.
+
+    Kept to measure the Arrow-boundary cost against the codegen kernel —
+    not used in any production plan (the codegen kernel wins by avoiding
+    JVM→Python transfer entirely).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(x: pd.Series, y: pd.Series) -> pd.Series:
+        xa = np.vstack(x.to_numpy())
+        ya = np.vstack(y.to_numpy())
+        dots = np.einsum("ij,ij->i", xa, ya)
+        norms = np.linalg.norm(xa, axis=1) * np.linalg.norm(ya, axis=1)
+        out = np.where(norms == 0.0, 0.0, dots / np.where(norms == 0, 1, norms))
+        return pd.Series(out)
+
+    return _cos

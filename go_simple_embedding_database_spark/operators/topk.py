@@ -1,0 +1,133 @@
+"""Top-k similarity operators.
+
+The reference's one real dataflow operator: brute-force cosine scan + full
+sort + tie-aware k-selection (/root/reference/collection/collection.go:64-151).
+Spark-first physical strategy:
+
+- **single query** → ``orderBy(desc).limit(k)``: Catalyst plans
+  ``TakeOrderedAndProject`` — a size-k heap per partition, then a k-way
+  driver merge. O(N) work, O(partitions·k) merge, NO global sort and NO
+  shuffle of all rows. This scales linearly with executors; the reference
+  does an O(N log N) single-threaded sort (collection.go:98-103).
+- **batch of queries** → broadcast the (small) query set, one scan of the
+  big table computes every (query, record) score, ``row_number()`` window
+  partitioned by query keeps k each. One pass over the data regardless of
+  the number of queries — the scan cost is amortized across the batch.
+- **all-pairs similarity join** → same shape with both sides potentially
+  large; the LSH/IVF variants in ``operators.ann`` cut the candidate set
+  at scale.
+
+Tie semantics: ``limit``/``row_number`` keep an arbitrary subset of rows
+tied at the k-th score — exactly k rows out, matching the reference's
+Go-map-order tie fill (collection.go:105-135). Pass ``tie_break`` columns
+for deterministic results (used by the DuckDB-oracle tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from go_simple_embedding_database_spark.functions.kernels import cosine_similarity
+
+
+def _vec_literal(qvec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in qvec])
+
+
+def topk_by_similarity(
+    records: DataFrame,
+    qvec: list[float],
+    k: int,
+    vec_col: str = "embedding",
+    score_col: str = "score",
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """Exactly-k nearest rows to ``qvec`` by cosine similarity.
+
+    Small-collection short-circuit (collection.go:75-82) is free: ``limit``
+    on fewer than k rows returns them all, no error, no similarity needed
+    by the optimizer to satisfy the contract (scores still projected for
+    the returned rows).
+    """
+    scored = records.withColumn(
+        score_col, cosine_similarity(F.col(vec_col), _vec_literal(qvec))
+    )
+    order = [F.desc(score_col)] + [F.asc(c) for c in (tie_break or [])]
+    return scored.orderBy(*order).limit(k)
+
+
+def batch_topk(
+    records: DataFrame,
+    queries: DataFrame,
+    k: int,
+    records_vec: str = "embedding",
+    queries_vec: str = "query_embedding",
+    query_id: str = "query_id",
+    score_col: str = "score",
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """Top-k per query for a whole DataFrame of queries in ONE scan.
+
+    The query side is broadcast (queries are small by construction — they
+    are the working set of a request batch); the big records table is
+    scanned once, never shuffled: the window partitions by ``query_id``
+    AFTER the crossJoin, and AQE handles per-query skew. ``row_number``
+    (not ``rank``) reproduces exactly-k-with-arbitrary-ties.
+    """
+    joined = records.crossJoin(F.broadcast(queries))
+    scored = joined.withColumn(
+        score_col, cosine_similarity(F.col(records_vec), F.col(queries_vec))
+    )
+    order = [F.desc(score_col)] + [F.asc(c) for c in (tie_break or [])]
+    w = Window.partitionBy(query_id).orderBy(*order)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", queries_vec)
+    )
+
+
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int | None = None,
+    threshold: float | None = None,
+    left_vec: str = "embedding",
+    right_vec: str = "embedding",
+    left_id: str = "id",
+    right_id: str = "id",
+    score_col: str = "score",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """All-pairs cosine join: for each left row, its matches on the right.
+
+    - ``threshold`` keeps pairs with score >= threshold (near-duplicate
+      detection shape);
+    - ``k`` keeps the top-k right rows per left row (k-NN join shape);
+    - both → threshold first, then top-k.
+
+    Exact O(|L|·|R|) — correct at any scale but quadratic; this is the
+    correctness oracle. The scale path is ``operators.ann`` (LSH bucketing
+    / IVF cells) which feeds candidate pairs into the same scoring. When
+    the right side fits in executor memory it is broadcast so the left side
+    is never shuffled.
+    """
+    lv, rv = F.col("_l." + left_vec), F.col("_r." + right_vec)
+    r = F.broadcast(right.alias("_r")) if broadcast_right else right.alias("_r")
+    pairs = left.alias("_l").crossJoin(r)
+    scored = pairs.select(
+        F.col("_l." + left_id).alias("left_id"),
+        F.col("_r." + right_id).alias("right_id"),
+        cosine_similarity(lv, rv).alias(score_col),
+    )
+    if threshold is not None:
+        scored = scored.filter(F.col(score_col) >= threshold)
+    if k is not None:
+        w = Window.partitionBy("left_id").orderBy(F.desc(score_col), F.asc("right_id"))
+        scored = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    return scored

@@ -1,0 +1,7 @@
+from go_simple_embedding_database_spark.plans.explain_utils import (
+    formatted_plan,
+    assert_pushed_filters,
+    assert_in_plan,
+)
+
+__all__ = ["formatted_plan", "assert_pushed_filters", "assert_in_plan"]

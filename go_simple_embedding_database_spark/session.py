@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing runs on ``local[N]``; the configuration below is chosen
+so the same logical plans scale to a multi-executor cluster:
+
+- AQE on (runtime coalescing, skew-join splitting) — at 100 TB the static
+  shuffle-partition count is always wrong, AQE fixes it at runtime.
+- Arrow enabled — every Pandas-UDF boundary (embedders, multimodal decode)
+  moves data as Arrow batches, not pickled rows.
+- ``spark.sql.shuffle.partitions`` defaults to a small local value; on a
+  real cluster this is overridden (AQE coalescing makes the initial number
+  mostly a ceiling).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "go_simple_embedding_database_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Env overrides: ``SPARK_GRAFT_CPUS`` (local parallelism),
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus or "32")
+        )
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

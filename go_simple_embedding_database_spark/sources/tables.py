@@ -1,0 +1,24 @@
+"""Parquet table loaders for the driver-generated testdata layout.
+
+At scale these would be catalog tables (Hive/Unity/Glue) over partitioned
+Parquet/Delta; filters and column pruning push into the scan either way —
+tests assert PushedFilters/ReadSchema via ``plans.explain_utils``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}

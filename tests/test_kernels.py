@@ -1,0 +1,86 @@
+"""Cosine-kernel micro-fixtures from the reference's utils_test.go
+(/root/reference/utils/utils_test.go:7-53) — FIXTURES.md §5."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_simple_embedding_database_spark.functions.kernels import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
+
+
+def _sim(spark, x, y, strict=False):
+    df = spark.createDataFrame(
+        [(list(map(float, x)), list(map(float, y)))], "x array<double>, y array<double>"
+    )
+    return df.select(
+        cosine_similarity(F.col("x"), F.col("y"), strict=strict).alias("s")
+    ).collect()[0].s
+
+
+def test_identical_vectors(spark):
+    assert _sim(spark, [0, 1, 2, 3], [0, 1, 2, 3]) == pytest.approx(1.0)
+
+
+def test_opposite_vectors(spark):
+    assert _sim(spark, [0, 1, 2, 3], [0, -1, -2, -3]) == pytest.approx(-1.0)
+
+
+def test_orthogonal_vectors(spark):
+    assert _sim(spark, [1, 1], [1, -1]) == pytest.approx(0.0)
+
+
+def test_zero_norm_returns_zero_no_error(spark):
+    # utils/utils.go:19-21: zero vector → 0.0, NOT an error.
+    assert _sim(spark, [0, 0, 0], [1, 2, 3]) == 0.0
+    assert _sim(spark, [1, 2, 3], [0, 0, 0]) == 0.0
+    assert _sim(spark, [0, 0], [0, 0]) == 0.0
+
+
+def test_length_mismatch_strict_raises(spark):
+    # utils/utils.go:11-13: length mismatch is an error.
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((Py4JJavaError, PySparkException)):
+        _sim(spark, [1, 1], [1, -1, 2], strict=True)
+
+
+def test_length_mismatch_nonstrict_yields_null(spark):
+    # Vectorized mode: mismatches surface as NULL, never a wrong number.
+    assert _sim(spark, [1, 1], [1, -1, 2]) is None
+
+
+def test_dot_and_norm(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "x array<double>, y array<double>")
+    row = df.select(
+        dot_product(F.col("x"), F.col("y")).alias("d"),
+        l2_norm(F.col("x")).alias("n"),
+    ).collect()[0]
+    assert row.d == pytest.approx(32.0)
+    assert row.n == pytest.approx(math.sqrt(14.0))
+
+
+def test_float_arrays_promoted(spark):
+    # embeddings.parquet stores array<float>; kernel must promote to double.
+    df = spark.createDataFrame([([1.0, 2.0], [1.0, 2.0])], "x array<float>, y array<float>")
+    assert df.select(
+        cosine_similarity(F.col("x"), F.col("y")).alias("s")
+    ).collect()[0].s == pytest.approx(1.0)
+
+
+def test_kernel_stays_in_codegen(spark):
+    """The similarity scan must not cross into Python: no BatchEvalPython /
+    ArrowEvalPython in the plan — pure Catalyst expressions."""
+    from go_simple_embedding_database_spark.plans.explain_utils import formatted_plan
+
+    df = spark.range(10).select(
+        F.array(F.col("id").cast("double")).alias("x"),
+        F.array(F.col("id").cast("double")).alias("y"),
+    )
+    plan = formatted_plan(df.select(cosine_similarity(F.col("x"), F.col("y"))))
+    assert "EvalPython" not in plan

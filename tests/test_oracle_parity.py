@@ -1,0 +1,64 @@
+"""Mimics the driver's correctness gate locally: run every queries() entry
+on Spark AND its oracle_sql() on DuckDB over the same parquet, compare
+row count + column names + order-insensitive values. Runs at sf0.001 for
+speed (the driver runs sf0.01)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, (int, bool)):
+        return v
+    return str(v) if v is not None else None
+
+
+def _key(row):
+    return tuple(_norm(v) for v in row)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    sdf = q(spark, SF_DIR)
+    srows = sdf.collect()
+    if sql is None:
+        assert len(srows) >= 0  # rows-only check, mirrors driver behavior
+        return
+    ddf = duck.sql(sql)
+    drows = ddf.fetchall()
+    assert [c.lower() for c in sdf.columns] == [c.lower() for c in ddf.columns], (
+        f"{name}: column mismatch {sdf.columns} vs {ddf.columns}")
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    sset = sorted(_key(tuple(r)) for r in srows)
+    dset = sorted(_key(tuple(r)) for r in drows)
+    mismatches = [(a, b) for a, b in zip(sset, dset) if a != b]
+    assert not mismatches, f"{name}: first value mismatches: {mismatches[:5]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert rows[0].sim == pytest.approx(1.0)
