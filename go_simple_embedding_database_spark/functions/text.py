@@ -1,0 +1,198 @@
+"""Text-analysis columns for LLM training-data pipelines.
+
+All operators here are pure Catalyst expressions (split / regexp /
+array_intersect / higher-order functions) — they whole-stage-codegen and
+scan-scale linearly; nothing crosses into Python. Each has an exact DuckDB
+SQL twin used by the driver oracle (builders suffixed ``_sql``).
+
+These extend the reference's capability surface (SURVEY §2.6 lists no text
+functions beyond pretty-print truncation, records/records.go:57-79) toward
+the 100 TB training-data use case: language ID, quality scoring, token
+counting, fingerprinting over the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists — a deliberately simple n-gram/stopword
+# heuristic (fastText-style lang-id needs a model; this is the in-engine
+# fallback). Ordered dict: ties resolve to the first language listed.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "you", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ich", "ein", "zu", "mit"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "para"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans", "pour"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "人", "这", "不"],
+}
+
+# BPE-ish tokenizer regex: letter runs | digit runs | single non-space
+# symbol. Same dialect in Java regex (Spark) and RE2-ish (DuckDB).
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization with empty-string removal (split on runs)."""
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+
+def words_sql(expr: str) -> str:
+    return f"list_filter(regexp_split_to_array({expr}, '\\s+'), w -> w <> '')"
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of stopword occurrences of ``lang`` in the text (with
+    multiplicity — repeated stopwords count repeatedly, which is what makes
+    the score discriminative on natural text)."""
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(words(F.lower(text)), lambda w: F.array_contains(sw, w)))
+
+
+def language_id(text: Column) -> Column:
+    """Predicted language = argmax over per-language stopword hits; 'und'
+    (undetermined) when no list scores a hit. Ties break by the fixed
+    language order of LANG_STOPWORDS — deterministic, oracle-friendly."""
+    scores = [
+        F.struct(
+            stopword_hits(text, lang).alias("hits"),
+            F.lit(-i).alias("prio"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(LANG_STOPWORDS)
+    ]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def language_id_sql(expr: str) -> str:
+    """DuckDB twin of language_id (list_max over (hits, prio, lang) structs
+    — both engines order structs lexicographically by field position)."""
+    structs = []
+    for i, (lang, sw) in enumerate(LANG_STOPWORDS.items()):
+        arr = "[" + ", ".join(f"'{w}'" for w in sw) + "]"
+        hits = (
+            f"len(list_filter({words_sql(f'lower({expr})')}, "
+            f"w -> list_contains({arr}, w)))"
+        )
+        structs.append(f"{{'hits': {hits}, 'prio': {-i}, 'lang': '{lang}'}}")
+    best = f"list_max([{', '.join(structs)}])"
+    return f"CASE WHEN ({best}).hits > 0 THEN ({best}).lang ELSE 'und' END"
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count (TOKEN_REGEX matches)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{TOKEN_REGEX}'))"
+
+
+def word_count(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def word_count_sql(expr: str) -> str:
+    return f"len({words_sql(expr)})"
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Heuristic quality signals (Gopher/C4-style length & symbol rules):
+    n_chars, n_words, mean word length, alpha ratio, digit ratio,
+    punctuation ratio, stopword(en) ratio."""
+    n_chars = F.length(text).cast("double")
+    ws = words(text)
+    n_words = F.size(ws).cast("double")
+    safe_chars = F.when(n_chars == 0, 1.0).otherwise(n_chars)
+    safe_words = F.when(n_words == 0, 1.0).otherwise(n_words)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", "")).cast("double")
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()-]", "")).cast("double")
+    sw_hits = stopword_hits(text, "en").cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": (n_chars - (n_words - 1)) / safe_words,
+        "alpha_ratio": n_alpha / safe_chars,
+        "digit_ratio": n_digit / safe_chars,
+        "punct_ratio": n_punct / safe_chars,
+        "stopword_ratio": sw_hits / safe_words,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish score: high alpha ratio, reasonable word length,
+    some stopwords, low digit/punct noise."""
+    f = quality_features(text)
+    return (
+        0.4 * f["alpha_ratio"]
+        + 0.3 * F.least(f["stopword_ratio"] * 2.0, F.lit(1.0))
+        + 0.2 * (1.0 - F.least(f["digit_ratio"] * 4.0, F.lit(1.0)))
+        + 0.1 * (1.0 - F.least(f["punct_ratio"] * 4.0, F.lit(1.0)))
+    )
+
+
+def quality_sql(expr: str) -> dict[str, str]:
+    """DuckDB twins of quality_features + quality_score."""
+    w = words_sql(expr)
+    sw = "[" + ", ".join(f"'{x}'" for x in LANG_STOPWORDS["en"]) + "]"
+    feats = {
+        "n_chars": f"CAST(length({expr}) AS DOUBLE)",
+        "n_words": f"CAST(len({w}) AS DOUBLE)",
+    }
+    safe_chars = f"(CASE WHEN length({expr}) = 0 THEN 1.0 ELSE CAST(length({expr}) AS DOUBLE) END)"
+    safe_words = f"(CASE WHEN len({w}) = 0 THEN 1.0 ELSE CAST(len({w}) AS DOUBLE) END)"
+    n_alpha = f"CAST(length(regexp_replace({expr}, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    n_digit = f"CAST(length(regexp_replace({expr}, '[^0-9]', '', 'g')) AS DOUBLE)"
+    n_punct = (
+        f"CAST(length(regexp_replace({expr}, '[^.,;:!?''\"()-]', '', 'g')) AS DOUBLE)"
+    )
+    sw_hits = (
+        f"CAST(len(list_filter({words_sql(f'lower({expr})')}, w -> list_contains({sw}, w))) AS DOUBLE)"
+    )
+    feats["mean_word_len"] = f"(CAST(length({expr}) AS DOUBLE) - (CAST(len({w}) AS DOUBLE) - 1)) / {safe_words}"
+    feats["alpha_ratio"] = f"{n_alpha} / {safe_chars}"
+    feats["digit_ratio"] = f"{n_digit} / {safe_chars}"
+    feats["punct_ratio"] = f"{n_punct} / {safe_chars}"
+    feats["stopword_ratio"] = f"{sw_hits} / {safe_words}"
+    feats["quality_score"] = (
+        f"0.4 * ({feats['alpha_ratio']})"
+        f" + 0.3 * least(({feats['stopword_ratio']}) * 2.0, 1.0)"
+        f" + 0.2 * (1.0 - least(({feats['digit_ratio']}) * 4.0, 1.0))"
+        f" + 0.1 * (1.0 - least(({feats['punct_ratio']}) * 4.0, 1.0))"
+    )
+    return feats
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined), distinct. The unit of MinHash /
+    Jaccard dedup. Documents shorter than n words yield their full word
+    sequence as one shingle."""
+    ws = words(F.lower(text))
+    k = F.size(ws)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
+    )
+
+
+def shingles_sql(expr: str, n: int = 3) -> str:
+    w = words_sql(f"lower({expr})")
+    return (
+        f"list_distinct([array_to_string(list_slice({w}, i + 1, i + {n}), ' ') "
+        f"for i in range(greatest(len({w}) - {n}, 0) + 1)])"
+    )
+
+
+def doc_fingerprint(text: Column, n: int = 3) -> Column:
+    """Document fingerprint: the lexicographically minimal md5 over word
+    n-gram shingles (a 1-function MinHash / winnowing-lite). Stable under
+    reordering-free edits far from the minimal shingle; cross-engine exact."""
+    return F.array_min(
+        F.transform(shingles(text, n), lambda s: F.md5(s.cast("binary")))
+    )
+
+
+def doc_fingerprint_sql(expr: str, n: int = 3) -> str:
+    return f"list_min(list_transform({shingles_sql(expr, n)}, s -> md5(s)))"

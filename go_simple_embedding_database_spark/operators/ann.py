@@ -1,0 +1,138 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Brute-force cosine top-k (operators.topk) is the exactness oracle at any
+scale Spark can scan. The sub-linear paths:
+
+- **IVF (inverted file)**: partition vectors into cells by nearest
+  centroid; a query probes only the ``nprobe`` closest cells. Index build
+  is one broadcast-join pass (centroids are tiny); search prunes the scan
+  to cells — on a cell-partitioned table that is partition pruning, so a
+  1000-executor cluster touches only the probed cells' files.
+- **sign-LSH**: random-hyperplane sign buckets; bucket equality is the
+  candidate filter for similarity joins.
+
+Centroid choice: ``deterministic_centroids`` (first K by id — reproducible
+in ANSI SQL for the driver's oracle) or MLlib KMeans (better cells, not
+SQL-reproducible; the recall tests cover it instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from go_simple_embedding_database_spark.functions.kernels import cosine_similarity
+from go_simple_embedding_database_spark.operators.topk import topk_by_similarity
+
+
+def deterministic_centroids(df: DataFrame, k: int, vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """First k vectors by id as centroids — deliberately simple and
+    SQL-reproducible; swap in kmeans_centroids for quality."""
+    return (df.orderBy(id_col).limit(k)
+            .select(F.col(id_col).alias("centroid_id"),
+                    F.col(vec_col).cast("array<double>").alias("centroid")))
+
+
+def kmeans_centroids(df: DataFrame, k: int, vec_col: str = "embedding",
+                     seed: int = 42, max_iter: int = 10) -> DataFrame:
+    """MLlib KMeans centroids (production path). Requires numeric stability
+    but not SQL reproducibility."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
+    spark = df.sparkSession
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id bigint, centroid array<double>",
+    )
+    return centers
+
+
+def assign_cells(df: DataFrame, centroids: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """IVF index build: every vector gets its nearest (max-cosine) centroid
+    id as ``cell``. One scan, centroids broadcast, no shuffle of the data
+    side; at scale, write the result partitioned by ``cell``."""
+    c = F.broadcast(centroids)
+    scored = df.crossJoin(c).withColumn(
+        "_csim", cosine_similarity(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(*[F.col(n) for n in df.columns]).orderBy(
+        F.desc("_csim"), F.asc("centroid_id")
+    )
+    # row_number over the original row identity picks the best centroid.
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*df.columns, F.col("centroid_id").alias("cell"))
+    )
+
+
+def assign_cells_by_id(df: DataFrame, centroids: DataFrame, id_col: str,
+                       vec_col: str = "embedding") -> DataFrame:
+    """Same as assign_cells but partitions the argmax window by the (known
+    unique) id column — cheaper than whole-row identity."""
+    c = F.broadcast(centroids)
+    scored = df.crossJoin(c).withColumn(
+        "_csim", cosine_similarity(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*df.columns, F.col("centroid_id").alias("cell"))
+    )
+
+
+def ivf_topk(df: DataFrame, centroids: DataFrame, qvec: list[float], k: int,
+             nprobe: int = 2, vec_col: str = "embedding", id_col: str = "vec_id",
+             score_col: str = "score") -> DataFrame:
+    """IVF search: rank cells by centroid similarity to the query, scan the
+    top ``nprobe`` cells, exact top-k inside. Approximation error = recall
+    loss when a true neighbor lives outside the probed cells (measured in
+    tests against brute force)."""
+    probe_cells = [
+        r.centroid_id
+        for r in topk_by_similarity(centroids, qvec, nprobe, vec_col="centroid",
+                                    score_col="_s", tie_break=["centroid_id"]).collect()
+    ]
+    cells = assign_cells_by_id(df, centroids, id_col, vec_col)
+    pruned = cells.filter(F.col("cell").isin(probe_cells))
+    return topk_by_similarity(pruned, qvec, k, vec_col=vec_col,
+                              score_col=score_col, tie_break=[id_col])
+
+
+def signlsh_buckets(df: DataFrame, hyperplanes: list[list[float]],
+                    vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane sign bucket per row: bit i = (v·h_i >= 0). Equal
+    buckets ⇒ likely-high cosine; used as a join key for candidate pairs."""
+    bits = []
+    for i, h in enumerate(hyperplanes):
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"),
+                       F.array(*[F.lit(float(x)) for x in h]),
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.withColumn("bucket", bucket.cast("bigint"))
+
+
+def hyperplanes_from_seed(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (hash-derived, so any engine
+    or test can regenerate them)."""
+    import hashlib
+
+    planes = []
+    for p in range(num_planes):
+        vals = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:8], 16)
+            vals.append(h / 4294967296.0 * 2.0 - 1.0)
+        planes.append(vals)
+    return planes

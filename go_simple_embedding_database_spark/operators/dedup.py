@@ -1,0 +1,263 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each designed for the 100 TB shape (shuffle by key, never
+all-pairs unless the candidate set is already bucketed):
+
+- **exact**     — sha256(content) groupBy; one shuffle, map-side partial agg.
+- **MinHash+LSH** — shingle → signature → band buckets → equi-join on
+  (band, key) for candidates → exact Jaccard verify. The classic
+  near-dedup at scale: candidate generation is a hash join on band keys,
+  O(N·sig) not O(N²).
+- **SimHash**   — 32-bit sign fingerprint; near-dups = small Hamming
+  distance (bit_count(xor)); bucketable by fingerprint prefix at scale.
+- **embedding cosine** — semantic near-dup via similarity_join threshold
+  (exact) or ann.ivf buckets (scale path).
+
+Hashing recipe (identical in Python / Spark / DuckDB, so every operator
+oracle-checks): base hash = first 8 hex chars of md5 → int in [0, 2^32);
+MinHash family h_i(x) = (a_i·x + b_i) mod P with P = 2^31-1 and fixed
+odd multipliers — ONE md5 per shingle regardless of signature length
+(products stay < 2^63, no overflow in int64 on either engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from go_simple_embedding_database_spark.functions.text import shingles, shingles_sql
+from go_simple_embedding_database_spark.operators.topk import similarity_join
+
+MERSENNE_P = 2147483647  # 2^31 - 1
+_KNUTH = 2654435761  # Knuth multiplicative constant
+
+
+def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs; a_i odd, both < P."""
+    return [
+        (((2 * i + 1) * _KNUTH) % MERSENNE_P | 1, (7919 * (i + 1)) % MERSENNE_P)
+        for i in range(num_hashes)
+    ]
+
+
+# -- exact dedup --------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, content_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate clusters by content hash: (content_hash,
+    keeper, n_copies). Keeper = min id (deterministic)."""
+    return (
+        df.groupBy(F.sha2(F.col(content_col).cast("binary"), 256).alias("content_hash"))
+        .agg(F.min(id_col).alias(f"keeper_{id_col}"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup_keep(df: DataFrame, content_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated table itself: keep the min-id row per content hash
+    (window row_number over hash — one shuffle on the hash key)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.sha2(F.col(content_col).cast("binary"), 256)).orderBy(id_col)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# -- MinHash + LSH -------------------------------------------------------------
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """array<bigint>: base hash per distinct word-n-gram shingle."""
+    return F.transform(
+        shingles(text, n),
+        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("bigint"),
+    )
+
+
+def shingle_hashes_sql(expr: str, n: int = 3) -> str:
+    return (
+        f"list_transform({shingles_sql(expr, n)}, "
+        f"s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT))"
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 12, n: int = 3) -> Column:
+    """array<bigint> of length num_hashes: min over shingles of each family
+    hash. Pure int64 arithmetic after one md5 per shingle."""
+    hs = shingle_hashes(text, n)
+
+    def fam(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P
+
+    mins = [
+        F.array_min(F.transform(hs, fam(a, b)))
+        for a, b in _minhash_params(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_signature_sql(expr: str, num_hashes: int = 12, n: int = 3) -> str:
+    hs = shingle_hashes_sql(expr, n)
+    mins = ", ".join(
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {MERSENNE_P}))"
+        for a, b in _minhash_params(num_hashes)
+    )
+    return f"(SELECT [{mins}] FROM (SELECT {hs} AS h) _mh)"
+
+
+def _band_key(sig: Column, band: int, rows_per_band: int) -> Column:
+    piece = F.slice(sig, band * rows_per_band + 1, rows_per_band)
+    return F.md5(F.concat_ws("-", F.transform(piece, lambda v: v.cast("string"))).cast("binary"))
+
+
+def lsh_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              num_hashes: int = 12, bands: int = 4, n: int = 3) -> DataFrame:
+    """(id, band, key): one row per document per band. Docs agreeing on ALL
+    rows within any band share that band's key — the LSH bucket."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, n)
+    banded = df.select(
+        F.col(id_col),
+        sig.alias("_sig"),
+    )
+    cols = [
+        F.struct(F.lit(b).alias("band"), _band_key(F.col("_sig"), b, r).alias("key"))
+        for b in range(bands)
+    ]
+    return (
+        banded.select(id_col, F.explode(F.array(*cols)).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", num_hashes: int = 12,
+                            bands: int = 4, n: int = 3) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
+    Physically: shuffle by (band, key) — an equi-join, never a cross join.
+    Skewed buckets (boilerplate shingles) are AQE-split at runtime."""
+    bk = lsh_bands(df, text_col, id_col, num_hashes, bands, n)
+    a, b = bk.alias("a"), bk.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_similarity(text_a: Column, text_b: Column, n: int = 3) -> Column:
+    """Exact n-gram Jaccard |A∩B| / |A∪B| over distinct shingle sets."""
+    sa, sb = shingles(text_a, n), shingles(text_b, n)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return F.when(union == 0, 0.0).otherwise(inter / union)
+
+
+def jaccard_sql(expr_a: str, expr_b: str, n: int = 3) -> str:
+    sa, sb = shingles_sql(expr_a, n), shingles_sql(expr_b, n)
+    return (
+        f"CASE WHEN len(list_distinct({sa} || {sb})) = 0 THEN 0.0 "
+        f"ELSE CAST(len(list_intersect({sa}, {sb})) AS DOUBLE) "
+        f"/ len(list_distinct({sa} || {sb})) END"
+    )
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  threshold: float = 0.7, num_hashes: int = 12, bands: int = 4,
+                  n: int = 3) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified by exact Jaccard >=
+    threshold. Returns (id_a, id_b, jaccard)."""
+    cand = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, n)
+    docs = df.select(F.col(id_col), F.col(text_col))
+    withs = (
+        cand.join(docs.withColumnRenamed(id_col, "id_a")
+                  .withColumnRenamed(text_col, "_ta"), "id_a")
+        .join(docs.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed(text_col, "_tb"), "id_b")
+    )
+    return (
+        withs.withColumn("jaccard", jaccard_similarity(F.col("_ta"), F.col("_tb"), n))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -- SimHash -------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(text: Column, n: int = 3) -> Column:
+    """32-bit SimHash over shingle hashes: bit b of the fingerprint is the
+    sign of Σ_shingles (2·bit_b(h) − 1). Near-dups differ in few bits."""
+    hs = shingle_hashes(text, n)
+
+    def vote(b: int):
+        return lambda acc, x: acc + (
+            F.shiftright(x, b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).cast("int")
+
+    bit_votes = [
+        F.aggregate(hs, F.lit(0), vote(b)) for b in range(SIMHASH_BITS)
+    ]
+    out = F.lit(0).cast("bigint")
+    for b, vote in enumerate(bit_votes):
+        out = out + F.when(vote > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0))
+    return out
+
+
+def simhash_sql(expr: str, n: int = 3) -> str:
+    hs = shingle_hashes_sql(expr, n)
+    votes = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(h, x -> ((x >> {b}) & 1) * 2 - 1)) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"(SELECT {votes} FROM (SELECT {hs} AS h) _sh)"
+
+
+def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", max_hamming: int = 3,
+                          n: int = 3, block_col: str | None = None) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming. Candidate
+    generation joins on a block column when given (at 100 TB: fingerprint
+    prefix or an existing partition key); all-pairs only within blocks."""
+    fp = df.select(F.col(id_col), *( [F.col(block_col)] if block_col else [] ),
+                   simhash(F.col(text_col), n).alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    on = [F.col(f"a.{block_col}") == F.col(f"b.{block_col}")] if block_col else []
+    joined = a.join(b, on) if on else a.crossJoin(b)
+    return (
+        joined.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- embedding cosine near-dup --------------------------------------------------
+
+def cosine_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id", threshold: float = 0.95,
+                         block_col: str | None = None) -> DataFrame:
+    """Semantic near-duplicates: cosine >= threshold. With ``block_col``
+    the join is an equi-join on the block (LSH bucket / IVF cell / label),
+    never a full cross join — the exact variant is the oracle."""
+    from go_simple_embedding_database_spark.functions.kernels import cosine_similarity
+
+    left = df.select(F.col(id_col), F.col(vec_col),
+                     *([F.col(block_col)] if block_col else []))
+    a, b = left.alias("a"), left.alias("b")
+    joined = a.join(b, [block_col]) if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,134 @@
+"""Multimodal column operators — image/audio/video as opaque binary.
+
+The Spark-side plumbing is REAL and tested: schemas, Arrow batch shapes,
+``mapInPandas`` signatures, partitioning for CPU-heavy decode. The codec
+step itself is STUBBED — this container ships no image/audio libraries —
+behind ``_decode_payload``, which produces a deterministic fake feature
+vector from the payload bytes (sha256-seeded) so every downstream operator
+(dedup by perceptual hash, ANN over media embeddings) is exercisable
+end-to-end. Swapping in a real decoder (PIL / torchaudio / pyav) changes
+ONE function; the distributed plan is already correct.
+
+Design for 100 TB of media:
+- payloads stay ``binary`` columns in Parquet — no driver materialization;
+- decode/feature-extract runs in ``mapInPandas`` so one Arrow batch of
+  payloads is decoded per Python call, with output column pruning via the
+  caller-supplied schema;
+- CPU-heavy stages repartition to cluster parallelism first (media tables
+  are few-large-files shaped, the classic one-split trap).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 16
+
+DECODED_SCHEMA = (
+    "media_id string, modality string, width int, height int, "
+    "n_frames int, feature array<double>"
+)
+
+
+def _decode_payload(payload: bytes, modality: str) -> dict:
+    """STUB DECODER — deterministic fake. Replace with PIL/pyav/torchaudio
+    in production. Derives plausible metadata + a unit feature vector from
+    sha256(payload) so results are stable across runs and engines.
+
+    Raises ValueError on empty payloads (the real decoder's failure mode),
+    exercising the quarantine path."""
+    if payload is None or len(payload) == 0:
+        raise ValueError("cannot decode empty payload")
+    digest = hashlib.sha256(payload).digest()
+    width = 16 + digest[0] % 240        # fake 16..255 px
+    height = 16 + digest[1] % 240
+    n_frames = 1 if modality == "image" else 1 + digest[2] % 64
+    raw = np.frombuffer(digest[:FEATURE_DIM], dtype=np.uint8).astype(np.float64)
+    raw = raw / 255.0 * 2.0 - 1.0
+    norm = np.linalg.norm(raw)
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": int(n_frames),
+        "feature": (raw / norm if norm else raw).tolist(),
+    }
+
+
+def decode_media(df: DataFrame, on_error: str = "quarantine") -> DataFrame:
+    """Decode + feature-extract every media row via mapInPandas (one Arrow
+    batch per Python call). ``on_error='quarantine'`` turns decode failures
+    into NULL-feature rows (filter ``feature IS NULL`` for the quarantine
+    set); ``'raise'`` propagates — a single corrupt file should not kill a
+    100 TB decode unless you ask it to."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "modality": [], "width": [], "height": [],
+                   "n_frames": [], "feature": []}
+            for mid, modality, payload in zip(pdf["media_id"], pdf["modality"],
+                                              pdf["payload"]):
+                try:
+                    d = _decode_payload(payload, modality)
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    d = {"width": None, "height": None, "n_frames": None,
+                         "feature": None}
+                out["media_id"].append(mid)
+                out["modality"].append(modality)
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["n_frames"].append(d["n_frames"])
+                out["feature"].append(d["feature"])
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "modality", "payload").mapInPandas(
+        _decode, schema=DECODED_SCHEMA
+    )
+
+
+def media_metadata(df: DataFrame) -> DataFrame:
+    """Cheap metadata WITHOUT decoding: byte size + payload content hash.
+    Pure Catalyst expressions — this is the operator you run on all 100 TB
+    before deciding what to decode."""
+    return df.select(
+        "media_id",
+        "modality",
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha256"),
+    )
+
+
+def frame_sample_plan(df: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Video frame-sampling PLAN: expands each video row into (media_id,
+    frame_no) rows for frames 0, n, 2n, ... using the decoded n_frames —
+    the shuffle-free explode that a real frame extractor would map over."""
+    decoded = decode_media(df)
+    return decoded.filter(F.col("n_frames").isNotNull()).select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
+        ).alias("frame_no"),
+    )
+
+
+def documents_as_media(docs: DataFrame, modality: str = "image") -> DataFrame:
+    """Test/bench adapter: wrap the documents table's text bytes as fake
+    media payloads (schema.MEDIA_SCHEMA shape) — the container has no real
+    media files; the bytes are opaque to every operator above anyway."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit(modality).alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime_type"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )

@@ -155,10 +155,14 @@ def database_from_file(spark: SparkSession, path: str) -> "SparkEmbeddingDatabas
     # Unparseable input must error like the reference's json.Unmarshal
     # (database/database.go:155-160), not silently yield an empty DB —
     # from_json returns NULL on malformed input.
-    bad = raw.select(F.from_json("value", _DB_STRUCT).alias("db")).filter(
-        F.col("db").isNull() | F.col("db.collections").isNull()
-    )
-    if bad.limit(1).count() > 0:
+    parsed = raw.select(F.from_json("value", _DB_STRUCT).alias("db"))
+    # Empty input parses to zero rows, malformed input to NULL structs —
+    # both must raise, not silently yield an empty DB.
+    counts = parsed.agg(
+        F.count("*").alias("total"),
+        F.count(F.when(F.col("db").isNull() | F.col("db.collections").isNull(), 1)).alias("bad"),
+    ).collect()[0]
+    if counts.total == 0 or counts.bad > 0:
         raise ValueError(f"not a valid database snapshot: {path}")
     headers = (
         raw.select(F.from_json("value", _DB_STRUCT).alias("db"))

@@ -8,6 +8,8 @@ tests assert PushedFilters/ReadSchema via ``plans.explain_utils``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLE_NAMES = [
     "region", "nation", "customer", "supplier", "part",
@@ -16,7 +18,12 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # TIMESTAMP(NANOS) read as long (nanosAsLong) → truncate to micros,
+        # DuckDB's native timestamp precision, so oracles agree exactly.
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

@@ -1,0 +1,68 @@
+"""ANN operators: IVF recall vs brute force, cell assignment, sign-LSH."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_simple_embedding_database_spark.operators import ann
+from go_simple_embedding_database_spark.operators.topk import topk_by_similarity
+
+
+@pytest.fixture(scope="module")
+def centroids(spark, embeddings):
+    return ann.deterministic_centroids(embeddings, 8)
+
+
+def test_assign_cells_covers_all(spark, embeddings, centroids):
+    cells = ann.assign_cells_by_id(embeddings, centroids, "vec_id")
+    assert cells.count() == embeddings.count()          # exactly one cell per row
+    assert cells.select("cell").distinct().count() <= 8
+    # a centroid's own vector must land in its own cell (self-cosine = 1)
+    own = cells.filter(F.col("vec_id") < 8).select("vec_id", "cell").collect()
+    assert all(r.cell == r.vec_id for r in own)
+
+
+def test_ivf_topk_recall(spark, embeddings, centroids):
+    """IVF with nprobe=4 of 8 cells must recover most of the exact top-10
+    (random 64-dim data is a worst case for IVF; >=50% recall at half the
+    cells probed is the sanity bar, exactness comes from brute force)."""
+    q = [float(v) for v in embeddings.filter(F.col("vec_id") == 7).collect()[0].embedding]
+    exact = {r.vec_id for r in topk_by_similarity(
+        embeddings, q, 10, score_col="s", tie_break=["vec_id"]).collect()}
+    approx = {r.vec_id for r in ann.ivf_topk(
+        embeddings, centroids, q, 10, nprobe=4).collect()}
+    assert len(approx) == 10
+    assert len(exact & approx) >= 5
+    # the query vector itself must always be found (it defines its cell)
+    assert 7 in approx
+
+
+def test_ivf_topk_nprobe_all_equals_exact(spark, embeddings, centroids):
+    """Probing ALL cells makes IVF exact — the correctness envelope."""
+    q = [float(v) for v in embeddings.filter(F.col("vec_id") == 3).collect()[0].embedding]
+    exact = {r.vec_id for r in topk_by_similarity(
+        embeddings, q, 10, score_col="s", tie_break=["vec_id"]).collect()}
+    approx = {r.vec_id for r in ann.ivf_topk(
+        embeddings, centroids, q, 10, nprobe=8).collect()}
+    assert approx == exact
+
+
+def test_kmeans_centroids_shape(spark, embeddings):
+    c = ann.kmeans_centroids(embeddings.limit(200), k=4)
+    rows = c.collect()
+    assert len(rows) == 4
+    assert all(len(r.centroid) == 64 for r in rows)
+
+
+def test_signlsh_buckets_similar_vectors_collide(spark, embeddings):
+    planes = ann.hyperplanes_from_seed(8, 64)
+    b = ann.signlsh_buckets(embeddings, planes)
+    # scaled copy of a vector gets the identical bucket (sign-invariant)
+    one = embeddings.filter(F.col("vec_id") == 0).select(
+        F.lit(-1).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 3.0).alias("embedding"),
+        "label")
+    b2 = ann.signlsh_buckets(one, planes)
+    bucket0 = b.filter(F.col("vec_id") == 0).collect()[0].bucket
+    assert b2.collect()[0].bucket == bucket0
+    # buckets spread (not all rows in one bucket)
+    assert b.select("bucket").distinct().count() > 10

