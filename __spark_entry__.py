@@ -24,7 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from go_simple_embedding_database_spark.functions.embedders import hash64_oracle_sql, get_embedder
 from go_simple_embedding_database_spark.functions.kernels import cosine_similarity
-from go_simple_embedding_database_spark.operators.topk import batch_topk, topk_by_similarity
+from go_simple_embedding_database_spark.operators.topk import (
+    batch_topk,
+    similarity_join,
+    topk_by_similarity,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -207,6 +211,341 @@ FROM documents GROUP BY sha256(text)
 """
 
 
+# -- text analysis (pipeline extension; all pure-Catalyst expressions) --------
+
+def _q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID per document: stopword-hit argmax, pure codegen."""
+    from go_simple_embedding_database_spark.functions import text as tx
+    return _docs(spark, sf_dir).select(
+        "doc_id", tx.language_id(F.col("text")).alias("lang_pred"))
+
+
+def _oracle_text_language_id() -> str:
+    from go_simple_embedding_database_spark.functions import text as tx
+    return f"SELECT doc_id, {tx.language_id_sql('text')} AS lang_pred FROM documents"
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/word counts + rolling-hash document fingerprint per doc."""
+    from go_simple_embedding_database_spark.functions import text as tx
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        tx.token_count(t).alias("n_tokens"),
+        tx.word_count(t).alias("n_words"),
+        tx.doc_fingerprint(t).alias("fingerprint"),
+    )
+
+
+def _oracle_text_stats() -> str:
+    from go_simple_embedding_database_spark.functions import text as tx
+    return (
+        f"SELECT doc_id, {tx.token_count_sql('text')} AS n_tokens, "
+        f"{tx.word_count_sql('text')} AS n_words, "
+        f"{tx.doc_fingerprint_sql('text')} AS fingerprint FROM documents"
+    )
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality score per doc."""
+    from go_simple_embedding_database_spark.functions import text as tx
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.round(tx.quality_score(F.col("text")), 6).alias("quality"))
+
+
+def _oracle_text_quality() -> str:
+    from go_simple_embedding_database_spark.functions import text as tx
+    q = tx.quality_sql("text")["quality_score"]
+    return f"SELECT doc_id, round({q}, 6) AS quality FROM documents"
+
+
+# -- dedup (pipeline extension) ------------------------------------------------
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: MinHash signatures → LSH band buckets → equi-join
+    candidates → exact Jaccard >= 0.9 verify. Shuffles only on band keys —
+    O(N·sig), never all-pairs."""
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    out = dd.minhash_dedup(_docs(spark, sf_dir), threshold=0.9,
+                           num_hashes=12, bands=4)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _oracle_dedup_minhash() -> str:
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    sig = dd.minhash_signature_sql("text", 12)
+    jac = dd.jaccard_sql("da.text", "db.text")
+    return f"""
+WITH sig AS (SELECT doc_id, {sig} AS sig FROM documents),
+bands AS (
+  SELECT doc_id, b, md5(array_to_string(list_slice(sig, b*3+1, b*3+3), '-')) AS key
+  FROM sig, range(4) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round({jac}, 6) AS jaccard
+FROM cand JOIN documents da ON cand.id_a = da.doc_id
+          JOIN documents db ON cand.id_b = db.doc_id
+WHERE {jac} >= 0.9
+"""
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (sign of per-bit shingle
+    votes) — the bucketable near-dup key."""
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    return _docs(spark, sf_dir).select(
+        "doc_id", dd.simhash(F.col("text")).alias("fp"))
+
+
+def _oracle_dedup_simhash() -> str:
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    return f"SELECT doc_id, {dd.simhash_sql('text')} AS fp FROM documents"
+
+
+def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= 6."""
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    return dd.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=6)
+
+
+def _oracle_dedup_simhash_pairs() -> str:
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    fp = dd.simhash_sql("text")
+    return f"""
+WITH f AS (SELECT doc_id, {fp} AS fp FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.fp, b.fp)) AS hamming
+FROM f a JOIN f b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 6
+"""
+
+
+def _q_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, blocked by label (equi-join, no cross
+    join): finds the planted scale-invariant copies (cosine == 1.0) of
+    vec_id < 5."""
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label")
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+        "label")
+    out = dd.cosine_neardup_pairs(emb.unionByName(planted),
+                                  threshold=0.999999, block_col="label")
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+_ORACLE_DEDUP_COSINE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0), label
+  FROM embeddings WHERE vec_id < 5
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.999999
+"""
+
+
+# -- similarity search (pipeline extension) ------------------------------------
+
+def _q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join: top-3 neighbors for each of the first 10 vectors in ONE
+    scan of the big side (query side broadcast, row_number window)."""
+    emb = _emb(spark, sf_dir)
+    left = emb.filter(F.col("vec_id") < 10)
+    out = similarity_join(left, emb, k=3, left_id="vec_id", right_id="vec_id",
+                          score_col="score")
+    return out.select("left_id", "right_id", F.round("score", 6).alias("score"))
+
+
+_ORACLE_SIMILARITY_JOIN = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+s AS (
+  SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+         list_cosine_similarity(l.v, r.v) AS sc
+  FROM e l CROSS JOIN e r WHERE l.vec_id < 10
+)
+SELECT left_id, right_id, round(sc, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY left_id ORDER BY sc DESC, right_id) rn FROM s)
+WHERE rn <= 3
+"""
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search: 8 deterministic centroids, probe the 2 nearest
+    cells, exact top-5 inside — the scan prunes to probed cells (partition
+    pruning on a cell-partitioned table at scale)."""
+    from go_simple_embedding_database_spark.operators import ann
+    emb = _emb(spark, sf_dir)
+    cents = ann.deterministic_centroids(emb, 8)
+    qvec = _query_vec(spark, sf_dir, 0)
+    out = ann.ivf_topk(emb, cents, qvec, 5, nprobe=2, score_col="score")
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+_ORACLE_ANN_IVF = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cent AS (SELECT vec_id AS centroid_id, v AS c FROM e ORDER BY vec_id LIMIT 8),
+probe AS (SELECT centroid_id FROM cent, q
+          ORDER BY list_cosine_similarity(c, qv) DESC, centroid_id LIMIT 2),
+assign AS (
+  SELECT e.vec_id, cent.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, cent.c) DESC, cent.centroid_id) rn
+  FROM e CROSS JOIN cent
+),
+cells AS (SELECT vec_id, centroid_id AS cell FROM assign WHERE rn = 1)
+SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS score
+FROM e JOIN cells USING (vec_id) CROSS JOIN q
+WHERE cells.cell IN (SELECT centroid_id FROM probe)
+ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+LIMIT 5
+"""
+
+
+# -- CRUD lifecycle (§2.1/2.2/2.3 end-to-end) ----------------------------------
+
+def _q_crud_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference lifecycle: create collection → bulk ingest 50 docs
+    (embed batched) → delete one record → top-5 query for a stored blob.
+    The stored blob itself must rank first (cosine 1.0)."""
+    from go_simple_embedding_database_spark.database import SparkEmbeddingDatabase
+    db = SparkEmbeddingDatabase(spark)
+    db.add_collection("c", "mock-hash-64")
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50).selectExpr(
+        "cast(doc_id as string) id", "text blob")
+    db.add_records("c", db.make_records(docs, "mock-hash-64"))
+    db.delete_record("c", "7")
+    blob = docs.filter(F.col("id") == "3").collect()[0].blob
+    out = db.query("c", blob, 5, with_scores=True)
+    return out.select("id", F.round("_score", 6).alias("score"))
+
+
+def _oracle_crud_query() -> str:
+    return f"""
+WITH v AS (SELECT CAST(doc_id AS VARCHAR) AS id, {hash64_oracle_sql('text')} AS vec
+           FROM documents WHERE doc_id < 50),
+q AS (SELECT vec AS qv FROM v WHERE id = '3')
+SELECT id, round(list_cosine_similarity(vec, qv), 6) AS score
+FROM v, q WHERE id <> '7'
+ORDER BY list_cosine_similarity(vec, qv) DESC, id LIMIT 5
+"""
+
+
+# -- events / windowed aggregation (streaming-shaped, batch-checked) -----------
+
+def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts + sums over the events table — the
+    batch twin of the Structured Streaming aggregation (same code path)."""
+    from go_simple_embedding_database_spark.sources.tables import load_table
+    from go_simple_embedding_database_spark.streaming.ingest import windowed_event_counts
+    out = windowed_event_counts(load_table(spark, sf_dir, "events"), window="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "sum_value")
+
+
+_ORACLE_EVENTS_WINDOWED = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# -- multimodal (pipeline extension; decode is a stubbed codec) ----------------
+
+def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-without-decode over binary media payloads: byte size +
+    content hash, pure Catalyst — the full-corpus pass that decides what
+    to decode."""
+    from go_simple_embedding_database_spark.operators.multimodal import (
+        documents_as_media, media_metadata)
+    media = documents_as_media(_docs(spark, sf_dir))
+    return media_metadata(media)
+
+
+_ORACLE_MULTIMODAL_METADATA = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id, 'image' AS modality,
+       octet_length(encode(text)) AS n_bytes, sha256(text) AS payload_sha256
+FROM documents
+"""
+
+
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode of binary payloads (stub codec — deterministic
+    sha256-derived features; real decoder is a one-function swap). No SQL
+    oracle: the codec is Python-side by nature; rows-only check."""
+    from go_simple_embedding_database_spark.operators.multimodal import (
+        decode_media, documents_as_media)
+    media = documents_as_media(_docs(spark, sf_dir))
+    out = decode_media(media)
+    return out.select("media_id", "width", "height", "n_frames",
+                      F.round(F.element_at("feature", 1), 6).alias("f0"))
+
+
+# -- relational analytics over the TPC-H-shaped tables -------------------------
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: predicate pushed to the parquet
+    scan, map-side partial aggregation, 4-group output."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join orders to the small customer dim, aggregate revenue
+    per market segment — the canonical small-dim star join (no shuffle of
+    the fact side beyond the final 5-group agg)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+_ORACLE_SEGMENT_REVENUE = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_cosine": _q_topk_cosine,
@@ -217,6 +556,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collections_catalog": _q_collections_catalog,
         "ingest_embed": _q_ingest_embed,
         "dedup_exact": _q_dedup_exact,
+        "crud_query": _q_crud_query,
+        "text_language_id": _q_text_language_id,
+        "text_stats": _q_text_stats,
+        "text_quality": _q_text_quality,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_cosine": _q_dedup_cosine,
+        "similarity_join_knn": _q_similarity_join,
+        "ann_ivf": _q_ann_ivf,
+        "events_windowed": _q_events_windowed,
+        "multimodal_metadata": _q_multimodal_metadata,
+        "multimodal_decode": _q_multimodal_decode,
+        "pricing_summary": _q_pricing_summary,
+        "segment_revenue": _q_segment_revenue,
     }
 
 
@@ -230,4 +584,20 @@ def oracle_sql() -> dict[str, str]:
         "collections_catalog": _ORACLE_CATALOG,
         "ingest_embed": _ORACLE_INGEST,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
+        "crud_query": _oracle_crud_query(),
+        "text_language_id": _oracle_text_language_id(),
+        "text_stats": _oracle_text_stats(),
+        "text_quality": _oracle_text_quality(),
+        "dedup_minhash": _oracle_dedup_minhash(),
+        "dedup_simhash": _oracle_dedup_simhash(),
+        "dedup_simhash_pairs": _oracle_dedup_simhash_pairs(),
+        "dedup_cosine": _ORACLE_DEDUP_COSINE,
+        "similarity_join_knn": _ORACLE_SIMILARITY_JOIN,
+        "ann_ivf": _ORACLE_ANN_IVF,
+        "events_windowed": _ORACLE_EVENTS_WINDOWED,
+        "multimodal_metadata": _ORACLE_MULTIMODAL_METADATA,
+        # multimodal_decode: intentionally absent — Python-side stub codec,
+        # rows-only check.
+        "pricing_summary": _ORACLE_PRICING_SUMMARY,
+        "segment_revenue": _ORACLE_SEGMENT_REVENUE,
     }

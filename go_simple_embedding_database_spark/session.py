@@ -18,6 +18,10 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Repo root (the parent of this package) — exported to Python workers so
+# cloudpickled UDFs can re-import the package regardless of the driver's cwd.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def get_spark(
     app_name: str = "go_simple_embedding_database_spark",
@@ -36,8 +40,14 @@ def get_spark(
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus or "32")
         )
+    pythonpath = os.environ.get("PYTHONPATH", "")
+    if _REPO_ROOT not in pythonpath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _REPO_ROOT + (os.pathsep + pythonpath if pythonpath else "")
+        )
     builder = (
         SparkSession.builder.master(master)
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

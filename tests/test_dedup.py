@@ -55,12 +55,16 @@ def test_minhash_against_bruteforce(spark, documents):
     produce a SUBSET (exact-verify kills false positives) with high recall
     at 0.9 (P[miss] = (1-0.9^3)^4 ≈ 0.5% per pair with 12 hashes/4 bands)."""
     docs = documents.select("doc_id", "text")
-    a, b = docs.alias("a"), docs.alias("b")
+    # Precompute shingle arrays once per doc; the cross join then only
+    # intersects arrays (recomputing shingles per pair is O(N^2 · doc_len)).
+    from go_simple_embedding_database_spark.functions.text import shingles
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
     brute = (
         a.crossJoin(b)
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
-                dd.jaccard_similarity(F.col("a.text"), F.col("b.text")).alias("j"))
+                dd.jaccard_from_shingle_arrays(F.col("a.sh"), F.col("b.sh")).alias("j"))
         .filter(F.col("j") >= 0.9)
     )
     truth = {(r.id_a, r.id_b) for r in brute.collect()}
