@@ -490,6 +490,137 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.element_at("feature", 1), 6).alias("f0"))
 
 
+def _q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunking (the reference quickstart's 4096-byte chunk loop,
+    README.md:54-68, as a distributed explode; 200 chars here so the corpus
+    actually multi-chunks)."""
+    from go_simple_embedding_database_spark.functions.text import chunk_text
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(chunk_text(F.col("text"), 200)).alias("chunk_no", "chunk"),
+    ).select("doc_id", "chunk_no", "chunk", F.length("chunk").alias("n_chunk_chars"))
+
+
+def _oracle_text_chunks() -> str:
+    from go_simple_embedding_database_spark.functions.text import chunk_text_sql
+    return f"""
+SELECT doc_id, s['chunk_no'] AS chunk_no, s['chunk'] AS chunk,
+       length(s['chunk']) AS n_chunk_chars
+FROM (SELECT doc_id, unnest(list_transform({chunk_text_sql('text', 200)},
+        (c, i) -> {{'chunk_no': i - 1, 'chunk': c}})) AS s
+      FROM documents)
+"""
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (10-minute gap) over events — Spark's
+    session_window in batch mode; the streaming path is the same expression
+    with watermark state (tests drive it with availableNow)."""
+    from go_simple_embedding_database_spark.sources.tables import load_table
+    from go_simple_embedding_database_spark.streaming.ingest import sessionize
+    out = sessionize(load_table(spark, sf_dir, "events"), gap="10 minutes")
+    return out.select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        "user_id", "n_events", "sum_value")
+
+
+_ORACLE_EVENTS_SESSIONIZE = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+m AS (
+  -- strictly greater: Spark session windows merge on touching boundaries
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
+            THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def _q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated table itself: min-id survivor per exact content
+    hash (one shuffle on the hash key)."""
+    from go_simple_embedding_database_spark.operators.dedup import exact_dedup_keep
+    return exact_dedup_keep(_docs(spark, sf_dir)).select("doc_id", "lang", "source")
+
+
+_ORACLE_DEDUP_KEEP = """
+SELECT doc_id, lang, source FROM (
+  SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+
+def _q_record_pretty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 Record.String parity (records/records.go:57-79) as a native
+    expression over real embedded records — blob truncated at 100 chars,
+    embedding at 5 elements / 2 decimals, the reference's exact quirks."""
+    from go_simple_embedding_database_spark.functions.formatting import record_str_column
+    emb = get_embedder("mock-hash-64")
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 20)
+    recs = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("text").alias("blob"),
+        emb.column(F.col("text")).alias("embedding"),
+    )
+    return recs.select(
+        "id",
+        record_str_column(F.col("blob"), F.col("embedding"),
+                          F.lit("mock-hash-64"), F.col("id")).alias("pretty"),
+    )
+
+
+def _oracle_record_pretty() -> str:
+    return f"""
+WITH v AS (SELECT CAST(doc_id AS VARCHAR) AS id, text,
+                  {hash64_oracle_sql('text')} AS vec
+           FROM documents WHERE doc_id < 20)
+SELECT id,
+  'Embedding{{Embedding: [' ||
+  array_to_string(list_transform(vec[1:5], x -> format('{{:.2f}}', x) || ', '), '') ||
+  ' ...], EmbedderId: mock-hash-64, Blob: ' ||
+  CASE WHEN length(text) > 100 THEN substr(text, 1, 100) || '...' ELSE text END ||
+  ', Id: ' || id || '}}' AS pretty
+FROM v
+"""
+
+
+def _q_ingest_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 AddRecord constraint checks as set-level validation joins in
+    quarantine mode: duplicate ids, embedder mismatch, and null embeddings
+    are returned as a violations table instead of killing the ingest."""
+    from go_simple_embedding_database_spark.database import SparkEmbeddingDatabase
+    db = SparkEmbeddingDatabase(spark)
+    db.add_collection("c", "mock-hash-64")
+    docs = _docs(spark, sf_dir).selectExpr("cast(doc_id as string) id", "text blob")
+    db.add_records("c", db.make_records(docs.filter(F.col("id").cast("int") < 20),
+                                        "mock-hash-64"))
+    dup = db.make_records(docs.filter(F.col("id").cast("int") < 5), "mock-hash-64")
+    mismatch = db.make_records(
+        docs.filter(F.col("id").cast("int").between(100, 102)), "mock-constant")
+    nullemb = (docs.filter(F.col("id").cast("int").between(200, 201))
+               .select("id", F.lit("mock-hash-64").alias("embedder_id"),
+                       F.col("blob"), F.lit(None).cast("array<double>").alias("embedding")))
+    batch = dup.unionByName(mismatch).unionByName(nullemb)
+    return db.add_records("c", batch, on_violation="skip")
+
+
+_ORACLE_INGEST_VIOLATIONS = """
+SELECT CAST(doc_id AS VARCHAR) AS id, 'duplicate id' AS violation
+FROM documents WHERE doc_id < 5
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'embedder mismatch' FROM documents
+WHERE doc_id BETWEEN 100 AND 102
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'null embedding' FROM documents
+WHERE doc_id BETWEEN 200 AND 201
+"""
+
+
 # -- relational analytics over the TPC-H-shaped tables -------------------------
 
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,6 +700,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_decode": _q_multimodal_decode,
+        "text_chunks": _q_text_chunks,
+        "events_sessionize": _q_events_sessionize,
+        "dedup_keep": _q_dedup_keep,
+        "record_pretty": _q_record_pretty,
+        "ingest_violations": _q_ingest_violations,
         "pricing_summary": _q_pricing_summary,
         "segment_revenue": _q_segment_revenue,
     }
@@ -598,6 +734,11 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_metadata": _ORACLE_MULTIMODAL_METADATA,
         # multimodal_decode: intentionally absent — Python-side stub codec,
         # rows-only check.
+        "text_chunks": _oracle_text_chunks(),
+        "events_sessionize": _ORACLE_EVENTS_SESSIONIZE,
+        "dedup_keep": _ORACLE_DEDUP_KEEP,
+        "record_pretty": _oracle_record_pretty(),
+        "ingest_violations": _ORACLE_INGEST_VIOLATIONS,
         "pricing_summary": _ORACLE_PRICING_SUMMARY,
         "segment_revenue": _ORACLE_SEGMENT_REVENUE,
     }

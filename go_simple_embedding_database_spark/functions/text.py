@@ -184,6 +184,26 @@ def shingles_sql(expr: str, n: int = 3) -> str:
     )
 
 
+def chunk_text(text: Column, chunk_size: int = 4096) -> Column:
+    """Split a document into fixed-size character chunks — the reference
+    README's quickstart chunking (/root/reference/README.md:54-68, 4096-byte
+    chunks of the novel), as an array column to ``explode`` into a
+    chunks-per-document table. Empty text yields one empty chunk (the
+    reference loop body runs once on an empty read)."""
+    n_chunks = F.greatest(
+        F.ceil(F.length(text) / F.lit(chunk_size)).cast("int"), F.lit(1))
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return F.transform(idx, lambda i: F.substring(
+        text, (i * chunk_size + 1).cast("int"), chunk_size))
+
+
+def chunk_text_sql(expr: str, chunk_size: int = 4096) -> str:
+    return (
+        f"[substr({expr}, i * {chunk_size} + 1, {chunk_size}) "
+        f"for i in range(greatest(CAST(ceil(length({expr}) / {chunk_size}) AS INT), 1))]"
+    )
+
+
 def shingles_py(text: str, n: int = 3) -> list[str]:
     """Python twin of ``shingles`` (same recipe, ASCII \\s, first-occurrence
     distinct) — the batch kernel used by the vectorized dedup UDFs."""

@@ -22,7 +22,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # TIMESTAMP(NANOS) read as long (nanosAsLong) → truncate to micros,
         # DuckDB's native timestamp precision, so oracles agree exactly.
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # Integer `div`, NOT `/`: double division loses ulp-level precision
+        # at ~1.7e15 µs and rounds the microsecond.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

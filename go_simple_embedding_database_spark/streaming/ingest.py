@@ -74,6 +74,29 @@ def streaming_ingest(spark, source_dir: str, sink_dir: str, checkpoint_dir: str,
     return writer.start()
 
 
+def sessionize(events: DataFrame, gap: str = "10 minutes",
+               key_col: str = "user_id", ts_col: str = "ts",
+               watermark: str = "30 minutes") -> DataFrame:
+    """Session windows per key: events within ``gap`` of the previous event
+    merge into one session. Spark merges on TOUCHING boundaries too — an
+    event at exactly previous + gap still extends the session; a new
+    session starts only when the gap is strictly exceeded. Works on a
+    stream (stateful session
+    aggregation with watermark eviction) and on a batch DataFrame — the
+    same ``session_window`` expression, which is what makes it
+    oracle-checkable in batch mode."""
+    src = (
+        events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    )
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("session_start"),
+                key_col, "n_events", "sum_value")
+    )
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours",
                           ts_col: str = "ts") -> DataFrame:

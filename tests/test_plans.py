@@ -1,0 +1,107 @@
+"""Physical-plan contracts — the 100 TB checklist, asserted per operator.
+
+Result-correctness says an operator works at sf0.01; these tests pin the
+plan SHAPE that makes it work at 1000 executors: filters pushed to the
+scan, scans pruned to referenced columns, top-k as TakeOrderedAndProject
+(no global sort), small dims broadcast, Python confined to ArrowEval.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_simple_embedding_database_spark.plans.explain_utils import formatted_plan
+
+import __spark_entry__ as em
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    """Formatted physical plan per driver query (built once, lazily)."""
+    cache = {}
+
+    def get(name: str) -> str:
+        if name not in cache:
+            cache[name] = formatted_plan(em.queries()[name](spark, sf_dir))
+        return cache[name]
+
+    return get
+
+
+def test_point_lookup_pushes_filter_and_prunes_columns(plans):
+    p = plans("point_lookup")
+    assert "PushedFilters" in p and "doc_id" in p.split("PushedFilters")[1][:200]
+    # scan must not read the text column for a metadata projection
+    read_schema = p.split("ReadSchema")[1][:300]
+    assert "text" not in read_schema
+
+
+def test_topk_is_take_ordered_not_global_sort(plans):
+    """orderBy(desc).limit(k) must plan as TakeOrderedAndProject — per-
+    partition size-k heaps + driver merge, NOT a global Sort+Exchange."""
+    p = plans("topk_cosine")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_batch_topk_broadcasts_queries(plans):
+    """The query side must broadcast — the records scan is never shuffled."""
+    p = plans("batch_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_segment_revenue_broadcast_join(plans):
+    """Small dim (customer) broadcast: no shuffle of the orders fact side
+    for the join itself."""
+    p = plans("segment_revenue")
+    assert "BroadcastHashJoin" in p
+
+
+def test_pricing_summary_pushdown_and_partial_agg(plans):
+    p = plans("pricing_summary")
+    assert "PushedFilters" in p
+    # map-side partial aggregation before the exchange
+    assert p.count("HashAggregate") >= 2
+
+
+def test_ingest_embed_is_arrow_batched(plans):
+    """The embed UDF must run as ArrowEvalPython (vectorized Arrow batches),
+    never BatchEvalPython (row-at-a-time pickling)."""
+    p = plans("ingest_embed")
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_dedup_minhash_is_equi_join_not_cross(plans):
+    """LSH candidate generation must be a shuffle/hash equi-join on the
+    band keys — a cross join here would be the O(N^2) anti-pattern."""
+    p = plans("dedup_minhash")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_dedup_cosine_blocked_join_not_cross(plans):
+    """Blocked cosine near-dup joins on the block column (label)."""
+    p = plans("dedup_cosine")
+    assert "CartesianProduct" not in p
+
+
+def test_text_queries_have_no_python(plans):
+    """Text analysis is pure Catalyst — no Python evaluation node of any
+    kind in the plan."""
+    for name in ["text_language_id", "text_stats", "text_quality", "text_chunks"]:
+        p = plans(name)
+        assert "EvalPython" not in p, name
+
+
+def test_exact_dedup_partial_aggregation(plans):
+    """Exact dedup's groupBy(hash) must partial-aggregate map-side."""
+    p = plans("dedup_exact")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_on_hot_paths(plans):
+    """Formatted plans annotate codegen'd operators with [codegen id : N].
+    AQE plans defer codegen until stages finalize, so assert codegen on the
+    non-AQE top-k plan and map-side partial aggregation (the scale-critical
+    property) on the AQE aggregation plans."""
+    assert "codegen id" in plans("topk_cosine")
+    for name in ["pricing_summary", "dedup_exact"]:
+        assert "partial_" in plans(name), name

@@ -59,6 +59,53 @@ def test_windowed_event_counts_batch_parity(spark, sf_dir):
     assert all(r.window_start.minute == 0 for r in out.limit(10).collect())
 
 
+def test_sessionize_batch_semantics(spark):
+    """Three events for one user: two within the 10-min gap merge; an event
+    at exactly prev + gap ALSO merges (touching boundaries); only a
+    strictly larger gap opens a new session."""
+    from go_simple_embedding_database_spark.streaming.ingest import sessionize
+    rows = [
+        (1, "2026-01-01 00:00:00", 1.0),
+        (1, "2026-01-01 00:09:59", 2.0),
+        (1, "2026-01-01 00:30:00", 4.0),   # > gap after #2 -> new session
+        (2, "2026-01-01 00:00:00", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {(r.user_id, str(r.session_start), r.n_events, r.sum_value)
+           for r in sessionize(df).collect()}
+    assert got == {
+        (1, "2026-01-01 00:00:00", 2, 3.0),
+        (1, "2026-01-01 00:30:00", 1, 4.0),
+        (2, "2026-01-01 00:00:00", 1, 8.0),
+    }
+    # touching boundary merges: event at exactly prev + gap
+    touch = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00", 1.0), (1, "2026-01-01 00:10:00", 2.0)],
+        "user_id int, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert [r.n_events for r in sessionize(touch).collect()] == [2]
+
+
+def test_sessionize_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """The SAME sessionize code path over a file-source stream with
+    availableNow must produce the batch result (complete mode)."""
+    from go_simple_embedding_database_spark.streaming.ingest import sessionize
+    events = load_table(spark, sf_dir, "events").limit(500)
+    src = str(tmp_path / "sess_src")
+    events.write.mode("overwrite").parquet(src)
+    batch = {(str(r.session_start), r.user_id, r.n_events, r.sum_value)
+             for r in sessionize(spark.read.parquet(src)).collect()}
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (sessionize(stream).writeStream.format("memory").queryName("sess")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(str(r.session_start), r.user_id, r.n_events, r.sum_value)
+           for r in spark.sql("select * from sess").collect()}
+    assert got == batch
+
+
 def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
     """Drive the SAME aggregation as a real stream from a file source with
     availableNow, complete mode into a memory sink."""

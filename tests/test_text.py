@@ -56,6 +56,18 @@ def test_fingerprint_stable_and_discriminative(spark):
     assert fps[0] != fps[2]
 
 
+def test_chunk_text(spark):
+    df = spark.createDataFrame([("abcdefghij",), ("ab",), ("",)], "text string")
+    out = [r.c for r in df.select(tx.chunk_text(F.col("text"), 4).alias("c")).collect()]
+    assert out[0] == ["abcd", "efgh", "ij"]
+    assert out[1] == ["ab"]
+    assert out[2] == [""]          # empty text -> one empty chunk
+    # round-trip: chunks reassemble the document
+    joined = df.select(F.concat_ws("", tx.chunk_text(F.col("text"), 4)).alias("j"),
+                       "text").collect()
+    assert all(r.j == r.text for r in joined)
+
+
 @pytest.mark.parametrize("fn,sql_fn", [
     (tx.language_id, tx.language_id_sql),
     (tx.token_count, tx.token_count_sql),
