@@ -41,6 +41,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents lifted to cluster parallelism — for CPU-heavy per-row
+    stages (md5/regex); the small parquet arrives as one split and would
+    otherwise pin one core (see session.ensure_parallelism)."""
+    from go_simple_embedding_database_spark.session import ensure_parallelism
+    return ensure_parallelism(_docs(spark, sf_dir))
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     row = _emb(spark, sf_dir).filter(F.col("vec_id") == vec_id).collect()[0]
     return [float(v) for v in row.embedding]
@@ -216,7 +224,7 @@ FROM documents GROUP BY sha256(text)
 def _q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID per document: stopword-hit argmax, pure codegen."""
     from go_simple_embedding_database_spark.functions import text as tx
-    return _docs(spark, sf_dir).select(
+    return _docs_par(spark, sf_dir).select(
         "doc_id", tx.language_id(F.col("text")).alias("lang_pred"))
 
 
@@ -229,7 +237,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token/word counts + rolling-hash document fingerprint per doc."""
     from go_simple_embedding_database_spark.functions import text as tx
     t = F.col("text")
-    return _docs(spark, sf_dir).select(
+    return _docs_par(spark, sf_dir).select(
         "doc_id",
         tx.token_count(t).alias("n_tokens"),
         tx.word_count(t).alias("n_words"),
@@ -249,7 +257,7 @@ def _oracle_text_stats() -> str:
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style heuristic quality score per doc."""
     from go_simple_embedding_database_spark.functions import text as tx
-    return _docs(spark, sf_dir).select(
+    return _docs_par(spark, sf_dir).select(
         "doc_id", F.round(tx.quality_score(F.col("text")), 6).alias("quality"))
 
 
@@ -296,7 +304,7 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document (sign of per-bit shingle
     votes) — the bucketable near-dup key."""
     from go_simple_embedding_database_spark.operators import dedup as dd
-    return _docs(spark, sf_dir).select(
+    return _docs_par(spark, sf_dir).select(
         "doc_id", dd.simhash(F.col("text")).alias("fp"))
 
 
@@ -407,6 +415,29 @@ FROM e JOIN cells USING (vec_id) CROSS JOIN q
 WHERE cells.cell IN (SELECT centroid_id FROM probe)
 ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
 LIMIT 5
+"""
+
+
+def _q_ann_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed similarity join: bucket both sides on 8 random
+    hyperplanes, equi-join on the bucket (shuffle by bucket key — the
+    O(N²/buckets) scale path), exact cosine on candidates."""
+    from go_simple_embedding_database_spark.operators import ann
+    planes = ann.hyperplanes_from_seed(8, 64)
+    out = ann.lsh_similarity_join(_emb(spark, sf_dir), planes)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _oracle_ann_lsh_join() -> str:
+    from go_simple_embedding_database_spark.operators import ann
+    planes = ann.hyperplanes_from_seed(8, 64)
+    bucket = ann.signlsh_bucket_sql("embedding", planes)
+    return f"""
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bucket} AS bucket
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 """
 
 
@@ -697,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cosine": _q_dedup_cosine,
         "similarity_join_knn": _q_similarity_join,
         "ann_ivf": _q_ann_ivf,
+        "ann_lsh_join": _q_ann_lsh_join,
         "events_windowed": _q_events_windowed,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_decode": _q_multimodal_decode,
@@ -730,6 +762,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cosine": _ORACLE_DEDUP_COSINE,
         "similarity_join_knn": _ORACLE_SIMILARITY_JOIN,
         "ann_ivf": _ORACLE_ANN_IVF,
+        "ann_lsh_join": _oracle_ann_lsh_join(),
         "events_windowed": _ORACLE_EVENTS_WINDOWED,
         "multimodal_metadata": _ORACLE_MULTIMODAL_METADATA,
         # multimodal_decode: intentionally absent — Python-side stub codec,

@@ -140,12 +140,17 @@ class SparkEmbeddingDatabase:
         parallelism = blobs.sparkSession.sparkContext.defaultParallelism
         if blobs.rdd.getNumPartitions() < parallelism:
             blobs = blobs.repartition(parallelism)
-        return blobs.select(
+        out = blobs.select(
             F.col(id_col).cast("string").alias("id"),
             F.lit(embedder_id).alias("embedder_id"),
             F.col(blob_col).cast("string").alias("blob"),
             emb.column(F.col(blob_col).cast("string")).alias("embedding"),
         )
+        # Persist across the validation joins and the insert: embedding is
+        # the expensive stage and must run ONCE per blob, not once per
+        # downstream action. (At warehouse scale the analog is writing the
+        # embedded batch to a staging table.)
+        return out.persist()
 
     def add_record(self, collection_id: str, record: Row) -> None:
         """Single-record insert with the reference's three constraint checks,

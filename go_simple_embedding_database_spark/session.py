@@ -23,6 +23,19 @@ from pyspark.sql import SparkSession
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def ensure_parallelism(df):
+    """Lift a few-splits DataFrame to cluster parallelism before a
+    CPU-bound stage. Small parquet inputs (one row group) arrive as ONE
+    split — a per-row md5/regex stage then runs on one core while the rest
+    of the cluster idles. The shuffle moves only the (small) input; the
+    expensive compute fans out. No-op when the input already has enough
+    partitions (a 100 TB table has thousands of splits)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def get_spark(
     app_name: str = "go_simple_embedding_database_spark",
     master: str | None = None,

@@ -106,6 +106,44 @@ def test_sessionize_streaming_matches_batch(spark, sf_dir, tmp_path):
     assert got == batch
 
 
+def test_stateful_running_stats_converges_to_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState custom operator: after draining a bounded
+    stream, the per-key running stats equal the batch groupBy twin (take
+    each key's LAST update across micro-batches)."""
+    from go_simple_embedding_database_spark.streaming.stateful import (
+        batch_key_stats,
+        running_key_stats,
+    )
+    events = load_table(spark, sf_dir, "events").limit(400) \
+        .select("user_id", "value", "ts")
+    src = str(tmp_path / "stateful_src")
+    # two appends -> multiple files, so maxFilesPerTrigger=1 forces at
+    # least one micro-batch boundary through the state merge
+    events.filter(F.col("user_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    events.filter(F.col("user_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    stored = spark.read.parquet(src)
+
+    stream = (spark.readStream.schema(stored.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (running_key_stats(stream).writeStream.format("memory")
+         .queryName("run_stats").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    # memory sink in update mode appends every update; keep the last per key
+    got_rows = spark.sql("select * from run_stats").collect()
+    last = {}
+    for r in got_rows:
+        prev = last.get(r.user_id)
+        if prev is None or r.n_events >= prev.n_events:
+            last[r.user_id] = r
+    got = {(k, v.n_events, round(v.sum_value, 6), v.last_ts)
+           for k, v in last.items()}
+    want = {(r.user_id, r.n_events, round(r.sum_value, 6), r.last_ts)
+            for r in batch_key_stats(stored).collect()}
+    assert got == want
+
+
 def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
     """Drive the SAME aggregation as a real stream from a file source with
     availableNow, complete mode into a memory sink."""
