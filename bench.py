@@ -38,21 +38,32 @@ def main() -> None:
     spark = get_spark(app_name="gsed-bench")
 
     # Warmup: JVM + codegen + parquet footer reads out of the measurement.
-    _run(entry_mod.queries()["topk_cosine"](spark, sf_dir))
+    try:
+        _run(entry_mod.queries()["topk_cosine"](spark, sf_dir))
+    except Exception as e:
+        print(f"bench: warmup failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in entry_mod.queries().items():
         t0 = time.perf_counter()
-        _run(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            _run(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # one broken query must not kill the bench
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": "sum_of_query_times",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,60 @@
+"""Generic file-format connectors (CSV, JSON-lines) for records-shaped data.
+
+The reference reads exactly one format — its whole-DB JSON snapshot
+(sources/json_wire.py). These connectors cover the formats bulk corpora
+actually arrive in, with the 100 TB ground rules baked in:
+
+- **schema is explicit, never inferred**: inference is a full extra pass
+  over the data (and nondeterministic under dirty rows). Callers pass a
+  DDL string; the records-table schema is the default.
+- **bad rows quarantine, not crash**: PERMISSIVE mode with a
+  ``_corrupt_record`` column; ``strict=True`` switches to FAILFAST for
+  validation runs.
+- both formats are splittable line-by-line (uncompressed / bzip2), so
+  scans parallelize; writers partition by ``collection_id`` when present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+RECORDS_DDL = (
+    "collection_id string, id string, embedder_id string, "
+    "blob string, embedding array<double>"
+)
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt(schema: str) -> str:
+    return f"{schema}, {CORRUPT_COL} string"
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str = RECORDS_DDL,
+               strict: bool = False) -> DataFrame:
+    """One JSON object per line. Malformed lines land in _corrupt_record
+    (filter ``IS NOT NULL`` for the quarantine set) unless strict."""
+    reader = spark.read.schema(schema if strict else _with_corrupt(schema))
+    reader = reader.option("mode", "FAILFAST" if strict else "PERMISSIVE") \
+                   .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    w = df.write.mode(mode)
+    if "collection_id" in df.columns:
+        w = w.partitionBy("collection_id")
+    w.json(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str,
+             header: bool = True, strict: bool = False) -> DataFrame:
+    reader = (spark.read.schema(schema if strict else _with_corrupt(schema))
+              .option("header", str(header).lower())
+              .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", CORRUPT_COL))
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
+              header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)

@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) — each example carries a BATCH of
+generated cases through one DataFrame round-trip, so Spark action count
+stays low while hypothesis explores the input space.
+
+The reference ships no property tests (SURVEY §5); these pin the
+cross-implementation equivalences the oracle strategy depends on:
+Python-twin == Catalyst-expression for shingles, formatting, chunking,
+and the cosine kernel against numpy.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from go_simple_embedding_database_spark.functions.formatting import (
+    record_str,
+    record_str_column,
+)
+from go_simple_embedding_database_spark.functions.kernels import cosine_similarity
+from go_simple_embedding_database_spark.functions.text import (
+    chunk_text,
+    shingles,
+    shingles_py,
+)
+
+# Printable ASCII + whitespace: Java's default \s is ASCII-only, and
+# shingles_py mirrors that with re.ASCII — non-ASCII whitespace is out of
+# contract for both.
+TEXTS = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126) | st.just("\n") | st.just("\t"),
+    max_size=200,
+)
+
+SETTINGS = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@SETTINGS
+@given(st.lists(TEXTS, min_size=1, max_size=30))
+def test_shingles_py_matches_spark(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [sorted(r.s) for r in
+           df.select(shingles(F.col("text")).alias("s")).collect()]
+    want = [sorted(shingles_py(t)) for t in texts]
+    assert got == want
+
+
+@SETTINGS
+@given(st.lists(
+    st.tuples(
+        TEXTS,
+        st.lists(st.floats(min_value=-100, max_value=100,
+                           allow_nan=False).map(lambda v: v * math.pi / 3),
+                 max_size=8),
+    ),
+    min_size=1, max_size=30,
+))
+def test_record_str_column_matches_python(spark, cases):
+    rows = [(blob, emb, "e", str(i)) for i, (blob, emb) in enumerate(cases)]
+    df = spark.createDataFrame(
+        rows, "blob string, embedding array<double>, embedder_id string, id string")
+    got = [r.s for r in df.select(record_str_column(
+        F.col("blob"), F.col("embedding"), F.col("embedder_id"), F.col("id")
+    ).alias("s")).collect()]
+    want = [record_str(*r) for r in rows]
+    assert got == want
+
+
+@SETTINGS
+@given(st.lists(TEXTS, min_size=1, max_size=30),
+       st.integers(min_value=1, max_value=50))
+def test_chunk_text_roundtrip(spark, texts, size):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select("text", chunk_text(F.col("text"), size).alias("c")).collect()
+    for r in rows:
+        assert "".join(r.c) == r.text
+        assert all(len(ch) <= size for ch in r.c)
+        assert len(r.c) == max(math.ceil(len(r.text) / size), 1)
+
+
+VECS = st.integers(min_value=2, max_value=16).flatmap(
+    lambda d: st.tuples(
+        st.lists(st.floats(min_value=-1e3, max_value=1e3, allow_nan=False,
+                           width=32), min_size=d, max_size=d),
+        st.lists(st.floats(min_value=-1e3, max_value=1e3, allow_nan=False,
+                           width=32), min_size=d, max_size=d),
+    )
+)
+
+
+@SETTINGS
+@given(st.lists(VECS, min_size=1, max_size=30))
+def test_cosine_matches_numpy(spark, pairs):
+    df = spark.createDataFrame(pairs, "x array<double>, y array<double>")
+    got = [r.c for r in df.select(
+        cosine_similarity(F.col("x"), F.col("y")).alias("c")).collect()]
+    for (x, y), g in zip(pairs, got):
+        xa, ya = np.array(x), np.array(y)
+        denom = np.linalg.norm(xa) * np.linalg.norm(ya)
+        want = 0.0 if denom == 0 else float(xa @ ya) / denom
+        assert g == pytest.approx(want, rel=1e-9, abs=1e-12)

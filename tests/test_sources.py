@@ -1,0 +1,55 @@
+"""File connectors: JSONL/CSV round-trips, quarantine of malformed rows."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from go_simple_embedding_database_spark.sources import files
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("c1", "a", "e", "blob a", [1.0, 2.0]),
+         ("c2", "b", "e", "blob b", [3.0, 4.0])],
+        files.RECORDS_DDL)
+    out = str(tmp_path / "recs_jsonl")
+    files.write_jsonl(df, out)
+    back = files.read_jsonl(spark, out).drop(files.CORRUPT_COL)
+
+    def key(r):
+        return (r.collection_id, r.id, r.embedder_id, r.blob, tuple(r.embedding))
+
+    assert {key(r) for r in back.select(*df.columns).collect()} == \
+           {key(r) for r in df.collect()}
+
+
+def test_jsonl_quarantines_malformed(spark, tmp_path):
+    p = tmp_path / "dirty.jsonl"
+    rows = [
+        json.dumps({"collection_id": "c", "id": "1", "embedder_id": "e",
+                    "blob": "x", "embedding": [1.0]}),
+        "{this is not json",
+    ]
+    p.write_text("\n".join(rows))
+    df = files.read_jsonl(spark, str(p)).cache()
+    assert df.filter(F.col(files.CORRUPT_COL).isNotNull()).count() == 1
+    assert df.filter(F.col(files.CORRUPT_COL).isNull()).count() == 1
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    schema = "doc_id bigint, lang string, n_chars bigint"
+    df = spark.createDataFrame([(1, "en", 10), (2, "de", 20)], schema)
+    out = str(tmp_path / "docs_csv")
+    files.write_csv(df, out)
+    back = files.read_csv(spark, out, schema).drop(files.CORRUPT_COL)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_csv_quarantines_bad_types(spark, tmp_path):
+    p = tmp_path / "dirty.csv"
+    p.write_text("doc_id,lang,n_chars\n1,en,10\nnot_a_number,de,xx\n")
+    df = files.read_csv(spark, str(p), "doc_id bigint, lang string, n_chars bigint")
+    df = df.cache()
+    assert df.filter(F.col(files.CORRUPT_COL).isNotNull()).count() == 1
+    assert df.filter((F.col(files.CORRUPT_COL).isNull())
+                     & (F.col("doc_id") == 1)).count() == 1
