@@ -104,6 +104,38 @@ def ivf_topk(df: DataFrame, centroids: DataFrame, qvec: list[float], k: int,
                               score_col=score_col, tie_break=[id_col])
 
 
+def ivf_write_index(df: DataFrame, centroids: DataFrame, path: str,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    mode: str = "overwrite") -> None:
+    """Materialize the IVF index: one pass assigns cells (centroids
+    broadcast), writes the table PARTITIONED BY cell, and stores the
+    centroids beside it. This is the bulk-index-construction shape that
+    fits Spark at 100 TB: the expensive assignment runs once, and every
+    subsequent query's cell filter becomes PARTITION PRUNING — a
+    1000-executor cluster opens only the probed cells' files."""
+    cells = assign_cells_by_id(df, centroids, id_col, vec_col)
+    cells.write.mode(mode).partitionBy("cell").parquet(f"{path}/cells")
+    centroids.write.mode(mode).parquet(f"{path}/centroids")
+
+
+def ivf_query_index(spark, path: str, qvec: list[float], k: int,
+                    nprobe: int = 2, vec_col: str = "embedding",
+                    id_col: str = "vec_id", score_col: str = "score") -> DataFrame:
+    """Query a materialized IVF index: rank the (tiny, driver-side)
+    centroids against the query, then scan ONLY the ``nprobe`` best cell
+    partitions (`cell IN (...)` prunes at the file-listing level — assert
+    via PartitionFilters in the plan) and take the exact top-k inside."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    probe = [
+        r.centroid_id
+        for r in topk_by_similarity(centroids, qvec, nprobe, vec_col="centroid",
+                                    score_col="_s", tie_break=["centroid_id"]).collect()
+    ]
+    cells = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(probe))
+    return topk_by_similarity(cells, qvec, k, vec_col=vec_col,
+                              score_col=score_col, tie_break=[id_col])
+
+
 def signlsh_buckets(df: DataFrame, hyperplanes: list[list[float]],
                     vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane sign bucket per row: bit i = (v·h_i >= 0). Equal

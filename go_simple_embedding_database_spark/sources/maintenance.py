@@ -1,0 +1,50 @@
+"""Table maintenance — small-file compaction.
+
+Streaming ingest (one file per micro-batch per partition) and incremental
+appends accumulate small files; at 100 TB the file-listing and per-file
+open costs come to dominate scans long before data volume does. Compaction
+rewrites a parquet table into size-targeted files. (Delta/Iceberg do this
+transactionally as OPTIMIZE; plain parquet gets the rewrite-and-swap
+below: write to a temp dir, then atomically move — here exposed as
+write-to-new-path so the caller controls the swap.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # the classic HDFS-block-ish target
+
+
+def estimate_table_bytes(spark: SparkSession, path: str) -> int:
+    """Sum of file sizes via the filesystem listing (no data read)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+    total = 0
+    it = fs.listFiles(hadoop_path, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            total += f.getLen()
+    return total
+
+
+def compact_parquet(spark: SparkSession, src_path: str, dest_path: str,
+                    target_file_bytes: int = TARGET_FILE_BYTES,
+                    partition_by: list[str] | None = None) -> int:
+    """Rewrite ``src_path`` into ``dest_path`` with ~target-sized files.
+    Returns the output file count. Uses the on-disk byte size (compressed)
+    to pick the count — a deliberate approximation that avoids a data
+    pass; repartition(n) rebalances rows evenly so sizes land near the
+    target."""
+    total = estimate_table_bytes(spark, src_path)
+    n_files = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+    df = spark.read.parquet(src_path)
+    writer = df.repartition(int(n_files)).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(dest_path)
+    return int(n_files)

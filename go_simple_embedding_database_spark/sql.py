@@ -1,0 +1,58 @@
+"""SQL-first access to the engine — temp views + SQL scalar functions.
+
+The reference exposes no query language (SURVEY §3: direct method calls
+only). On Spark the DataFrame and SQL APIs compile to the same Catalyst
+plans, so exposing the records table and the cosine kernel to SQL costs
+nothing and makes every operator reachable from ``spark.sql(...)``:
+
+    db.create_views(prefix="gsed")
+    register_sql_functions(spark)
+    spark.sql('''
+        SELECT id, cosine_sim(embedding, (SELECT embedding FROM gsed_records
+                                          WHERE id = '7')) AS score
+        FROM gsed_records ORDER BY score DESC LIMIT 5
+    ''')
+
+``cosine_sim`` is a Spark 4 SQL scalar function (CREATE TEMPORARY
+FUNCTION ... RETURN <expr>) — it inlines into the calling plan as native
+expressions, identical to functions.kernels.cosine_similarity: zero Python,
+zero UDF dispatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+_COSINE_SQL = """
+CREATE OR REPLACE TEMPORARY FUNCTION cosine_sim(x ARRAY<DOUBLE>, y ARRAY<DOUBLE>)
+RETURNS DOUBLE
+RETURN CASE
+  WHEN sqrt(aggregate(x, 0.0D, (a, v) -> a + v * v))
+     * sqrt(aggregate(y, 0.0D, (a, v) -> a + v * v)) = 0.0D THEN 0.0D
+  ELSE aggregate(zip_with(x, y, (a, b) -> a * b), 0.0D, (a, v) -> a + v)
+     / (sqrt(aggregate(x, 0.0D, (a, v) -> a + v * v))
+      * sqrt(aggregate(y, 0.0D, (a, v) -> a + v * v)))
+END
+"""
+
+_DOT_SQL = """
+CREATE OR REPLACE TEMPORARY FUNCTION dot_product(x ARRAY<DOUBLE>, y ARRAY<DOUBLE>)
+RETURNS DOUBLE
+RETURN aggregate(zip_with(x, y, (a, b) -> a * b), 0.0D, (a, v) -> a + v)
+"""
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Register the vector kernels as SQL scalar functions (native
+    expression inlining — parity with functions.kernels, including
+    zero-norm → 0.0)."""
+    spark.sql(_COSINE_SQL)
+    spark.sql(_DOT_SQL)
+
+
+def create_views(db, prefix: str = "gsed") -> None:
+    """Expose a SparkEmbeddingDatabase to SQL: ``{prefix}_records`` (all
+    collections; filter collection_id — partition pruning on a partitioned
+    table) and ``{prefix}_collections`` (the catalog)."""
+    db.records_df().createOrReplaceTempView(f"{prefix}_records")
+    db.collections_df().createOrReplaceTempView(f"{prefix}_collections")

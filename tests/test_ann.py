@@ -46,6 +46,25 @@ def test_ivf_topk_nprobe_all_equals_exact(spark, embeddings, centroids):
     assert approx == exact
 
 
+def test_ivf_index_roundtrip_and_pruning(spark, embeddings, centroids, tmp_path):
+    """Materialized IVF index: query result equals the on-the-fly ivf_topk,
+    and the physical plan shows PartitionFilters on cell (partition
+    pruning, not a full scan + filter)."""
+    from go_simple_embedding_database_spark.plans.explain_utils import formatted_plan
+
+    path = str(tmp_path / "ivf")
+    ann.ivf_write_index(embeddings, centroids, path)
+    q = [float(v) for v in embeddings.filter(F.col("vec_id") == 7).collect()[0].embedding]
+    idx = ann.ivf_query_index(spark, path, q, 10, nprobe=4)
+    fly = ann.ivf_topk(embeddings, centroids, q, 10, nprobe=4)
+    assert {r.vec_id for r in idx.collect()} == {r.vec_id for r in fly.collect()}
+
+    plan = formatted_plan(idx)
+    assert "PartitionFilters" in plan
+    frag = plan.split("PartitionFilters")[1][:200]
+    assert "cell" in frag
+
+
 def test_kmeans_centroids_shape(spark, embeddings):
     c = ann.kmeans_centroids(embeddings.limit(200), k=4)
     rows = c.collect()

@@ -1,0 +1,64 @@
+"""SQL surface: views + SQL scalar kernels match the DataFrame API."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_simple_embedding_database_spark import sql as gsql
+from go_simple_embedding_database_spark.database import SparkEmbeddingDatabase
+from go_simple_embedding_database_spark.functions.kernels import cosine_similarity
+
+
+@pytest.fixture(scope="module")
+def db(spark, documents):
+    db = SparkEmbeddingDatabase(spark)
+    db.add_collection("c", "mock-hash-64")
+    docs = documents.filter(F.col("doc_id") < 50).selectExpr(
+        "cast(doc_id as string) id", "text blob")
+    db.add_records("c", db.make_records(docs, "mock-hash-64"))
+    gsql.create_views(db)
+    gsql.register_sql_functions(spark)
+    return db
+
+
+def test_sql_kernel_matches_dataframe_kernel(spark, db, embeddings):
+    emb = embeddings.limit(50)
+    emb.createOrReplaceTempView("emb_test")
+    via_sql = spark.sql("""
+        SELECT a.vec_id ia, b.vec_id ib,
+               cosine_sim(CAST(a.embedding AS ARRAY<DOUBLE>),
+                          CAST(b.embedding AS ARRAY<DOUBLE>)) AS s
+        FROM emb_test a JOIN emb_test b ON a.vec_id < b.vec_id
+    """).collect()
+    a, b = emb.alias("a"), emb.alias("b")
+    via_df = {(r.ia, r.ib): r.s for r in
+              a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+                  F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"),
+                  cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("s"),
+              ).collect()}
+    for r in via_sql:
+        assert r.s == pytest.approx(via_df[(r.ia, r.ib)], rel=1e-12)
+
+
+def test_sql_zero_norm_returns_zero(spark, db):
+    row = spark.sql(
+        "SELECT cosine_sim(ARRAY(0.0D, 0.0D), ARRAY(1.0D, 2.0D)) AS s").collect()[0]
+    assert row.s == 0.0
+
+
+def test_sql_topk_over_view(spark, db):
+    """Full SQL top-k against the records view — stored blob ranks first."""
+    # SQL UDFs are not allowed directly inside Sort (Spark 4 limitation):
+    # project the score, then order by the column.
+    top = spark.sql("""
+        SELECT id FROM (
+            SELECT id, cosine_sim(embedding,
+                (SELECT embedding FROM gsed_records WHERE id = '7')) AS score
+            FROM gsed_records)
+        ORDER BY score DESC, id LIMIT 3
+    """).collect()
+    assert top[0].id == "7"
+
+
+def test_sql_catalog_view(spark, db):
+    rows = spark.sql("SELECT * FROM gsed_collections").collect()
+    assert [(r.collection_id, r.embedder_id) for r in rows] == [("c", "mock-hash-64")]
