@@ -330,6 +330,24 @@ WHERE bit_count(xor(a.fp, b.fp)) <= 6
 """
 
 
+def _q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling-hash window minima) exploded to
+    (doc_id, fp) rows — the shared-passage detection primitive."""
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    return _docs_par(spark, sf_dir).select(
+        "doc_id",
+        F.explode(dd.winnow_fingerprints(F.col("text"))).alias("fp"),
+    )
+
+
+def _oracle_dedup_winnow() -> str:
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    return (
+        f"SELECT doc_id, unnest({dd.winnow_fingerprints_sql('text')}) AS fp "
+        f"FROM documents"
+    )
+
+
 def _q_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, blocked by label (equi-join, no cross
     join): finds the planted scale-invariant copies (cosine == 1.0) of
@@ -725,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_winnow": _q_dedup_winnow,
         "dedup_cosine": _q_dedup_cosine,
         "similarity_join_knn": _q_similarity_join,
         "ann_ivf": _q_ann_ivf,
@@ -759,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _oracle_dedup_minhash(),
         "dedup_simhash": _oracle_dedup_simhash(),
         "dedup_simhash_pairs": _oracle_dedup_simhash_pairs(),
+        "dedup_winnow": _oracle_dedup_winnow(),
         "dedup_cosine": _ORACLE_DEDUP_COSINE,
         "similarity_join_knn": _ORACLE_SIMILARITY_JOIN,
         "ann_ivf": _ORACLE_ANN_IVF,

@@ -216,9 +216,8 @@ def _hf_api_key() -> str:
     # Same env contract as the reference (embedders.go:28-31).
     key = os.environ.get("HUGGING_FACE_API_KEY", "")
     if not key:
-        raise InvalidEmbedderError(
-            "Set HUGGING_FACE_API_KEY environment variable to use hugging face models"
-        )
+        # message parity: embedders.go:30
+        raise InvalidEmbedderError("HUGGING_FACE_API_KEY environment variable not set.")
     return key
 
 

@@ -237,6 +237,70 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+# -- winnowing fingerprints ------------------------------------------------------
+
+def _shingle_hash_seq_py(text: str, n: int) -> "np.ndarray":
+    """POSITIONAL (non-distinct) shingle-hash sequence — winnowing needs
+    document order, unlike the distinct set MinHash uses."""
+    import re
+
+    ws = [w for w in re.split(r"\s+", (text or "").lower(), flags=re.ASCII) if w]
+    k = len(ws)
+    if k == 0:
+        seq = [""]
+    elif k <= n:
+        seq = [" ".join(ws)]
+    else:
+        seq = [" ".join(ws[i:i + n]) for i in range(k - n + 1)]
+    return np.array(
+        [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in seq],
+        dtype=np.int64,
+    )
+
+
+def winnow_fingerprints(text: Column, window: int = 4, n: int = 3) -> Column:
+    """Winnowing (Schleimer et al., SIGMOD 2003): the distinct minima of a
+    sliding window over the positional shingle-hash sequence. Guarantees a
+    shared fingerprint for any match longer than window+n-1 words — the
+    plagiarism-detection / long-dup primitive that MinHash (whole-document
+    similarity) is not. array<bigint>, Arrow-batched like the other dedup
+    kernels."""
+    @pandas_udf("array<bigint>")
+    def _fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            hs = _shingle_hash_seq_py(t, n)
+            if len(hs) <= window:
+                mins = np.array([hs.min()])
+            else:
+                w = np.lib.stride_tricks.sliding_window_view(hs, window)
+                mins = w.min(axis=1)
+            out.append(np.unique(mins))
+        return pd.Series(out)
+
+    return _fp(text)
+
+
+def winnow_fingerprints_sql(expr: str, window: int = 4, n: int = 3) -> str:
+    ws = (
+        f"list_filter(regexp_split_to_array(lower({expr}), '\\s+'), x -> x <> '')"
+    )
+    seq = (
+        f"[array_to_string(list_slice(_wd, i + 1, i + {n}), ' ') "
+        f"for i in range(greatest(len(_wd) - {n}, 0) + 1)]"
+    )
+    hs = "list_transform(_sq, x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT))"
+    mins = (
+        f"[list_min(list_slice(_hs, i + 1, i + {window})) "
+        f"for i in range(greatest(len(_hs) - {window}, 0) + 1)]"
+    )
+    return (
+        f"(SELECT list_sort(list_distinct({mins})) FROM "
+        f"(SELECT {hs} AS _hs FROM (SELECT {seq} AS _sq "
+        f"FROM (SELECT {ws} AS _wd) _w) _s) _h)"
+    )
+
+
 # -- SimHash -------------------------------------------------------------------
 
 SIMHASH_BITS = 32

@@ -74,6 +74,36 @@ def streaming_ingest(spark, source_dir: str, sink_dir: str, checkpoint_dir: str,
     return writer.start()
 
 
+def streaming_index_ingest(spark, source_dir: str, index_path: str,
+                           checkpoint_dir: str, embedder_id: str,
+                           centroids: DataFrame,
+                           schema: str = "id string, blob string, ts timestamp",
+                           available_now: bool = True) -> StreamingQuery:
+    """Continuous ANN-index maintenance: stream of blobs → embed (Arrow
+    batched) → nearest-centroid cell assignment (centroids broadcast) →
+    append into the cell-partitioned IVF index of ``operators.ann``.
+
+    Uses ``foreachBatch`` because the sink is a partitioned-parquet APPEND
+    keyed by a computed column — each micro-batch runs the same batch
+    assignment code (no streaming/batch divergence) and appends only the
+    partitions it touches. Queries via ``ann.ivf_query_index`` see new
+    vectors as soon as the micro-batch commits."""
+    from go_simple_embedding_database_spark.operators.ann import assign_cells_by_id
+
+    raw = spark.readStream.schema(schema).json(source_dir)
+    records = embed_stream(raw, embedder_id)
+
+    def _append_batch(batch: DataFrame, _batch_id: int) -> None:
+        cells = assign_cells_by_id(batch, centroids, "id", "embedding")
+        cells.write.mode("append").partitionBy("cell").parquet(f"{index_path}/cells")
+
+    writer = (records.writeStream.foreachBatch(_append_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def sessionize(events: DataFrame, gap: str = "10 minutes",
                key_col: str = "user_id", ts_col: str = "ts",
                watermark: str = "30 minutes") -> DataFrame:

@@ -129,6 +129,23 @@ def test_cosine_neardup_planted(spark, embeddings):
     assert {(i, i + 100000) for i in range(5)} <= found
 
 
+def test_winnow_shared_passage_guarantee(spark):
+    """Winnowing's contract: two documents sharing a passage longer than
+    window + n - 1 words MUST share at least one fingerprint; disjoint
+    documents share none."""
+    passage = "the quick brown fox jumps over the lazy dog every single day"
+    df = spark.createDataFrame([
+        (1, "intro words here " + passage + " and some trailing content"),
+        (2, "completely different opening text " + passage),
+        (3, "nothing in common with those other documents at all whatsoever"),
+    ], "doc_id int, text string")
+    rows = df.select("doc_id", dd.winnow_fingerprints(F.col("text")).alias("fp")).collect()
+    fps = {r.doc_id: set(r.fp) for r in rows}
+    assert fps[1] & fps[2]          # shared passage -> shared fingerprint
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+
+
 def test_jaccard_kernel(spark):
     df = spark.createDataFrame([("a b c d e", "a b c d e zz")], "ta string, tb string")
     j = df.select(dd.jaccard_similarity(F.col("ta"), F.col("tb")).alias("j")).collect()[0].j

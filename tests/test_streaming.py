@@ -4,6 +4,7 @@ driven with availableNow triggers; windowed aggregation batch/stream parity."""
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from go_simple_embedding_database_spark.sources.tables import load_table
@@ -104,6 +105,40 @@ def test_sessionize_streaming_matches_batch(spark, sf_dir, tmp_path):
     got = {(str(r.session_start), r.user_id, r.n_events, r.sum_value)
            for r in spark.sql("select * from sess").collect()}
     assert got == batch
+
+
+def test_streaming_index_ingest_queryable(spark, tmp_path):
+    """Stream blobs into the cell-partitioned IVF index; a query for a
+    streamed blob's vector must find it (and the centroids sidecar written
+    up front makes the index ann.ivf_query_index-compatible)."""
+    from go_simple_embedding_database_spark.functions.embedders import get_embedder
+    from go_simple_embedding_database_spark.operators import ann
+    from go_simple_embedding_database_spark.streaming.ingest import streaming_index_ingest
+
+    src = str(tmp_path / "idx_src")
+    idx = str(tmp_path / "ivf_idx")
+    ckpt = str(tmp_path / "idx_ckpt")
+    _write_batch(src, "b1.json", [
+        {"id": f"d{i}", "blob": f"document number {i} about topic {i % 3}",
+         "ts": "2026-01-01T00:00:00Z"}
+        for i in range(20)
+    ])
+    # centroids from the first few blobs' embeddings (deterministic)
+    emb = get_embedder("mock-hash-64")
+    cents = spark.createDataFrame(
+        [(i, emb.embed_one(f"document number {i} about topic {i % 3}"))
+         for i in range(4)],
+        "centroid_id bigint, centroid array<double>")
+    cents.write.parquet(f"{idx}/centroids")
+
+    q = streaming_index_ingest(spark, src, idx, ckpt, "mock-hash-64", cents)
+    q.awaitTermination(120)
+
+    qvec = emb.embed_one("document number 7 about topic 1")
+    top = ann.ivf_query_index(spark, idx, qvec, 1, nprobe=4, id_col="id")
+    rows = top.collect()
+    assert rows[0].id == "d7"
+    assert rows[0].score == pytest.approx(1.0)
 
 
 def test_stateful_running_stats_converges_to_batch(spark, sf_dir, tmp_path):
