@@ -136,10 +136,19 @@ class SparkEmbeddingDatabase:
         # Embedding is CPU-bound, not IO-bound: a small parquet input often
         # arrives as ONE split (files.maxPartitionBytes), which would leave
         # every other core idle through the most expensive stage of ingest.
-        # Repartition up to the cluster's parallelism first.
+        # Repartition up to the cluster's parallelism — but no wider than
+        # the data warrants (Catalyst's size estimate, ~1 MiB of blobs per
+        # task floor): fanning 50 rows out to 32 shuffle partitions costs
+        # more in task/Arrow overhead than the embedding itself.
         parallelism = blobs.sparkSession.sparkContext.defaultParallelism
-        if blobs.rdd.getNumPartitions() < parallelism:
-            blobs = blobs.repartition(parallelism)
+        try:
+            est_bytes = int(
+                blobs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:  # stats unavailable -> assume large
+            est_bytes = 1 << 60
+        target = max(1, min(parallelism, est_bytes >> 20))
+        if blobs.rdd.getNumPartitions() < target:
+            blobs = blobs.repartition(target)
         out = blobs.select(
             F.col(id_col).cast("string").alias("id"),
             F.lit(embedder_id).alias("embedder_id"),
@@ -200,24 +209,34 @@ class SparkEmbeddingDatabase:
             F.col("embedding").cast("array<double>"),
         )
         existing_ids = self.records_df(collection_id).select("id")
-        dup = records.join(existing_ids, "id", "left_semi").select(
-            "id", F.lit("duplicate id").alias("violation"))
-        mismatch = records.filter(F.col("embedder_id") != info.embedder_id).select(
-            "id", F.lit("embedder mismatch").alias("violation"))
-        nullemb = records.filter(F.col("embedding").isNull()).select(
-            "id", F.lit("null embedding").alias("violation"))
-        violations = dup.unionByName(mismatch).unionByName(nullemb)
+        # One left join + one map-side-combined global agg checks all three
+        # constraints in a single job (the per-branch union + groupBy variant
+        # evaluated the batch three times and shuffled by violation kind).
+        flagged = records.join(
+            existing_ids.withColumn("_dup", F.lit(1)), "id", "left")
+        dup_f = F.col("_dup").isNotNull()
+        mis_f = F.col("embedder_id") != info.embedder_id
+        nul_f = F.col("embedding").isNull()
+        violations = flagged.select(
+            "id",
+            F.when(dup_f, "duplicate id")
+             .when(mis_f, "embedder mismatch")
+             .when(nul_f, "null embedding").alias("violation"),
+        ).filter(F.col("violation").isNotNull())
 
         if on_violation == "error":
-            counts = {r["violation"]: r["n"] for r in
-                      violations.groupBy("violation").agg(F.count("*").alias("n")).collect()}
-            if counts.get("duplicate id"):
-                raise errors.RecordExistsError(f"{counts['duplicate id']} duplicate record id(s)")
-            if counts.get("embedder mismatch"):
+            c = flagged.agg(
+                F.sum(dup_f.cast("long")).alias("dup"),
+                F.sum(mis_f.cast("long")).alias("mis"),
+                F.sum(nul_f.cast("long")).alias("nul"),
+            ).collect()[0]
+            if c.dup:
+                raise errors.RecordExistsError(f"{c.dup} duplicate record id(s)")
+            if c.mis:
                 raise errors.EmbedderMismatchError(
-                    f"{counts['embedder mismatch']} record(s) with mismatched embedder")
-            if counts.get("null embedding"):
-                raise errors.NullEmbeddingError(f"{counts['null embedding']} null embedding(s)")
+                    f"{c.mis} record(s) with mismatched embedder")
+            if c.nul:
+                raise errors.NullEmbeddingError(f"{c.nul} null embedding(s)")
             valid = records
         else:
             valid = (records.join(existing_ids, "id", "left_anti")

@@ -56,15 +56,30 @@ def language_id(text: Column) -> Column:
     structs, so the FIRST language wins ties — deterministic and
     oracle-friendly.
 
-    Formulation note (measured at sf0.1): the ``hits`` array is referenced
-    exactly ONCE — zip it with indices and array_max the structs. Earlier
-    variants that referenced ``hits`` twice (array_position(hits,
-    array_max(hits))) or compared five greatest(struct(...)) branches
-    inlined the whole words/filter machinery 2-10×, bloating the generated
-    code and costing 1.4-8× at runtime."""
-    hits = F.array(*[stopword_hits(text, lang) for lang in LANG_STOPWORDS])
-    langs = F.array(*[F.lit(lang) for lang in LANG_STOPWORDS])
+    Formulation notes (measured at sf0.1): single pass over the words
+    array. Per-language ``stopword_hits`` re-tokenized the text once per
+    language (5 splits + 5×|stopwords| comparisons per word); here the
+    text is tokenized ONCE and each word does one hash-map lookup into a
+    word → multi-hot-count literal map, accumulated with ``aggregate`` +
+    ``zip_with`` (a word like 'la' counts for BOTH es and fr via the
+    multi-hot value). ~2.3× faster, still pure codegen. The ``hits``
+    array is referenced exactly once by the argmax — referencing it twice
+    inlines the whole aggregation 2×."""
     n = len(LANG_STOPWORDS)
+    multi_hot: dict[str, list[int]] = {}
+    for i, sws in enumerate(LANG_STOPWORDS.values()):
+        for w in sws:
+            multi_hot.setdefault(w, [0] * n)[i] = 1
+    sw_map = F.create_map(*[
+        x for w, hot in multi_hot.items()
+        for x in (F.lit(w), F.array(*[F.lit(v) for v in hot]))
+    ])
+    zeros = F.array_repeat(F.lit(0), n)
+    hits = F.aggregate(
+        words(F.lower(text)), zeros,
+        lambda acc, w: F.zip_with(acc, F.coalesce(sw_map[w], zeros),
+                                  lambda a, b: a + b))
+    langs = F.array(*[F.lit(lang) for lang in LANG_STOPWORDS])
     zipped = F.zip_with(hits, F.sequence(F.lit(1), F.lit(n)),
                         lambda h, i: F.struct(h.alias("h"), (-i).alias("ni")))
     best = F.array_max(zipped)
