@@ -348,6 +348,46 @@ def _oracle_dedup_winnow() -> str:
     )
 
 
+def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs, candidates blocked by
+    (source, length band) — the cheap prefilter path that needs no
+    signatures at all."""
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    out = dd.length_band_jaccard_dedup(_docs_par(spark, sf_dir),
+                                       band_width=8, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _oracle_dedup_jaccard() -> str:
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    jac = dd.jaccard_sql("a.text", "b.text")
+    return f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, round({jac}, 6) AS jaccard
+FROM documents a JOIN documents b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+ AND CAST(b.n_chars / 8 AS BIGINT) - CAST(a.n_chars / 8 AS BIGINT) BETWEEN -1 AND 1
+WHERE {jac} >= 0.8
+"""
+
+
+def _q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding as (label, pos, mean_v) rows — the vector
+    rollup / centroid-training aggregate (shuffle size |labels| x dim,
+    independent of row count)."""
+    from go_simple_embedding_database_spark.operators.ann import mean_vector_components
+    out = mean_vector_components(_emb(spark, sf_dir), "label")
+    return out.select("label", "pos", F.round("mean_v", 6).alias("mean_v"), "n")
+
+
+_ORACLE_EMBEDDING_CENTROIDS = """
+SELECT label, pos, round(avg(v), 6) AS mean_v, count(*) AS n
+FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings)
+GROUP BY label, pos
+"""
+
+
 def _q_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, blocked by label (equi-join, no cross
     join): finds the planted scale-invariant copies (cosine == 1.0) of
@@ -726,6 +766,47 @@ GROUP BY c_mktsegment
 """
 
 
+def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: filter both fact sides at the
+    scan (pushed predicates), broadcast the filtered customer dim, shuffle
+    only lineitem-join-orders on orderkey, top-10 revenue via
+    TakeOrderedAndProject."""
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter(F.col("o_orderdate") < F.lit("1996-06-01").cast("timestamp"))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .filter(F.col("l_shipdate") > F.lit("1996-06-01").cast("timestamp"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+        .select("o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                "revenue")
+    )
+
+
+_ORACLE_SHIPPING_PRIORITY = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-06-01'
+  AND l_shipdate > TIMESTAMP '1996-06-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_cosine": _q_topk_cosine,
@@ -744,7 +825,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_winnow": _q_dedup_winnow,
+        "dedup_jaccard": _q_dedup_jaccard,
         "dedup_cosine": _q_dedup_cosine,
+        "embedding_centroids": _q_embedding_centroids,
+        "shipping_priority": _q_shipping_priority,
         "similarity_join_knn": _q_similarity_join,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh_join": _q_ann_lsh_join,
@@ -779,7 +863,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _oracle_dedup_simhash(),
         "dedup_simhash_pairs": _oracle_dedup_simhash_pairs(),
         "dedup_winnow": _oracle_dedup_winnow(),
+        "dedup_jaccard": _oracle_dedup_jaccard(),
         "dedup_cosine": _ORACLE_DEDUP_COSINE,
+        "embedding_centroids": _ORACLE_EMBEDDING_CENTROIDS,
+        "shipping_priority": _ORACLE_SHIPPING_PRIORITY,
         "similarity_join_knn": _ORACLE_SIMILARITY_JOIN,
         "ann_ivf": _ORACLE_ANN_IVF,
         "ann_lsh_join": _oracle_ann_lsh_join(),

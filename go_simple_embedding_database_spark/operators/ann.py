@@ -86,6 +86,22 @@ def assign_cells_by_id(df: DataFrame, centroids: DataFrame, id_col: str,
     )
 
 
+def mean_vector_components(df: DataFrame, key_col: str,
+                           vec_col: str = "embedding") -> DataFrame:
+    """Per-key mean vector as flat (key, pos, mean_v, n) rows — the vector
+    rollup that underlies centroid (re)training and per-group embedding
+    stats. posexplode + groupBy(key, pos) keeps it a plain hash aggregate
+    with map-side partial combine: the shuffle carries at most
+    |keys| x dim partial sums, independent of row count — the shape that
+    survives 100 TB. (collect back to array<double> with
+    sort_array(collect_list(struct(pos, mean_v))) when a vector is
+    needed.)"""
+    return (df.select(key_col, F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy(key_col, "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("mean_v"),
+                 F.count("*").alias("n")))
+
+
 def ivf_topk(df: DataFrame, centroids: DataFrame, qvec: list[float], k: int,
              nprobe: int = 2, vec_col: str = "embedding", id_col: str = "vec_id",
              score_col: str = "score") -> DataFrame:

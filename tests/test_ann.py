@@ -85,3 +85,16 @@ def test_signlsh_buckets_similar_vectors_collide(spark, embeddings):
     assert b2.collect()[0].bucket == bucket0
     # buckets spread (not all rows in one bucket)
     assert b.select("bucket").distinct().count() > 10
+
+
+def test_mean_vector_components_matches_numpy(spark, embeddings):
+    import numpy as np
+    sample = embeddings.filter(F.col("label") == 3)
+    rows = ann.mean_vector_components(sample, "label").collect()
+    got = np.zeros(64)
+    for r in rows:
+        assert r.label == 3
+        got[r.pos] = r.mean_v
+    arrs = np.array([r.embedding for r in sample.collect()], dtype=np.float64)
+    assert np.allclose(got, arrs.mean(axis=0))
+    assert all(r.n == len(arrs) for r in rows)

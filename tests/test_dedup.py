@@ -151,3 +151,30 @@ def test_jaccard_kernel(spark):
     j = df.select(dd.jaccard_similarity(F.col("ta"), F.col("tb")).alias("j")).collect()[0].j
     # shingles(ta) = {a b c, b c d, c d e}; tb adds {d e zz}
     assert j == pytest.approx(3 / 4)
+
+
+def test_length_band_jaccard_blocked(spark):
+    """Near-identical docs in the same source block (lengths within one
+    band) are found; an identical-text pair in DIFFERENT sources is
+    blocked out; a cross-band-distance pair never meets."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame([
+        (1, "s1", base, len(base)),
+        (2, "s1", base + " x", len(base) + 2),          # near dup, same block
+        (3, "s2", base, len(base)),                     # same text, other source
+        (4, "s1", "totally unrelated words here now ok", 35),
+    ], "doc_id int, source string, text string, n_chars int")
+    pairs = dd.length_band_jaccard_dedup(df, band_width=8, threshold=0.8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_length_band_jaccard_pair_matched_once(spark):
+    """The 3-band explode must not duplicate a candidate pair."""
+    t = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, "s", t, 50), (2, "s", t, 50)],
+        "doc_id int, source string, text string, n_chars int")
+    rows = dd.length_band_jaccard_dedup(df, band_width=8, threshold=0.5).collect()
+    assert len(rows) == 1 and rows[0].jaccard == 1.0
