@@ -766,6 +766,58 @@ GROUP BY c_mktsegment
 """
 
 
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase event attributed to the user's most
+    recent click at-or-before it (union + running-last window — one
+    shuffle on user_id, no theta join). Null click for purchases with no
+    prior click."""
+    from go_simple_embedding_database_spark.operators.joins import asof_join
+    from go_simple_embedding_database_spark.sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), "value")
+    out = asof_join(purchases, clicks, ["user_id"], "ts",
+                    payload_cols=["click_id", "value"])
+    return out.select("event_id", "user_id", "click_id",
+                      F.round("value_right", 6).alias("click_value"))
+
+
+_ORACLE_EVENTS_ASOF = """
+SELECT p.event_id, p.user_id, c.event_id AS click_id,
+       round(c.value, 6) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via time-bucket banding: error events within +/- 5
+    minutes of each signup, per user — equi-join on (user, bucket), exact
+    BETWEEN applied inside the bucket match, never a cross join."""
+    from go_simple_embedding_database_spark.operators.joins import range_join
+    from go_simple_embedding_database_spark.sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup") \
+        .select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error") \
+        .select("user_id", "ts", F.col("event_id").alias("err_id"))
+    out = range_join(signups, errors, ["user_id"], "ts",
+                     lower="5 minutes", upper="5 minutes")
+    return out.groupBy("event_id").agg(F.count("*").alias("n_errors_nearby"))
+
+
+_ORACLE_EVENTS_RANGE_JOIN = """
+SELECT s.event_id, count(*) AS n_errors_nearby
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON s.user_id = e.user_id
+ AND e.ts BETWEEN s.ts - INTERVAL 5 MINUTE AND s.ts + INTERVAL 5 MINUTE
+GROUP BY s.event_id
+"""
+
+
 def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped shipping priority: filter both fact sides at the
     scan (pushed predicates), broadcast the filtered customer dim, shuffle
@@ -829,6 +881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cosine": _q_dedup_cosine,
         "embedding_centroids": _q_embedding_centroids,
         "shipping_priority": _q_shipping_priority,
+        "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
         "similarity_join_knn": _q_similarity_join,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh_join": _q_ann_lsh_join,
@@ -867,6 +921,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cosine": _ORACLE_DEDUP_COSINE,
         "embedding_centroids": _ORACLE_EMBEDDING_CENTROIDS,
         "shipping_priority": _ORACLE_SHIPPING_PRIORITY,
+        "events_asof": _ORACLE_EVENTS_ASOF,
+        "events_range_join": _ORACLE_EVENTS_RANGE_JOIN,
         "similarity_join_knn": _ORACLE_SIMILARITY_JOIN,
         "ann_ivf": _ORACLE_ANN_IVF,
         "ann_lsh_join": _oracle_ann_lsh_join(),
