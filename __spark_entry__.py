@@ -766,6 +766,92 @@ GROUP BY c_mktsegment
 """
 
 
+def _q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: int8-quantized-cosine candidate scan (cosine is
+    per-vector scale-invariant, so no dequantization), then exact rescore
+    of the k*4 survivors. 4-8x less scan IO at scale, exactness preserved
+    whenever the true top-k survive stage 1 (checked here against the
+    oracle running the identical two stages)."""
+    from go_simple_embedding_database_spark.operators.ann import quantized_topk
+    qvec = _query_vec(spark, sf_dir, 0)
+    out = quantized_topk(_emb(spark, sf_dir), qvec, 10, rescore_factor=4)
+    return out.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+def _oracle_ann_quantized_sql() -> str:
+    """Pure-SQL twin: the query vector (vec_id=0 of whatever sf the driver
+    runs) is fetched and quantized inside the statement, so the same
+    oracle string is sf-independent — exactly like _ORACLE_TOPK."""
+    from go_simple_embedding_database_spark.operators.ann import scalar_quantize_sql
+    quant = scalar_quantize_sql("embedding")
+    qv = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+    qq = f"(SELECT {scalar_quantize_sql('embedding')} FROM embeddings WHERE vec_id = 0)"
+    exact = f"list_cosine_similarity(CAST(embedding AS DOUBLE[]), {qv})"
+    return f"""
+WITH cand AS (
+  SELECT vec_id, label, embedding
+  FROM embeddings
+  ORDER BY list_cosine_similarity({quant}, {qq}) DESC, vec_id
+  LIMIT 40
+)
+SELECT vec_id, label, round({exact}, 6) AS score
+FROM cand
+ORDER BY {exact} DESC, vec_id
+LIMIT 10
+"""
+
+
+def _q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (segment, nation) with subtotal and grand-total
+    rows — partial-aggregated like any hash agg; dims broadcast."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    joined = (orders
+              .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+              .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey))
+    return (joined.rollup("c_mktsegment", "n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .select(F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+                    F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                    "n_orders", "revenue"))
+
+
+_ORACLE_REVENUE_ROLLUP = """
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       coalesce(n_name, 'ALL') AS nation,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(c_mktsegment, n_name)
+"""
+
+
+def _q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number window — the batch-query
+    generalization of the reference's single-query top-k (SURVEY §2.3's
+    window strategy), one shuffle on the group key."""
+    from pyspark.sql import Window
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey", "rk",
+                    F.round("o_totalprice", 2).alias("totalprice")))
+
+
+_ORACLE_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, rk, round(o_totalprice, 2) AS totalprice
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+WHERE rk <= 3
+"""
+
+
 def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every purchase event attributed to the user's most
     recent click at-or-before it (union + running-last window — one
@@ -883,6 +969,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": _q_shipping_priority,
         "events_asof": _q_events_asof,
         "events_range_join": _q_events_range_join,
+        "ann_quantized": _q_ann_quantized,
+        "revenue_rollup": _q_revenue_rollup,
+        "top_orders_per_customer": _q_top_orders_per_customer,
         "similarity_join_knn": _q_similarity_join,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh_join": _q_ann_lsh_join,
@@ -923,6 +1012,9 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": _ORACLE_SHIPPING_PRIORITY,
         "events_asof": _ORACLE_EVENTS_ASOF,
         "events_range_join": _ORACLE_EVENTS_RANGE_JOIN,
+        "ann_quantized": _oracle_ann_quantized_sql(),
+        "revenue_rollup": _ORACLE_REVENUE_ROLLUP,
+        "top_orders_per_customer": _ORACLE_TOP_ORDERS_PER_CUSTOMER,
         "similarity_join_knn": _ORACLE_SIMILARITY_JOIN,
         "ann_ivf": _ORACLE_ANN_IVF,
         "ann_lsh_join": _oracle_ann_lsh_join(),

@@ -46,6 +46,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in entry_mod.queries().items():
+        # Isolate queries: lifecycle queries (crud/ingest) persist their
+        # embedded batches and would otherwise hold executor memory across
+        # every later measurement.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             _run(fn(spark, sf_dir))

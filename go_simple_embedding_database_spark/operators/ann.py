@@ -86,6 +86,59 @@ def assign_cells_by_id(df: DataFrame, centroids: DataFrame, id_col: str,
     )
 
 
+def scalar_quantize(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: q_i = round(v_i * 127 /
+    max|v|), zero vectors stay zero. Cosine is scale-invariant per vector,
+    so quantized cosine needs NO dequantization — at 100 TB the scan reads
+    1 byte/component instead of 4/8 (4-8x less IO) and the dot product
+    runs on integers; exact rescoring touches only the survivors.
+    Returns array<double> (the int values, widened) so the same cosine
+    kernel applies downstream."""
+    v = vec.cast("array<double>")
+    max_abs = F.array_max(F.transform(v, F.abs))
+    return F.when(max_abs == 0, v).otherwise(
+        F.transform(v, lambda x: F.round(x * 127 / max_abs)))
+
+
+def quantize_vector_py(vec: list[float]) -> list[float]:
+    """Driver-side twin of ``scalar_quantize`` for query vectors (kept in
+    plain Python so the exact same literal feeds both the Spark plan and
+    the SQL oracle)."""
+    max_abs = max((abs(float(x)) for x in vec), default=0.0)
+    if max_abs == 0:
+        return [float(x) for x in vec]
+    # round-half-away-from-zero, matching Spark/DuckDB ROUND
+    import math
+    return [float(math.floor(abs(x) * 127 / max_abs + 0.5)) * (1 if x >= 0 else -1)
+            for x in vec]
+
+
+def quantized_topk(df: DataFrame, qvec: list[float], k: int,
+                   rescore_factor: int = 4, vec_col: str = "embedding",
+                   id_col: str = "vec_id", score_col: str = "score") -> DataFrame:
+    """Two-stage retrieval: (1) top k*rescore_factor candidates by
+    int8-quantized cosine (cheap scan), (2) exact cosine rescore of the
+    candidates, exact top-k. Deterministic tie-break on ``id_col`` at both
+    stages so the candidate set is reproducible."""
+    qq = quantize_vector_py(qvec)
+    cand = (df.withColumn("_qsim", cosine_similarity(
+                scalar_quantize(F.col(vec_col)),
+                F.array(*[F.lit(v) for v in qq])))
+            .orderBy(F.desc("_qsim"), F.asc(id_col))
+            .limit(k * rescore_factor)
+            .drop("_qsim"))
+    return topk_by_similarity(cand, qvec, k, vec_col=vec_col,
+                              score_col=score_col, tie_break=[id_col])
+
+
+def scalar_quantize_sql(expr: str) -> str:
+    """DuckDB twin of ``scalar_quantize``."""
+    v = f"list_transform({expr}, x -> CAST(x AS DOUBLE))"
+    ma = f"list_max(list_transform({v}, x -> abs(x)))"
+    return (f"CASE WHEN {ma} = 0 THEN {v} "
+            f"ELSE list_transform({v}, x -> round(x * 127 / {ma})) END")
+
+
 def mean_vector_components(df: DataFrame, key_col: str,
                            vec_col: str = "embedding") -> DataFrame:
     """Per-key mean vector as flat (key, pos, mean_v, n) rows — the vector

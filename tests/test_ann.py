@@ -98,3 +98,33 @@ def test_mean_vector_components_matches_numpy(spark, embeddings):
     arrs = np.array([r.embedding for r in sample.collect()], dtype=np.float64)
     assert np.allclose(got, arrs.mean(axis=0))
     assert all(r.n == len(arrs) for r in rows)
+
+
+def test_scalar_quantize_scale_invariant_and_zero(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [5.0, -10.0, 2.5]), (3, [0.0, 0.0, 0.0])],
+        "vec_id int, embedding array<double>")
+    rows = {r.vec_id: r.q for r in df.select(
+        "vec_id", ann.scalar_quantize(F.col("embedding")).alias("q")).collect()}
+    # per-vector scaling makes scaled copies quantize identically
+    assert rows[1] == rows[2] == [64.0, -127.0, 32.0]
+    assert rows[3] == [0.0, 0.0, 0.0]
+
+
+def test_quantize_vector_py_matches_column(spark, embeddings):
+    sample = embeddings.limit(20)
+    got = sample.select("vec_id", ann.scalar_quantize(F.col("embedding")).alias("q")).collect()
+    for r in sample.collect():
+        py = ann.quantize_vector_py([float(v) for v in r.embedding])
+        spark_q = next(x.q for x in got if x.vec_id == r.vec_id)
+        assert py == spark_q, f"vec {r.vec_id}"
+
+
+def test_quantized_topk_recall_vs_exact(spark, embeddings):
+    from go_simple_embedding_database_spark.operators.topk import topk_by_similarity
+    qvec = [float(v) for v in embeddings.filter(F.col("vec_id") == 7).collect()[0].embedding]
+    exact = {r.vec_id for r in topk_by_similarity(
+        embeddings, qvec, 10, score_col="s", tie_break=["vec_id"]).collect()}
+    quant = {r.vec_id for r in ann.quantized_topk(embeddings, qvec, 10).collect()}
+    # int8 quantization at 64 dims: near-perfect recall expected
+    assert len(exact & quant) >= 9
