@@ -105,3 +105,46 @@ def test_whole_stage_codegen_on_hot_paths(plans):
     assert "codegen id" in plans("topk_cosine")
     for name in ["pricing_summary", "dedup_exact"]:
         assert "partial_" in plans(name), name
+
+
+def test_asof_join_single_exchange_no_theta(plans):
+    """The as-of join must be ONE hash exchange on the keys + window —
+    never a broadcast-nested-loop / cartesian from a range predicate."""
+    p = plans("events_asof")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p
+    # one shuffle for the window partitioning (plus possibly AQE reads)
+    assert p.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_range_join_is_banded_equi_join(plans):
+    p = plans("events_range_join")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_quantized_topk_two_take_ordered_stages(plans):
+    """Both stages (candidate scan, exact rescore) are top-k heaps, not
+    global sorts."""
+    p = plans("ann_quantized")
+    # two TOAP nodes (each named twice in formatted output: tree + details)
+    assert p.count("TakeOrderedAndProject") >= 2
+    assert "Sort " not in p.split("TakeOrderedAndProject")[0]
+
+
+def test_shipping_priority_broadcasts_dim_and_pushes_filters(plans):
+    p = plans("shipping_priority")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    pushed = p.split("PushedFilters")
+    assert any("l_shipdate" in seg[:200] for seg in pushed[1:])
+    assert any("c_mktsegment" in seg[:200] for seg in pushed[1:])
+
+
+def test_length_band_jaccard_no_cross_join(plans):
+    p = plans("dedup_jaccard")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_centroid_rollup_partial_aggregates(plans):
+    p = plans("embedding_centroids")
+    assert "partial_" in p  # map-side combine before the shuffle
