@@ -644,6 +644,64 @@ SELECT doc_id, lang, source FROM (
 """
 
 
+def _q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators composed as one training-data pipeline: quality gate →
+    predicted-language == recorded-language gate → exact-dedup keep-first →
+    chunk → per-chunk token count. Filters run BEFORE the dedup shuffle so
+    only surviving rows move; chunking is an explode (no driver loop)."""
+    from go_simple_embedding_database_spark.functions import text as tx
+    from go_simple_embedding_database_spark.operators.dedup import exact_dedup_keep
+    docs = _docs_par(spark, sf_dir)
+    t = F.col("text")
+    filtered = (docs.filter(tx.quality_score(t) >= 0.5)
+                .filter(tx.language_id(t) == F.col("lang")))
+    kept = exact_dedup_keep(filtered)
+    return (kept.select(
+        "doc_id",
+        F.posexplode(tx.chunk_text(F.col("text"), 200)).alias("chunk_no", "chunk"))
+        .select("doc_id", "chunk_no",
+                tx.token_count(F.col("chunk")).alias("n_tokens")))
+
+
+def _oracle_pipeline_clean_corpus() -> str:
+    from go_simple_embedding_database_spark.functions import text as tx
+    q = tx.quality_sql("text")["quality_score"]
+    lid = tx.language_id_sql("text")
+    chunks = tx.chunk_text_sql("text", 200)
+    ntok = tx.token_count_sql("s['chunk']")
+    return f"""
+WITH kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+    FROM documents
+    WHERE {q} >= 0.5 AND ({lid}) = lang
+  ) WHERE rn = 1
+)
+SELECT doc_id, s['chunk_no'] AS chunk_no, {ntok} AS n_tokens
+FROM (SELECT doc_id, unnest(list_transform({chunks},
+        (c, i) -> {{'chunk_no': i - 1, 'chunk': c}})) AS s
+      FROM kept)
+"""
+
+
+def _q_source_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus stats with an exact interpolated median — one
+    hash-agg shuffle of |sources| keys."""
+    return (_docs(spark, sf_dir).groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+                 F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("median_chars")))
+
+
+_ORACLE_SOURCE_LENGTH_STATS = """
+SELECT source, count(*) AS n_docs, round(avg(n_chars), 4) AS mean_chars,
+       round(quantile_cont(n_chars, 0.5), 4) AS median_chars
+FROM documents
+GROUP BY source
+"""
+
+
 def _q_record_pretty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 Record.String parity (records/records.go:57-79) as a native
     expression over real embedded records — blob truncated at 100 chars,
@@ -972,6 +1030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized": _q_ann_quantized,
         "revenue_rollup": _q_revenue_rollup,
         "top_orders_per_customer": _q_top_orders_per_customer,
+        "pipeline_clean_corpus": _q_pipeline_clean_corpus,
+        "source_length_stats": _q_source_length_stats,
         "similarity_join_knn": _q_similarity_join,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh_join": _q_ann_lsh_join,
@@ -1015,6 +1075,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_quantized": _oracle_ann_quantized_sql(),
         "revenue_rollup": _ORACLE_REVENUE_ROLLUP,
         "top_orders_per_customer": _ORACLE_TOP_ORDERS_PER_CUSTOMER,
+        "pipeline_clean_corpus": _oracle_pipeline_clean_corpus(),
+        "source_length_stats": _ORACLE_SOURCE_LENGTH_STATS,
         "similarity_join_knn": _ORACLE_SIMILARITY_JOIN,
         "ann_ivf": _ORACLE_ANN_IVF,
         "ann_lsh_join": _oracle_ann_lsh_join(),
