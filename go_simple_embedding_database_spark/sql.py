@@ -41,13 +41,35 @@ RETURNS DOUBLE
 RETURN aggregate(zip_with(x, y, (a, b) -> a * b), 0.0D, (a, v) -> a + v)
 """
 
+_QUANTIZE_SQL = """
+CREATE OR REPLACE TEMPORARY FUNCTION quantize_int8(x ARRAY<DOUBLE>)
+RETURNS ARRAY<DOUBLE>
+RETURN CASE
+  WHEN array_max(transform(x, v -> abs(v))) = 0.0D THEN x
+  ELSE transform(x, v -> CAST(round(v * 127.0D /
+       array_max(transform(x, v2 -> abs(v2)))) AS DOUBLE))
+END
+"""
+
+_JACCARD_SQL = """
+CREATE OR REPLACE TEMPORARY FUNCTION jaccard_sim(x ARRAY<STRING>, y ARRAY<STRING>)
+RETURNS DOUBLE
+RETURN CASE
+  WHEN size(array_union(x, y)) = 0 THEN 0.0D
+  ELSE CAST(size(array_intersect(x, y)) AS DOUBLE) / size(array_union(x, y))
+END
+"""
+
 
 def register_sql_functions(spark: SparkSession) -> None:
-    """Register the vector kernels as SQL scalar functions (native
-    expression inlining — parity with functions.kernels, including
-    zero-norm → 0.0)."""
+    """Register the vector/set kernels as SQL scalar functions (native
+    expression inlining — parity with functions.kernels and
+    operators.ann.scalar_quantize / operators.dedup jaccard, including
+    zero-norm → 0.0 and empty-union → 0.0)."""
     spark.sql(_COSINE_SQL)
     spark.sql(_DOT_SQL)
+    spark.sql(_QUANTIZE_SQL)
+    spark.sql(_JACCARD_SQL)
 
 
 def create_views(db, prefix: str = "gsed") -> None:

@@ -62,3 +62,20 @@ def test_sql_topk_over_view(spark, db):
 def test_sql_catalog_view(spark, db):
     rows = spark.sql("SELECT * FROM gsed_collections").collect()
     assert [(r.collection_id, r.embedder_id) for r in rows] == [("c", "mock-hash-64")]
+
+
+def test_sql_quantize_matches_column_op(spark, db):
+    from go_simple_embedding_database_spark.operators.ann import quantize_vector_py
+    row = spark.sql(
+        "SELECT quantize_int8(array(0.5D, -1.0D, 0.25D)) AS q, "
+        "quantize_int8(array(0.0D, 0.0D)) AS z").collect()[0]
+    assert row.q == quantize_vector_py([0.5, -1.0, 0.25]) == [64.0, -127.0, 32.0]
+    assert row.z == [0.0, 0.0]
+
+
+def test_sql_jaccard(spark, db):
+    row = spark.sql(
+        "SELECT jaccard_sim(array('a','b','c'), array('b','c','d')) AS j, "
+        "jaccard_sim(array(), array()) AS e").collect()[0]
+    assert row.j == 0.5
+    assert row.e == 0.0
