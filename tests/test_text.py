@@ -19,6 +19,24 @@ def test_language_id_basics(spark):
     assert out == ["en", "de", "es", "fr", "und"]
 
 
+def test_stopword_hits_regex_equals_token_equality(spark):
+    """The regexp_count formulation must count exactly the whitespace-split
+    tokens equal to a stopword: punctuation-attached words don't count,
+    adjacent stopwords each count, multiplicity counts."""
+    cases = [
+        ("the the the", 3),          # adjacency: consumed \s can't starve
+        ("the, cat the.", 0),        # 'the,' / 'the.' are not tokens 'the'
+        ("  the\tand\nof  ", 3),     # any whitespace kind, leading/trailing
+        ("other therefore bathe", 0),# substrings never match full tokens
+        ("THE AND", 2),              # lower() applied first
+        ("", 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    out = [r.n for r in df.select(
+        tx.stopword_hits(F.col("text"), "en").alias("n")).collect()]
+    assert out == [n for _, n in cases]
+
+
 def test_token_count(spark):
     df = spark.createDataFrame([("ab 12 c! d,e",)], "text string")
     # tokens: ab, 12, c, !, d, ',', e
