@@ -96,13 +96,13 @@ def range_join(left: DataFrame, right: DataFrame, keys: list[str],
     up_s = _interval_seconds(upper)
     width = max(low_s + up_s, 1)
 
-    r_ts = F.col(ts_col).cast("double")
+    r_ts = _epoch_seconds(right, ts_col)
     rb = right.select(
         *[F.col(c).alias(f"{c}{suffix}" if c in left.columns else c)
           for c in right.columns],
         (r_ts / width).cast("long").alias("_bucket"),
         r_ts.alias("_rts"))
-    l_ts = F.col(ts_col).cast("double")
+    l_ts = _epoch_seconds(left, ts_col)
     lo_bucket = ((l_ts - low_s) / width).cast("long")
     hi_bucket = ((l_ts + up_s) / width).cast("long")
     lb = left.select(
@@ -119,6 +119,18 @@ def range_join(left: DataFrame, right: DataFrame, keys: list[str],
     drop = ["_bucket", "_lts", "_rts"] + [
         f"{k}{suffix}" for k in keys if f"{k}{suffix}" in rb.columns]
     return out.drop(*drop)
+
+
+def _epoch_seconds(df: DataFrame, ts_col: str) -> Column:
+    """Numeric seconds for bucketing. TIMESTAMP_NTZ (parquet timestamp
+    without tz) and DATE can't cast straight to double — route them
+    through TIMESTAMP first; both sides of the join use the same
+    conversion so the banding stays consistent."""
+    dt = df.schema[ts_col].dataType.typeName()
+    c = F.col(ts_col)
+    if dt in ("timestamp_ntz", "date"):
+        c = c.cast("timestamp")
+    return c.cast("double")
 
 
 def _interval_seconds(spec: str) -> int:

@@ -41,11 +41,22 @@ def embed_stream(stream: DataFrame, embedder_id: str, blob_col: str = "blob",
     )
 
 
+def _as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP; parquet event tables surface
+    TIMESTAMP_NTZ (and sources may hand us DATE). Normalize in BOTH batch
+    and streaming paths so a stream and its batch oracle agree on values
+    and types."""
+    if df.schema[ts_col].dataType.typeName() in ("timestamp_ntz", "date"):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def dedup_stream(stream: DataFrame, event_time_col: str, watermark: str = "10 minutes",
                  keys: list[str] | None = None) -> DataFrame:
     """Exactly-once-per-key within the watermark horizon: late duplicates
     beyond the watermark age out of state instead of growing it forever —
     the only state-bounded way to run continuous dedup."""
+    stream = _as_event_time(stream, event_time_col)
     return stream.withWatermark(event_time_col, watermark).dropDuplicates(
         (keys or ["id"]) + [event_time_col]
     )
@@ -115,6 +126,7 @@ def sessionize(events: DataFrame, gap: str = "10 minutes",
     aggregation with watermark eviction) and on a batch DataFrame — the
     same ``session_window`` expression, which is what makes it
     oracle-checkable in batch mode."""
+    events = _as_event_time(events, ts_col)
     src = (
         events.withWatermark(ts_col, watermark) if events.isStreaming else events
     )
@@ -133,6 +145,7 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     """Tumbling-window per-type counts with late-data watermark — works on
     both a stream (stateful, incremental) and a batch DataFrame (the same
     code path the oracle checks)."""
+    events = _as_event_time(events, ts_col)
     return (
         events.withWatermark(ts_col, watermark)
         if events.isStreaming else events
