@@ -1003,6 +1003,222 @@ LIMIT 10
 """
 
 
+def _q_events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over events.user_id (operators.skew):
+    phase 1 aggregates on (user_id, salt) so a hot user spreads over 16
+    tasks, phase 2 merges 16 partials per user. The oracle is the PLAIN
+    group-by — salting must be result-invariant, which is exactly what
+    this checks."""
+    from go_simple_embedding_database_spark.operators.skew import salted_aggregate
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = salted_aggregate(
+        events, "user_id",
+        {"n_events": F.count("*"), "sum_value": F.sum("value")},
+        {"n_events": F.sum("n_events"), "sum_value": F.sum("sum_value")},
+        salts=16,
+    )
+    return out.select("user_id", "n_events", F.round("sum_value", 6).alias("sum_value"))
+
+
+_ORACLE_EVENTS_SALTED_AGG = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+def _q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT): customers who ordered in both
+    1995 and 1996 but never placed an urgent order. Spark plans each set op
+    as a distinct-aggregating join on the hashed key — no driver-side
+    set logic."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return y95.intersect(y96).exceptAll(urgent.distinct()) \
+        .select(F.col("o_custkey").alias("custkey"))
+
+
+_ORACLE_SET_OPS_CUSTOMERS = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def _q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins in one result: per market segment, how
+    many customers have at least one returned lineitem (EXISTS chain
+    customer → orders → lineitem R-flag) vs. no orders at all (NOT
+    EXISTS). Both sides shuffle only keys — semi/anti joins never
+    materialize the payload of the probed side."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey", "c_mktsegment")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_custkey")
+    returned = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+                .filter(F.col("l_returnflag") == "R").select("l_orderkey"))
+    cust_with_return = cust.join(
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi"),
+        cust.c_custkey == orders.o_custkey, "left_semi")
+    cust_no_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        cust_with_return.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_return"))
+        .join(cust_no_orders.groupBy("c_mktsegment")
+              .agg(F.count("*").alias("n_no_orders")), "c_mktsegment", "full")
+        .select("c_mktsegment",
+                F.coalesce("n_with_return", F.lit(0)).alias("n_with_return"),
+                F.coalesce("n_no_orders", F.lit(0)).alias("n_no_orders"))
+    )
+
+
+_ORACLE_SEMI_ANTI_CUSTOMERS = """
+WITH wr AS (
+  SELECT c_mktsegment, count(*) AS n_with_return FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE o_custkey = c_custkey AND l_returnflag = 'R')
+  GROUP BY c_mktsegment),
+no_ord AS (
+  SELECT c_mktsegment, count(*) AS n_no_orders FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_mktsegment)
+SELECT coalesce(wr.c_mktsegment, no_ord.c_mktsegment) AS c_mktsegment,
+       coalesce(n_with_return, 0) AS n_with_return,
+       coalesce(n_no_orders, 0) AS n_no_orders
+FROM wr FULL JOIN no_ord ON wr.c_mktsegment = no_ord.c_mktsegment
+"""
+
+
+def _q_user_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames over event time: per-user 3-row moving average and
+    previous value (lag). Deterministic order via (ts, event_id); one
+    shuffle on user_id, then a sorted in-partition pass — the canonical
+    sequential-dependency pattern expressed without any driver loop."""
+    from pyspark.sql import Window
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id", "user_id",
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("mov_avg3"),
+        F.round(F.lag("value", 1).over(w), 6).alias("prev_value"),
+    )
+
+
+_ORACLE_USER_MOVING_AVG = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3,
+       round(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS prev_value
+FROM events
+"""
+
+
+def _q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of order value per priority class —
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the linear
+    interpolation definition. (At 100 TB swap in approx_percentile with a
+    bounded error budget; the exact form is the oracle.)"""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
+             F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+             F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+_ORACLE_ORDER_PERCENTILES = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def _q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping-set combinations in
+    one shuffle (Catalyst expands the cube map-side). NULL grouping slots
+    are labeled ALL so the result is a plain relation."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n_orders"))
+        .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                "revenue", "n_orders")
+    )
+
+
+_ORACLE_CUBE_REVENUE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def _q_train_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment — the standard
+    leakage-free split for a training corpus: bucket = md5(doc_id) mod 100,
+    train < 80, val < 90, test otherwise. Pure codegen, identical recipe
+    in DuckDB, stable under repartitioning (depends only on doc_id)."""
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("bigint") % 100)
+    split = (F.when(bucket < 80, "train").when(bucket < 90, "val")
+             .otherwise("test"))
+    return (docs.select(F.col("source"), split.alias("split"))
+            .groupBy("source", "split").agg(F.count("*").alias("n_docs")))
+
+
+_ORACLE_TRAIN_SPLIT_COUNTS = """
+SELECT source,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM (SELECT source,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+      FROM documents) _h
+GROUP BY source, split
+"""
+
+
+def _q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo share: lineitem joined to the part dim with
+    an explicit broadcast (the dim is orders of magnitude smaller than the
+    fact — no shuffle of lineitem), conditional aggregation for the
+    PROMO share of one ship-month's revenue."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_type")
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp")))
+          .select("l_partkey", "l_extendedprice", "l_discount"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(
+            100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev), 6).alias("promo_revenue_pct"))
+    )
+
+
+_ORACLE_PROMO_REVENUE = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_cosine": _q_topk_cosine,
@@ -1045,6 +1261,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_violations": _q_ingest_violations,
         "pricing_summary": _q_pricing_summary,
         "segment_revenue": _q_segment_revenue,
+        "events_salted_agg": _q_events_salted_agg,
+        "set_ops_customers": _q_set_ops_customers,
+        "semi_anti_customers": _q_semi_anti_customers,
+        "user_moving_avg": _q_user_moving_avg,
+        "order_percentiles": _q_order_percentiles,
+        "cube_revenue": _q_cube_revenue,
+        "train_split_counts": _q_train_split_counts,
+        "promo_revenue": _q_promo_revenue,
     }
 
 
@@ -1091,4 +1315,12 @@ def oracle_sql() -> dict[str, str]:
         "ingest_violations": _ORACLE_INGEST_VIOLATIONS,
         "pricing_summary": _ORACLE_PRICING_SUMMARY,
         "segment_revenue": _ORACLE_SEGMENT_REVENUE,
+        "events_salted_agg": _ORACLE_EVENTS_SALTED_AGG,
+        "set_ops_customers": _ORACLE_SET_OPS_CUSTOMERS,
+        "semi_anti_customers": _ORACLE_SEMI_ANTI_CUSTOMERS,
+        "user_moving_avg": _ORACLE_USER_MOVING_AVG,
+        "order_percentiles": _ORACLE_ORDER_PERCENTILES,
+        "cube_revenue": _ORACLE_CUBE_REVENUE,
+        "train_split_counts": _ORACLE_TRAIN_SPLIT_COUNTS,
+        "promo_revenue": _ORACLE_PROMO_REVENUE,
     }
