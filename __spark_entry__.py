@@ -1219,6 +1219,81 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-0
 """
 
 
+def _q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events.props payload column
+    (``get_json_object`` → codegen Jackson parse, no Python): per event
+    type, stats over the extracted integer field. The schema-on-read path
+    every log pipeline needs — the JSON parse happens at the scan and the
+    aggregate sees a plain int column."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (events.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("k").alias("n_events"),
+                 F.min("k").alias("min_k"), F.max("k").alias("max_k"),
+                 F.round(F.avg("k"), 6).alias("avg_k")))
+
+
+_ORACLE_EVENTS_JSON_PROPS = """
+SELECT event_type, count(k) AS n_events, min(k) AS min_k, max(k) AS max_k,
+       round(avg(k), 6) AS avg_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events) _j
+GROUP BY event_type
+"""
+
+
+def _q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series rollup + window over the AGGREGATE: monthly revenue via
+    date_trunc, then month-over-month growth with lag over the (tiny)
+    aggregated relation — the window shuffles months, not orders."""
+    from pyspark.sql import Window
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = (orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+               .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    w = Window.orderBy("month")
+    return (monthly.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        "revenue",
+        F.round((F.col("revenue") - F.lag("revenue", 1).over(w))
+                / F.lag("revenue", 1).over(w) * 100.0, 6).alias("growth_pct")))
+
+
+_ORACLE_MONTHLY_REVENUE_GROWTH = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1)
+SELECT strftime(month, '%Y-%m') AS month, revenue,
+       round((revenue - lag(revenue, 1) OVER (ORDER BY month))
+             / lag(revenue, 1) OVER (ORDER BY month) * 100.0, 6) AS growth_pct
+FROM m
+"""
+
+
+def _q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot the event_type dimension into columns (one shuffle; the pivot
+    values are declared, so Catalyst plans a single pass — never an
+    N-scans-per-category loop)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (events.groupBy("user_id")
+            .pivot("event_type", types).count()
+            .select("user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                                 for t in types]))
+
+
+_ORACLE_USER_EVENT_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'error') AS n_error
+FROM events GROUP BY user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_cosine": _q_topk_cosine,
@@ -1269,6 +1344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": _q_cube_revenue,
         "train_split_counts": _q_train_split_counts,
         "promo_revenue": _q_promo_revenue,
+        "events_json_props": _q_events_json_props,
+        "monthly_revenue_growth": _q_monthly_revenue_growth,
+        "user_event_pivot": _q_user_event_pivot,
     }
 
 
@@ -1323,4 +1401,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_revenue": _ORACLE_CUBE_REVENUE,
         "train_split_counts": _ORACLE_TRAIN_SPLIT_COUNTS,
         "promo_revenue": _ORACLE_PROMO_REVENUE,
+        "events_json_props": _ORACLE_EVENTS_JSON_PROPS,
+        "monthly_revenue_growth": _ORACLE_MONTHLY_REVENUE_GROWTH,
+        "user_event_pivot": _ORACLE_USER_EVENT_PIVOT,
     }

@@ -148,3 +148,61 @@ def test_length_band_jaccard_no_cross_join(plans):
 def test_centroid_rollup_partial_aggregates(plans):
     p = plans("embedding_centroids")
     assert "partial_" in p  # map-side combine before the shuffle
+
+
+def test_promo_revenue_broadcasts_part_dim(plans):
+    """The part dim must broadcast — lineitem is never shuffled for the
+    join — and the shipdate filter must reach the parquet scan."""
+    p = plans("promo_revenue")
+    assert "BroadcastHashJoin" in p
+    pushed = p.split("PushedFilters")
+    assert any("l_shipdate" in seg[:200] for seg in pushed[1:])
+
+
+def test_semi_anti_plans_are_semi_and_anti_joins(plans):
+    """EXISTS/NOT EXISTS must plan as LeftSemi/LeftAnti — the probed side's
+    payload is never materialized, no cartesian fallback."""
+    p = plans("semi_anti_customers")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_cube_is_single_expand_pass(plans):
+    """CUBE plans one Expand over the scan (4 grouping sets map-side), one
+    shuffle — not one scan per grouping set."""
+    p = plans("cube_revenue")
+    assert "Expand" in p
+    # one scan node (formatted plans list each node twice: tree + details,
+    # but Location: appears once per scan)
+    assert p.count("Location: InMemoryFileIndex") == 1
+    assert "partial_" in p  # partial agg before the exchange
+
+
+def test_moving_avg_single_shuffle_window(plans):
+    """The frame window shuffles once on user_id, sorts in-partition —
+    no global sort, no extra exchange."""
+    p = plans("user_moving_avg")
+    assert "Window" in p
+    assert p.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_pivot_is_single_scan(plans):
+    """Declared pivot values → one scan + one aggregate pass, never a
+    per-category scan loop."""
+    p = plans("user_event_pivot")
+    assert p.count("Location: InMemoryFileIndex") == 1
+
+
+def test_salted_agg_two_phase(plans):
+    """Salted aggregation: two HashAggregate pairs (partial+final per
+    phase) and the phase-1 shuffle carries the salt key."""
+    p = plans("events_salted_agg")
+    assert p.count("HashAggregate") >= 4
+    assert "_salt" in p
+
+
+def test_json_extraction_stays_in_codegen(plans):
+    """get_json_object is a JVM expression — no Python eval node."""
+    p = plans("events_json_props")
+    assert "EvalPython" not in p
+    assert "partial_" in p
