@@ -1294,6 +1294,92 @@ FROM events GROUP BY user_id
 """
 
 
+def _q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free fact join via bucketed tables: orders and customer are
+    materialized ONCE as managed tables bucketed on custkey (16 buckets),
+    then joined with a merge hint — the planner proves co-location from
+    the table layout and plans ZERO exchanges (asserted in test_plans).
+    The write is the one-time cost every repeated join amortizes — the
+    100 TB answer to 'this join runs every day'."""
+    from go_simple_embedding_database_spark.sources.bucketed import ensure_bucketed_copy
+    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    orders = ensure_bucketed_copy(
+        spark, spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey", "o_totalprice"),
+        f"b_orders_{tag}", ["o_custkey"])
+    cust = ensure_bucketed_copy(
+        spark, spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_mktsegment"),
+        f"b_customer_{tag}", ["c_custkey"])
+    return (
+        orders.hint("merge").join(cust.hint("merge"),
+                                  orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+_ORACLE_BUCKETED_JOIN_REVENUE = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def _q_big_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-filtered aggregate (TPC-H Q18 flavor): customers whose total
+    order value exceeds a threshold, joined back to the dim for the
+    segment. The HAVING filter runs on the aggregated relation — tiny —
+    and the dim join broadcasts."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey", "c_mktsegment")
+    big = (orders.groupBy("o_custkey")
+           .agg(F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+                F.count("*").alias("n_orders"))
+           .filter(F.col("total_value") > 300000.0))
+    return (big.join(F.broadcast(cust), big.o_custkey == cust.c_custkey)
+            .select(F.col("o_custkey").alias("custkey"), "c_mktsegment",
+                    "total_value", "n_orders"))
+
+
+_ORACLE_BIG_ORDERS_CUSTOMERS = """
+SELECT o_custkey AS custkey, c_mktsegment, total_value, n_orders
+FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS total_value,
+             count(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+      HAVING round(sum(o_totalprice), 2) > 300000.0) big
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def _q_nation_acctbal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface: customers with
+    more than twice their nation's average balance. Catalyst decorrelates
+    the subquery into an aggregate + join — no per-row re-execution (the
+    naive interpretation would be O(N) scans)."""
+    spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .createOrReplaceTempView("_gsed_customer_v")
+    return spark.sql("""
+        SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+               round(c_acctbal, 2) AS acctbal
+        FROM _gsed_customer_v c
+        WHERE c_acctbal > 2 * (SELECT avg(c2.c_acctbal)
+                               FROM _gsed_customer_v c2
+                               WHERE c2.c_nationkey = c.c_nationkey)
+    """)
+
+
+_ORACLE_NATION_ACCTBAL_OUTLIERS = """
+SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+       round(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE c_acctbal > 2 * (SELECT avg(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_cosine": _q_topk_cosine,
@@ -1347,6 +1433,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": _q_events_json_props,
         "monthly_revenue_growth": _q_monthly_revenue_growth,
         "user_event_pivot": _q_user_event_pivot,
+        "bucketed_join_revenue": _q_bucketed_join_revenue,
+        "big_orders_customers": _q_big_orders_customers,
+        "nation_acctbal_outliers": _q_nation_acctbal_outliers,
     }
 
 
@@ -1404,4 +1493,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_props": _ORACLE_EVENTS_JSON_PROPS,
         "monthly_revenue_growth": _ORACLE_MONTHLY_REVENUE_GROWTH,
         "user_event_pivot": _ORACLE_USER_EVENT_PIVOT,
+        "bucketed_join_revenue": _ORACLE_BUCKETED_JOIN_REVENUE,
+        "big_orders_customers": _ORACLE_BIG_ORDERS_CUSTOMERS,
+        "nation_acctbal_outliers": _ORACLE_NATION_ACCTBAL_OUTLIERS,
     }

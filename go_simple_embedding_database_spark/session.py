@@ -72,6 +72,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Pin the warehouse (managed/bucketed tables) to a stable location:
+        # the default is ./spark-warehouse, which silently forks table state
+        # per working directory.
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               os.path.join(_REPO_ROOT, "spark-warehouse")))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

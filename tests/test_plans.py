@@ -206,3 +206,23 @@ def test_json_extraction_stays_in_codegen(plans):
     p = plans("events_json_props")
     assert "EvalPython" not in p
     assert "partial_" in p
+
+
+def test_bucketed_join_has_no_join_exchange(plans):
+    """The whole point of bucketing: the SortMergeJoin reads co-located
+    buckets directly — NO exchange on the join key; the only shuffle in
+    the plan is the post-join groupBy."""
+    p = plans("bucketed_join_revenue")
+    assert "SelectedBucketsCount" in p
+    assert "Exchange hashpartitioning(o_custkey" not in p
+    assert "Exchange hashpartitioning(c_custkey" not in p
+    assert "SortMergeJoin" in p
+
+
+def test_correlated_subquery_decorrelates(plans):
+    """The correlated scalar subquery must decorrelate to an aggregate +
+    join — never a per-row subquery loop (no nested scans of customer
+    beyond the two relation reads)."""
+    p = plans("nation_acctbal_outliers")
+    assert p.count("Location: InMemoryFileIndex") <= 2
+    assert "Join" in p
