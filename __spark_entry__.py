@@ -1380,6 +1380,61 @@ WHERE c_acctbal > 2 * (SELECT avg(c2.c_acctbal) FROM customer c2
 """
 
 
+def _q_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: document frequency of every word-trigram
+    (shingles are distinct per doc, so count = doc frequency), top 100.
+    explode → map-side partial count → shuffle on the shingle — the
+    vocabulary-building pass every tokenizer training run needs.
+    Deterministic tail via (df desc, shingle asc) ordering."""
+    from go_simple_embedding_database_spark.functions.text import shingles
+    docs = _docs_par(spark, sf_dir)
+    return (docs.select(F.explode(shingles(F.col("text"), 3)).alias("shingle"))
+            .groupBy("shingle").agg(F.count("*").alias("doc_freq"))
+            .orderBy(F.desc("doc_freq"), F.asc("shingle")).limit(100))
+
+
+def _oracle_ngram_vocab() -> str:
+    from go_simple_embedding_database_spark.functions.text import shingles_sql
+    return f"""
+SELECT shingle, count(*) AS doc_freq
+FROM (SELECT unnest({shingles_sql('text', 3)}) AS shingle FROM documents) _u
+GROUP BY shingle ORDER BY doc_freq DESC, shingle LIMIT 100
+"""
+
+
+def _q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) exploding each document into
+    fixed-size chunks via SQL LATERAL — the one-row-to-N-rows UDF shape
+    the reference's registry cannot express (SURVEY §2.4: no UDTF surface).
+    Same chunk recipe as functions.text.chunk_text (4096-byte reference
+    chunking, README.md:54-68) so the DuckDB oracle is exact."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string")
+    class ChunkUDTF:
+        def eval(self, text: str, size: int):
+            t = text or ""
+            n = max((len(t) + size - 1) // size, 1)
+            for i in range(n):
+                yield i, t[i * size:(i + 1) * size]
+
+    spark.udtf.register("gsed_chunk_udtf", ChunkUDTF)
+    _docs(spark, sf_dir).createOrReplaceTempView("_gsed_docs_v")
+    return spark.sql("""
+        SELECT doc_id, c.chunk_idx, c.chunk
+        FROM _gsed_docs_v, LATERAL gsed_chunk_udtf(text, 256) c
+    """)
+
+
+def _oracle_udtf_chunks() -> str:
+    from go_simple_embedding_database_spark.functions.text import chunk_text_sql
+    return f"""
+SELECT doc_id, CAST(generate_subscripts(cs, 1) - 1 AS INT) AS chunk_idx,
+       unnest(cs) AS chunk
+FROM (SELECT doc_id, {chunk_text_sql('text', 256)} AS cs FROM documents) _t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_cosine": _q_topk_cosine,
@@ -1436,6 +1491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_revenue": _q_bucketed_join_revenue,
         "big_orders_customers": _q_big_orders_customers,
         "nation_acctbal_outliers": _q_nation_acctbal_outliers,
+        "ngram_vocab": _q_ngram_vocab,
+        "udtf_chunks": _q_udtf_chunks,
     }
 
 
@@ -1496,4 +1553,6 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join_revenue": _ORACLE_BUCKETED_JOIN_REVENUE,
         "big_orders_customers": _ORACLE_BIG_ORDERS_CUSTOMERS,
         "nation_acctbal_outliers": _ORACLE_NATION_ACCTBAL_OUTLIERS,
+        "ngram_vocab": _oracle_ngram_vocab(),
+        "udtf_chunks": _oracle_udtf_chunks(),
     }
