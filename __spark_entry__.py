@@ -1435,6 +1435,71 @@ FROM (SELECT doc_id, {chunk_text_sql('text', 256)} AS cs FROM documents) _t
 """
 
 
+def _q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source balanced subsample: keep at most 50 docs
+    per source, chosen by md5(doc_id) order — the reproducible,
+    repartition-invariant way to cap dominant sources in a training mix
+    (random sampleBy is neither reproducible across engines nor stable
+    under retries). One shuffle on source; row_number over the hash
+    order."""
+    from pyspark.sql import Window
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 50)
+            .groupBy("source")
+            .agg(F.count("*").alias("n_kept"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.round(F.avg("n_chars"), 6).alias("avg_chars")))
+
+
+_ORACLE_BALANCED_SAMPLE = """
+SELECT source, count(*) AS n_kept, min(doc_id) AS min_doc_id,
+       round(avg(n_chars), 6) AS avg_chars
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS _rn
+      FROM documents) _s
+WHERE _rn <= 50 GROUP BY source
+"""
+
+
+def _q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination scan: pairs of (test doc, train doc) that
+    share any winnowing fingerprint — i.e. a common passage of >= window+n-1
+    words leaked across the md5-hash split (the eval-integrity check every
+    training corpus needs). Candidates come from an equi-join on the
+    exploded fingerprint — never a text cross join; the distinct collapses
+    multi-fingerprint matches."""
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    docs = _docs_par(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("bigint") % 100)
+    fp = docs.select(
+        "doc_id", (bucket < 80).alias("_is_train"),
+        F.explode(dd.winnow_fingerprints(F.col("text"))).alias("fp"))
+    test = fp.filter(~F.col("_is_train")).select(F.col("doc_id").alias("test_doc_id"), "fp")
+    train = fp.filter(F.col("_is_train")).select(F.col("doc_id").alias("train_doc_id"), "fp")
+    return test.join(train, "fp").select("test_doc_id", "train_doc_id").distinct()
+
+
+def _oracle_split_contamination() -> str:
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    fps = dd.winnow_fingerprints_sql("text")
+    return f"""
+WITH fp AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+           % 100 < 80 AS is_train,
+         unnest({fps}) AS fp
+  FROM documents)
+SELECT DISTINCT t.doc_id AS test_doc_id, tr.doc_id AS train_doc_id
+FROM fp t JOIN fp tr ON t.fp = tr.fp
+WHERE NOT t.is_train AND tr.is_train
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_cosine": _q_topk_cosine,
@@ -1493,6 +1558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_acctbal_outliers": _q_nation_acctbal_outliers,
         "ngram_vocab": _q_ngram_vocab,
         "udtf_chunks": _q_udtf_chunks,
+        "balanced_sample": _q_balanced_sample,
+        "split_contamination": _q_split_contamination,
     }
 
 
@@ -1555,4 +1622,6 @@ def oracle_sql() -> dict[str, str]:
         "nation_acctbal_outliers": _ORACLE_NATION_ACCTBAL_OUTLIERS,
         "ngram_vocab": _oracle_ngram_vocab(),
         "udtf_chunks": _oracle_udtf_chunks(),
+        "balanced_sample": _ORACLE_BALANCED_SAMPLE,
+        "split_contamination": _oracle_split_contamination(),
     }
