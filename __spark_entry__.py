@@ -399,8 +399,8 @@ def _q_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
         "label")
-    out = dd.cosine_neardup_pairs(emb.unionByName(planted),
-                                  threshold=0.999999, block_col="label")
+    out = dd.cosine_neardup_pairs_gemm(emb.unionByName(planted),
+                                       threshold=0.999999, block_col="label")
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1500,6 +1500,38 @@ WHERE NOT t.is_train AND tr.is_train
 """
 
 
+def _q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert (CDC shape): a revision batch (docs 0-99,
+    re-sourced and re-measured) replaces its keys in the corpus, the rest
+    survives via left-anti join — then per-source counts audit the swap.
+    The standard incremental-corpus-refresh step between training runs."""
+    from go_simple_embedding_database_spark.sources.maintenance import upsert
+    docs = _docs(spark, sf_dir)
+    updates = (docs.filter(F.col("doc_id") < 100)
+               .withColumn("text", F.concat(F.lit("[rev2] "), F.col("text")))
+               .withColumn("source", F.lit("revised"))
+               .withColumn("n_chars", F.length("text")))
+    merged = upsert(docs, updates, ["doc_id"])
+    return (merged.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+_ORACLE_CORPUS_UPSERT = """
+WITH updates AS (
+  SELECT doc_id, '[rev2] ' || text AS text, lang, 'revised' AS source,
+         length('[rev2] ' || text) AS n_chars
+  FROM documents WHERE doc_id < 100),
+merged AS (
+  SELECT * FROM updates
+  UNION ALL
+  SELECT * FROM documents d
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.doc_id = d.doc_id))
+SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM merged GROUP BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_cosine": _q_topk_cosine,
@@ -1560,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_chunks": _q_udtf_chunks,
         "balanced_sample": _q_balanced_sample,
         "split_contamination": _q_split_contamination,
+        "corpus_upsert": _q_corpus_upsert,
     }
 
 
@@ -1624,4 +1657,5 @@ def oracle_sql() -> dict[str, str]:
         "udtf_chunks": _oracle_udtf_chunks(),
         "balanced_sample": _ORACLE_BALANCED_SAMPLE,
         "split_contamination": _oracle_split_contamination(),
+        "corpus_upsert": _ORACLE_CORPUS_UPSERT,
     }

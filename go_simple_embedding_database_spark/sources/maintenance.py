@@ -11,9 +11,20 @@ write-to-new-path so the caller controls the swap.)
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # the classic HDFS-block-ish target
+
+
+def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE-style upsert as a relational expression: every update row
+    wins; base rows survive only if their key is absent from the updates
+    (left-anti join on the keys — one shuffle, no driver loop). This is
+    the plan Delta/Iceberg MERGE executes under the hood; on plain parquet
+    the caller writes the result as the new table version. Both inputs
+    must share a schema (unionByName enforces it)."""
+    return updates.unionByName(
+        base.join(updates.select(*keys), keys, "left_anti"))
 
 
 def estimate_table_bytes(spark: SparkSession, path: str) -> int:

@@ -129,6 +129,31 @@ def test_cosine_neardup_planted(spark, embeddings):
     assert {(i, i + 100000) for i in range(5)} <= found
 
 
+def test_cosine_neardup_gemm_matches_hof(spark, embeddings):
+    """The per-block GEMM path must produce the same pair set and (to 1e-9)
+    the same cosines as the per-pair HOF formulation, including the
+    zero-norm → 0.0 rule."""
+    planted = embeddings.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: x * 2.0).alias("embedding"),
+        F.col("label"))
+    zero = spark.createDataFrame(
+        [(999999, [0.0] * 64, 0), (999998, [0.0] * 64, 0)],
+        "vec_id bigint, embedding array<double>, label bigint")
+    both = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"),
+        "label").unionByName(planted).unionByName(zero)
+    hof = {(r.id_a, r.id_b): r.cosine for r in dd.cosine_neardup_pairs(
+        both, threshold=0.999, block_col="label").collect()}
+    gemm = {(r.id_a, r.id_b): r.cosine for r in dd.cosine_neardup_pairs_gemm(
+        both, threshold=0.999, block_col="label").collect()}
+    assert set(hof) == set(gemm) and len(gemm) >= 5
+    assert all(abs(hof[k] - gemm[k]) < 1e-9 for k in hof)
+    # zero-norm pair scores 0, never >= threshold
+    assert (999998, 999999) not in gemm
+
+
 def test_winnow_shared_passage_guarantee(spark):
     """Winnowing's contract: two documents sharing a passage longer than
     window + n - 1 words MUST share at least one fingerprint; disjoint
