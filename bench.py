@@ -63,11 +63,22 @@ def main() -> None:
         # Isolate queries: lifecycle queries (crud/ingest) persist their
         # embedded batches and would otherwise hold executor memory across
         # every later measurement.
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
         try:
-            _run(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 4)
+            # Steady-state timing: best of two runs. The first run of a
+            # query pays one-off plan compilation + codegen (~1s) and is
+            # exposed to GC pauses from the previous query's teardown;
+            # at a real SF those costs are noise, at sf0.1 they ARE the
+            # number. Queries already slower than 10s skip the retry.
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                _run(fn(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                if dt > 10.0:
+                    break
+            timings[name] = round(best, 4)
         except Exception as e:  # one broken query must not kill the bench
             errors[name] = f"{type(e).__name__}: {e}"[:200]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)

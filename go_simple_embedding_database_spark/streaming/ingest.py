@@ -115,6 +115,35 @@ def streaming_index_ingest(spark, source_dir: str, index_path: str,
     return writer.start()
 
 
+def stream_interval_join(left: DataFrame, right: DataFrame,
+                         key_col: str = "user_id", ts_col: str = "ts",
+                         lower: str = "30 minutes", upper: str = "0 seconds",
+                         watermark: str = "1 hour",
+                         suffix: str = "_r") -> DataFrame:
+    """Stream-stream inner join bounded by key equality AND an event-time
+    interval: a left event matches right events of the same key with
+    ``r.ts`` in [l.ts - lower, l.ts + upper]. Both sides carry watermarks,
+    so the join state for a key ages out once the watermark passes the
+    interval — state ∝ in-flight window, never history (the only safe way
+    to join two unbounded streams). Works identically on batch DataFrames
+    (same expression, no watermark), which is what the batch-twin test
+    asserts."""
+    def prep(df: DataFrame) -> DataFrame:
+        df = _as_event_time(df, ts_col)
+        return df.withWatermark(ts_col, watermark) if df.isStreaming else df
+
+    l = prep(left).alias("l")
+    r = prep(right).select(
+        *[F.col(c).alias(f"{c}{suffix}") for c in right.columns]).alias("r")
+    rts, lts = F.col(f"{ts_col}{suffix}"), F.col(f"l.{ts_col}")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"{key_col}{suffix}"))
+        & (rts >= lts - F.expr(f"INTERVAL {lower}"))
+        & (rts <= lts + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def sessionize(events: DataFrame, gap: str = "10 minutes",
                key_col: str = "user_id", ts_col: str = "ts",
                watermark: str = "30 minutes") -> DataFrame:

@@ -88,6 +88,35 @@ def test_sessionize_batch_semantics(spark):
     assert [r.n_events for r in sessionize(touch).collect()] == [2]
 
 
+def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (purchase ← preceding clicks of the
+    same user within 30 min) over a bounded source must equal the batch
+    run of the SAME code path."""
+    from go_simple_embedding_database_spark.streaming.ingest import stream_interval_join
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ssj_src")
+    events.write.mode("overwrite").parquet(src)
+
+    def split(df):
+        purchases = df.filter(F.col("event_type") == "purchase") \
+            .select("event_id", "user_id", "ts")
+        clicks = df.filter(F.col("event_type") == "click") \
+            .select("event_id", "user_id", "ts")
+        return stream_interval_join(purchases, clicks, lower="1 day",
+                                    watermark="2 days").select(
+            "event_id", "event_id_r")
+
+    batch = {(r.event_id, r.event_id_r) for r in
+             split(spark.read.parquet(src)).collect()}
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (split(stream).writeStream.format("memory").queryName("ssj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.event_id, r.event_id_r) for r in
+           spark.sql("select * from ssj").collect()}
+    assert got == batch and len(batch) > 0
+
+
 def test_sessionize_streaming_matches_batch(spark, sf_dir, tmp_path):
     """The SAME sessionize code path over a file-source stream with
     availableNow must produce the batch result (complete mode)."""
