@@ -1532,6 +1532,23 @@ FROM merged GROUP BY source
 """
 
 
+def _q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch vs exact: distinct users per event type both ways,
+    with the relative error. approx_count_distinct is the 100 TB path —
+    mergeable constant-size sketches, one pass, no distinct shuffle; the
+    exact count is the small-SF control. No DuckDB oracle (its HLL is a
+    different implementation — sketch values are engine-specific), so the
+    driver records the weaker rows-only check; the in-repo test pins the
+    error bound instead."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (events.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_exact"),
+                 F.approx_count_distinct("user_id", 0.02).alias("n_approx"))
+            .select("event_type", "n_exact", "n_approx",
+                    F.round(F.abs(F.col("n_approx") - F.col("n_exact"))
+                            / F.col("n_exact"), 6).alias("rel_err")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_cosine": _q_topk_cosine,
@@ -1593,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_sample": _q_balanced_sample,
         "split_contamination": _q_split_contamination,
         "corpus_upsert": _q_corpus_upsert,
+        "approx_distinct_users": _q_approx_distinct_users,
     }
 
 
@@ -1632,6 +1650,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_metadata": _ORACLE_MULTIMODAL_METADATA,
         # multimodal_decode: intentionally absent — Python-side stub codec,
         # rows-only check.
+        # approx_distinct_users: intentionally absent — HLL sketch values
+        # are engine-specific; error bound pinned by unit test instead.
         "text_chunks": _oracle_text_chunks(),
         "events_sessionize": _ORACLE_EVENTS_SESSIONIZE,
         "dedup_keep": _ORACLE_DEDUP_KEEP,

@@ -435,6 +435,10 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
     fp = ensure_parallelism(df).select(
         F.col(id_col), *([F.col(block_col)] if block_col else []),
         simhash(F.col(text_col), n).alias("fp"))
+    # The self-join plans the fp subtree twice and Spark only reuses
+    # exchanges, not arbitrary subplans — persist the (id, fp) relation
+    # (16 bytes/doc) so the fingerprint UDF runs once per document.
+    fp = fp.persist()
     a, b = fp.alias("a"), fp.alias("b")
     on = [F.col(f"a.{block_col}") == F.col(f"b.{block_col}")] if block_col else []
     joined = a.join(b, on) if on else a.crossJoin(b)

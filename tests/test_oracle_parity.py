@@ -57,6 +57,15 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:5]}"
 
 
+def test_approx_distinct_error_bound(spark):
+    """The rows-only HLL query: every group's sketch estimate must land
+    within 10% of the exact count at rsd=0.02 (generous bound — the HLL++
+    guarantee is probabilistic)."""
+    rows = entry_mod.queries()["approx_distinct_users"](spark, SF_DIR).collect()
+    assert rows and all(r.rel_err <= 0.10 for r in rows)
+    assert all(r.n_exact > 0 for r in rows)
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
