@@ -1549,6 +1549,46 @@ def _q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("n_exact"), 6).alias("rel_err")))
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → groups: the verified length-band Jaccard near-dup pairs
+    form edges; connected components (min-label propagation with pointer
+    jumping) assign every involved doc its transitive cluster — the step
+    that turns near-dup PAIRS into keep-one-per-group dedup. Oracle:
+    DuckDB recursive CTE computing the same min-reachable-node closure."""
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    edges = dd.length_band_jaccard_dedup(_docs_par(spark, sf_dir),
+                                         band_width=8, threshold=0.8)
+    comps = dd.connected_components(edges.select("id_a", "id_b"))
+    from pyspark.sql import Window
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"),
+        F.count("*").over(Window.partitionBy("comp")).alias("cluster_size"))
+
+
+def _oracle_dedup_clusters() -> str:
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    jac = dd.jaccard_sql("a.text", "b.text")
+    return f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+   AND CAST(b.n_chars / 8 AS BIGINT) - CAST(a.n_chars / 8 AS BIGINT) BETWEEN -1 AND 1
+  WHERE {jac} >= 0.8),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+comps AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comps
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_cosine": _q_topk_cosine,
@@ -1611,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_contamination": _q_split_contamination,
         "corpus_upsert": _q_corpus_upsert,
         "approx_distinct_users": _q_approx_distinct_users,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -1678,4 +1719,5 @@ def oracle_sql() -> dict[str, str]:
         "balanced_sample": _ORACLE_BALANCED_SAMPLE,
         "split_contamination": _oracle_split_contamination(),
         "corpus_upsert": _ORACLE_CORPUS_UPSERT,
+        "dedup_clusters": _oracle_dedup_clusters(),
     }

@@ -154,6 +154,16 @@ def test_cosine_neardup_gemm_matches_hof(spark, embeddings):
     assert (999998, 999999) not in gemm
 
 
+def test_connected_components_transitive(spark):
+    """A chain a-b-c-d collapses into ONE component labeled by its min
+    node even though a and d share no edge; a separate pair stays its own
+    component."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint")
+    got = {r.node: r.comp for r in dd.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_winnow_shared_passage_guarantee(spark):
     """Winnowing's contract: two documents sharing a passage longer than
     window + n - 1 words MUST share at least one fingerprint; disjoint
