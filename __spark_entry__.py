@@ -1589,6 +1589,50 @@ FROM comps
 """
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: per-document term frequency × corpus
+    inverse document frequency, top-3 terms per doc (ties broken
+    alphabetically — deterministic). Three-stage dataflow: explode words →
+    per-(doc, term) TF in one map-side-combined agg → corpus DF agg →
+    broadcast-join the (small) DF relation back → per-doc window top-k.
+    The df relation is |vocabulary|-sized, not corpus-sized, so the join
+    broadcasts at any corpus scale."""
+    from pyspark.sql import Window
+    from go_simple_embedding_database_spark.functions.text import words
+    docs = _docs_par(spark, sf_dir)
+    n_docs = docs.count()
+    terms = docs.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_rel = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (tf.join(F.broadcast(df_rel), "term")
+              .withColumn("tfidf", F.round(
+                  F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 3)
+            .select("doc_id", "term", "tf", "df", "tfidf",
+                    F.col("_rn").alias("rank")))
+
+
+_ORACLE_TFIDF_TOP_TERMS = """
+WITH terms AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                    w -> w <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term, tf, df.df,
+         round(tf * ln((n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(tf * ln((n_docs + 1.0) / (df.df + 1.0)), 6) DESC,
+                                     tf.term) AS rank
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+SELECT doc_id, term, tf, df, tfidf, rank FROM scored WHERE rank <= 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_cosine": _q_topk_cosine,
@@ -1652,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_upsert": _q_corpus_upsert,
         "approx_distinct_users": _q_approx_distinct_users,
         "dedup_clusters": _q_dedup_clusters,
+        "tfidf_top_terms": _q_tfidf_top_terms,
     }
 
 
@@ -1720,4 +1765,5 @@ def oracle_sql() -> dict[str, str]:
         "split_contamination": _oracle_split_contamination(),
         "corpus_upsert": _ORACLE_CORPUS_UPSERT,
         "dedup_clusters": _oracle_dedup_clusters(),
+        "tfidf_top_terms": _ORACLE_TFIDF_TOP_TERMS,
     }
