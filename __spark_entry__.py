@@ -1633,6 +1633,96 @@ SELECT doc_id, term, tf, df, tfidf, rank FROM scored WHERE rank <= 3
 """
 
 
+def _q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, maximal runs of consecutive active DAYS.
+    The classic composition — distinct active days, day_num − dense row
+    number is constant within an island, group by that anchor. Two window
+    passes + one aggregate, all partitioned by user."""
+    from pyspark.sql import Window
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    days = (events.select("user_id",
+                          F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+                          .alias("day"))
+            .distinct())
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn("anchor", F.col("day") - F.row_number().over(w))
+    streaks = (islands.groupBy("user_id", "anchor")
+               .agg(F.count("*").alias("len")))
+    return (streaks.groupBy("user_id")
+            .agg(F.count("*").alias("n_streaks"),
+                 F.max("len").alias("longest_streak")))
+
+
+_ORACLE_USER_ACTIVITY_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+  FROM events),
+islands AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS anchor
+  FROM days),
+streaks AS (
+  SELECT user_id, anchor, count(*) AS len FROM islands GROUP BY user_id, anchor)
+SELECT user_id, count(*) AS n_streaks, max(len) AS longest_streak
+FROM streaks GROUP BY user_id
+"""
+
+
+def _q_order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order values via width_bucket — one
+    map-side-combined aggregate, the distribution profile that drives
+    partition/skew decisions at scale."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    b = F.width_bucket("o_totalprice", F.lit(0.0), F.lit(500000.0), F.lit(10))
+    return (orders.select(b.alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n_orders")))
+
+
+_ORACLE_ORDER_VALUE_HISTOGRAM = """
+SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= 500000.0 THEN 11
+            ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1 END AS bucket,
+       count(*) AS n_orders
+FROM orders GROUP BY bucket
+"""
+
+
+def _q_events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling window: per user-day, event count and value sum
+    over the trailing 7 days — the frame is VALUE-based (rangeBetween over
+    the numeric day), so gaps in activity are handled correctly, unlike a
+    rows frame."""
+    from pyspark.sql import Window
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (events.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day"),
+        "value")
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("n_day"), F.sum("value").alias("v_day")))
+    w = (Window.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0))
+    return daily.select(
+        "user_id", "day",
+        F.sum("n_day").over(w).alias("n_7d"),
+        F.round(F.sum("v_day").over(w), 6).alias("value_7d"))
+
+
+_ORACLE_EVENTS_ROLLING_7D = """
+WITH daily AS (
+  SELECT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         count(*) AS n_day, sum(value) AS v_day
+  FROM events GROUP BY user_id, day)
+SELECT user_id, day,
+       sum(n_day) OVER (PARTITION BY user_id ORDER BY day
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d,
+       round(sum(v_day) OVER (PARTITION BY user_id ORDER BY day
+                              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS value_7d
+FROM daily
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_cosine": _q_topk_cosine,
@@ -1697,6 +1787,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": _q_approx_distinct_users,
         "dedup_clusters": _q_dedup_clusters,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "user_activity_streaks": _q_user_activity_streaks,
+        "order_value_histogram": _q_order_value_histogram,
+        "events_rolling_7d": _q_events_rolling_7d,
     }
 
 
@@ -1766,4 +1859,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_upsert": _ORACLE_CORPUS_UPSERT,
         "dedup_clusters": _oracle_dedup_clusters(),
         "tfidf_top_terms": _ORACLE_TFIDF_TOP_TERMS,
+        "user_activity_streaks": _ORACLE_USER_ACTIVITY_STREAKS,
+        "order_value_histogram": _ORACLE_ORDER_VALUE_HISTOGRAM,
+        "events_rolling_7d": _ORACLE_EVENTS_ROLLING_7D,
     }
