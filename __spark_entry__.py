@@ -365,7 +365,7 @@ def _oracle_dedup_jaccard() -> str:
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, round({jac}, 6) AS jaccard
 FROM documents a JOIN documents b
   ON a.source = b.source AND a.doc_id < b.doc_id
- AND CAST(b.n_chars / 8 AS BIGINT) - CAST(a.n_chars / 8 AS BIGINT) BETWEEN -1 AND 1
+ AND CAST(floor(b.n_chars / 8) AS BIGINT) - CAST(floor(a.n_chars / 8) AS BIGINT) BETWEEN -1 AND 1
 WHERE {jac} >= 0.8
 """
 
@@ -1479,6 +1479,10 @@ def _q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = docs.select(
         "doc_id", (bucket < 80).alias("_is_train"),
         F.explode(dd.winnow_fingerprints(F.col("text"))).alias("fp"))
+    # Both join sides derive from fp and Spark reuses exchanges, not
+    # arbitrary subplans — persist so the winnowing UDF fingerprints each
+    # document once, not once per side.
+    fp = fp.persist()
     test = fp.filter(~F.col("_is_train")).select(F.col("doc_id").alias("test_doc_id"), "fp")
     train = fp.filter(F.col("_is_train")).select(F.col("doc_id").alias("train_doc_id"), "fp")
     return test.join(train, "fp").select("test_doc_id", "train_doc_id").distinct()
@@ -1574,7 +1578,7 @@ pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM documents a JOIN documents b
     ON a.source = b.source AND a.doc_id < b.doc_id
-   AND CAST(b.n_chars / 8 AS BIGINT) - CAST(a.n_chars / 8 AS BIGINT) BETWEEN -1 AND 1
+   AND CAST(floor(b.n_chars / 8) AS BIGINT) - CAST(floor(a.n_chars / 8) AS BIGINT) BETWEEN -1 AND 1
   WHERE {jac} >= 0.8),
 edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
           UNION SELECT id_b, id_a FROM pairs),

@@ -69,16 +69,16 @@ def main() -> None:
             # exposed to GC pauses from the previous query's teardown;
             # at a real SF those costs are noise, at sf0.1 they ARE the
             # number. Queries already slower than 10s skip the retry.
-            best = None
             for _ in range(2):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 _run(fn(spark, sf_dir))
                 dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+                # Record after EVERY successful run so a flaky second run
+                # can't discard a valid first measurement.
+                timings[name] = round(min(dt, timings.get(name, dt)), 4)
                 if dt > 10.0:
                     break
-            timings[name] = round(best, 4)
         except Exception as e:  # one broken query must not kill the bench
             errors[name] = f"{type(e).__name__}: {e}"[:200]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)

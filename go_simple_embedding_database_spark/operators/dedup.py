@@ -191,7 +191,10 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     bk = lsh_bands(df, text_col, id_col, num_hashes, bands, n)
     buckets = (
         bk.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        # collect_set, not collect_list: a duplicated input id would
+        # otherwise pair with itself (the old a.id < b.id join predicate
+        # excluded self-pairs; the set keeps that invariant).
+        .agg(F.sort_array(F.collect_set(id_col)).alias("_ids"))
         .filter(F.size("_ids") > 1)
     )
     if max_bucket_size is not None:
@@ -437,7 +440,9 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
         simhash(F.col(text_col), n).alias("fp"))
     # The self-join plans the fp subtree twice and Spark only reuses
     # exchanges, not arbitrary subplans — persist the (id, fp) relation
-    # (16 bytes/doc) so the fingerprint UDF runs once per document.
+    # (16 bytes/doc) so the fingerprint UDF runs once per document. The
+    # cache lives until the session clears it (callers holding the result
+    # lazily depend on it; there is no post-action hook to release it).
     fp = fp.persist()
     a, b = fp.alias("a"), fp.alias("b")
     on = [F.col(f"a.{block_col}") == F.col(f"b.{block_col}")] if block_col else []
@@ -471,7 +476,11 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     both shuffle-partitioned on the node id. At billions of edges swap the
     propagation for the two-phase large-star/small-star variant
     (Kiveris et al., "Connected Components in MapReduce") — same driver
-    loop, fewer rounds on high-degree graphs."""
+    loop, fewer rounds on high-degree graphs.
+
+    Caching contract: the returned labels DataFrame is persisted (it was
+    the loop's working set); callers done with it should ``.unpersist()``
+    it. Intermediate rounds and the edge relation are released here."""
     und = (edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
            .unionByName(edges.select(F.col(id_b).alias("src"),
                                      F.col(id_a).alias("dst"))))
@@ -526,6 +535,11 @@ def cosine_neardup_pairs_gemm(df: DataFrame, vec_col: str = "embedding",
     which the blocking layer sizes for exactly this. For unblocked exact
     pairs use ``cosine_neardup_pairs`` (no per-group memory requirement).
     """
+    # NULL hygiene up front: equi-join semantics (the HOF variant and the
+    # SQL oracle) never match NULL blocks, and a NULL vector would make
+    # np.stack raise inside the worker — drop both, as the join would.
+    df = df.filter(F.col(block_col).isNotNull() & F.col(vec_col).isNotNull())
+
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
         M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)

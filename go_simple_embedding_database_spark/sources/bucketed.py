@@ -46,8 +46,23 @@ def ensure_bucketed_copy(spark: SparkSession, src: DataFrame, table_name: str,
     the warehouse directory persists — a fresh session then fails
     saveAsTable with LOCATION_ALREADY_EXISTS. A leftover location without
     a catalog entry is dead state (bucketing metadata lives in the
-    catalog, not the files), so remove it and rewrite."""
+    catalog, not the files), so remove it and rewrite.
+
+    An existing table is validated against the requested layout (bucket
+    columns + count): returning a differently-bucketed table would
+    silently reintroduce the join shuffles this module exists to remove —
+    fail loudly instead."""
     if spark.catalog.tableExists(table_name):
+        desc = {r.col_name: r.data_type
+                for r in spark.sql(f"DESCRIBE EXTENDED {table_name}").collect()}
+        want_cols = "[" + ", ".join(f"`{c}`" for c in bucket_cols) + "]"
+        got_n = desc.get("Num Buckets")
+        got_cols = desc.get("Bucket Columns")
+        if got_n != str(num_buckets) or got_cols != want_cols:
+            raise ValueError(
+                f"table {table_name} exists with layout (buckets={got_n}, "
+                f"cols={got_cols}) but (buckets={num_buckets}, cols={want_cols}) "
+                f"was requested — drop it or use a different name")
         return spark.table(table_name)
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     jvm = spark.sparkContext._jvm

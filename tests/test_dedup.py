@@ -139,7 +139,11 @@ def test_cosine_neardup_gemm_matches_hof(spark, embeddings):
                     lambda x: x * 2.0).alias("embedding"),
         F.col("label"))
     zero = spark.createDataFrame(
-        [(999999, [0.0] * 64, 0), (999998, [0.0] * 64, 0)],
+        [(999999, [0.0] * 64, 0), (999998, [0.0] * 64, 0),
+         # NULL vector and NULL block: equi-join semantics drop both —
+         # the GEMM path must neither crash (np.stack on None) nor pair
+         # NULL blocks together.
+         (999997, None, 0), (999996, [1.0] * 64, None)],
         "vec_id bigint, embedding array<double>, label bigint")
     both = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"),
@@ -152,6 +156,19 @@ def test_cosine_neardup_gemm_matches_hof(spark, embeddings):
     assert all(abs(hof[k] - gemm[k]) < 1e-9 for k in hof)
     # zero-norm pair scores 0, never >= threshold
     assert (999998, 999999) not in gemm
+
+
+def test_minhash_candidates_no_self_pairs_on_duplicate_ids(spark):
+    """A duplicated input id (re-ingested doc) must not pair with itself —
+    the set-based bucket expansion keeps the old a.id < b.id invariant."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta")],
+        "doc_id bigint, text string")
+    pairs = {(r.id_a, r.id_b) for r in
+             dd.minhash_candidate_pairs(df).collect()}
+    assert pairs == {(1, 2)}
 
 
 def test_connected_components_transitive(spark):

@@ -219,6 +219,21 @@ def test_bucketed_join_has_no_join_exchange(plans):
     assert "SortMergeJoin" in p
 
 
+def test_tfidf_broadcasts_vocabulary(plans):
+    """The document-frequency relation is vocabulary-sized — it must
+    broadcast back onto the corpus-sized TF side, never shuffle it."""
+    p = plans("tfidf_top_terms")
+    assert "BroadcastHashJoin" in p
+
+
+def test_rolling_range_frame_single_window_shuffle(plans):
+    """Daily rollup + RANGE frame: one hash shuffle on user_id feeds both
+    the aggregate and the window (same partitioning, reused)."""
+    p = plans("events_rolling_7d")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+
+
 def test_correlated_subquery_decorrelates(plans):
     """The correlated scalar subquery must decorrelate to an aggregate +
     join — never a per-row subquery loop (no nested scans of customer

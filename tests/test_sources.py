@@ -53,3 +53,25 @@ def test_csv_quarantines_bad_types(spark, tmp_path):
     assert df.filter(F.col(files.CORRUPT_COL).isNotNull()).count() == 1
     assert df.filter((F.col(files.CORRUPT_COL).isNull())
                      & (F.col("doc_id") == 1)).count() == 1
+
+
+def test_bucketed_copy_validates_layout(spark):
+    """ensure_bucketed_copy must reuse a matching table, and refuse a
+    same-named table with a different bucket layout (a silent mismatch
+    would reintroduce the join shuffles bucketing exists to remove)."""
+    import pytest
+    from go_simple_embedding_database_spark.sources import bucketed
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    name = "b_layout_check"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    t1 = bucketed.ensure_bucketed_copy(spark, df, name, ["k"], 4)
+    assert t1.count() == 2
+    # same layout -> reuse
+    assert bucketed.ensure_bucketed_copy(spark, df, name, ["k"], 4).count() == 2
+    # different count or columns -> loud failure
+    with pytest.raises(ValueError, match="layout"):
+        bucketed.ensure_bucketed_copy(spark, df, name, ["k"], 8)
+    with pytest.raises(ValueError, match="layout"):
+        bucketed.ensure_bucketed_copy(spark, df, name, ["v"], 4)
+    spark.sql(f"DROP TABLE {name}")
