@@ -49,6 +49,15 @@ def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ensure_parallelism(_docs(spark, sf_dir))
 
 
+def _ts_lit(df: DataFrame, ts_col: str, value: str):
+    """Timestamp literal cast to ``ts_col``'s OWN type. Casting to plain
+    TIMESTAMP and comparing against a TIMESTAMP_NTZ column coerces through
+    the session time zone — correct under this repo's UTC sessions but
+    silently shifted by the offset in any non-UTC driver session. Matching
+    the column type keeps the comparison wall-clock, tz-independent."""
+    return F.lit(value).cast(df.schema[ts_col].dataType)
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     row = _emb(spark, sf_dir).filter(F.col("vec_id") == vec_id).collect()[0]
     return [float(v) for v in row.embedding]
@@ -775,7 +784,7 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, map-side partial aggregation, 4-group output."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= _ts_lit(li, "l_shipdate", "1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -969,11 +978,13 @@ def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject."""
     cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
             .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
-    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
-              .filter(F.col("o_orderdate") < F.lit("1996-06-01").cast("timestamp"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = (orders
+              .filter(F.col("o_orderdate") < _ts_lit(orders, "o_orderdate", "1996-06-01"))
               .select("o_orderkey", "o_custkey", "o_orderdate"))
-    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-          .filter(F.col("l_shipdate") > F.lit("1996-06-01").cast("timestamp"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = (li
+          .filter(F.col("l_shipdate") > _ts_lit(li, "l_shipdate", "1996-06-01"))
           .select("l_orderkey", "l_extendedprice", "l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -1197,9 +1208,10 @@ def _q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact — no shuffle of lineitem), conditional aggregation for the
     PROMO share of one ship-month's revenue."""
     part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_type")
-    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-          .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-                  & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp")))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = (li
+          .filter((F.col("l_shipdate") >= _ts_lit(li, "l_shipdate", "1996-01-01"))
+                  & (F.col("l_shipdate") < _ts_lit(li, "l_shipdate", "1996-02-01")))
           .select("l_partkey", "l_extendedprice", "l_discount"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
