@@ -157,8 +157,11 @@ class SparkEmbeddingDatabase:
         )
         # Persist across the validation joins and the insert: embedding is
         # the expensive stage and must run ONCE per blob, not once per
-        # downstream action. (At warehouse scale the analog is writing the
-        # embedded batch to a staging table.)
+        # downstream action. The cache must outlive add_records (the
+        # records table's lineage references it), so sessions ingesting
+        # many batches should periodically save_parquet + load_parquet to
+        # truncate lineage and release the caches — the warehouse-scale
+        # analog is writing each embedded batch to a staging table.
         return out.persist()
 
     def add_record(self, collection_id: str, record: Row) -> None:
@@ -209,13 +212,25 @@ class SparkEmbeddingDatabase:
             F.col("embedding").cast("array<double>"),
         )
         existing_ids = self.records_df(collection_id).select("id")
-        # One left join + one map-side-combined global agg checks all three
-        # constraints in a single job (the per-branch union + groupBy variant
-        # evaluated the batch three times and shuffled by violation kind).
-        flagged = records.join(
-            existing_ids.withColumn("_dup", F.lit(1)), "id", "left")
-        dup_f = F.col("_dup").isNotNull()
-        mis_f = F.col("embedder_id") != info.embedder_id
+        # One window + one left join + one map-side-combined global agg
+        # checks all three constraints in a single job (the per-branch
+        # union + groupBy variant evaluated the batch three times and
+        # shuffled by violation kind). The id-window and the id-join share
+        # a hash partitioning, so this is still one shuffle of the batch.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id").orderBy("blob", "embedder_id")
+        flagged = (records.withColumn("_copy", F.row_number().over(w))
+                   .join(existing_ids.withColumn("_dup", F.lit(1)), "id", "left"))
+        # Duplicate = id already in the collection OR a later copy within
+        # this batch (the reference's per-record loop accepts the first
+        # and rejects the rest, collection/collection.go:33-36).
+        dup_f = F.col("_dup").isNotNull() | (F.col("_copy") > 1)
+        # NULL embedder can never equal the collection's — a plain !=
+        # yields NULL and slips through both the error counts and the
+        # violations listing.
+        mis_f = (F.col("embedder_id").isNull()
+                 | (F.col("embedder_id") != info.embedder_id))
         nul_f = F.col("embedding").isNull()
         violations = flagged.select(
             "id",
@@ -239,9 +254,8 @@ class SparkEmbeddingDatabase:
                 raise errors.NullEmbeddingError(f"{c.nul} null embedding(s)")
             valid = records
         else:
-            valid = (records.join(existing_ids, "id", "left_anti")
-                     .filter(F.col("embedder_id") == info.embedder_id)
-                     .filter(F.col("embedding").isNotNull()))
+            valid = (flagged.filter(~dup_f & ~mis_f & ~nul_f)
+                     .select("id", "embedder_id", "blob", "embedding"))
 
         new = valid.select(F.lit(collection_id).alias("collection_id"), *[c for c in RECORD_COLUMNS if c != "collection_id"])
         self._records = self._records.unionByName(new)
@@ -320,8 +334,14 @@ class SparkEmbeddingDatabase:
         db = cls(spark)
         for r in spark.read.parquet(f"{path}/collections").collect():
             db._catalog[r.collection_id] = CollectionInfo(r.collection_id, r.embedder_id)
-        db._records = (
-            spark.read.parquet(f"{path}/records")
-            .select(*RECORD_COLUMNS)
-        )
+        # Cast back to the canonical schema: partition-column type
+        # inference would otherwise read a numeric-looking collection_id
+        # directory ('123') as a long, and the next unionByName with a
+        # string batch throws under ANSI.
+        # simpleString casts (not the StructField dataType): parquet reads
+        # arrays with containsNull=true and Spark refuses a cast that only
+        # tightens nullability.
+        db._records = spark.read.parquet(f"{path}/records").select(
+            *[F.col(f.name).cast(f.dataType.simpleString())
+              for f in RECORDS_SCHEMA.fields])
         return db

@@ -54,15 +54,18 @@ def kmeans_centroids(df: DataFrame, k: int, vec_col: str = "embedding",
 def assign_cells(df: DataFrame, centroids: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """IVF index build: every vector gets its nearest (max-cosine) centroid
     id as ``cell``. One scan, centroids broadcast, no shuffle of the data
-    side; at scale, write the result partitioned by ``cell``."""
+    side; at scale, write the result partitioned by ``cell``.
+
+    A synthetic per-row id anchors the argmax window: windowing by the
+    row's columns would collapse byte-identical duplicate rows (no unique
+    id is exactly the case this variant serves) into one output row,
+    silently dropping records from the index."""
+    tagged = df.withColumn("_rowid", F.monotonically_increasing_id())
     c = F.broadcast(centroids)
-    scored = df.crossJoin(c).withColumn(
+    scored = tagged.crossJoin(c).withColumn(
         "_csim", cosine_similarity(F.col(vec_col), F.col("centroid"))
     )
-    w = Window.partitionBy(*[F.col(n) for n in df.columns]).orderBy(
-        F.desc("_csim"), F.asc("centroid_id")
-    )
-    # row_number over the original row identity picks the best centroid.
+    w = Window.partitionBy("_rowid").orderBy(F.desc("_csim"), F.asc("centroid_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

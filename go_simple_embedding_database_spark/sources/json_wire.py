@@ -17,10 +17,10 @@ byte-for-byte (golden strings in the reference tests):
 Export is driver-side BY DESIGN: the format is one nested JSON object,
 inherently non-splittable — it exists for reference interop only. The
 scalable native format is partitioned Parquet
-(``SparkEmbeddingDatabase.save_parquet``). Import, however, IS distributed:
-``wire_records_df`` parses the nested maps with ``from_json`` +
-double-``explode`` entirely in Spark, so a large legacy snapshot loads in
-parallel.
+(``SparkEmbeddingDatabase.save_parquet``). Import runs in Spark
+(``from_json`` + double ``explode``), but the parse of the single nested
+object is necessarily one task — parallelism begins after the explodes;
+see ``wire_records_df`` for the limits.
 """
 
 from __future__ import annotations
@@ -38,8 +38,11 @@ if TYPE_CHECKING:
 
 def _go_num(v: float) -> Any:
     """Go's encoding/json renders float64 with shortest round-trip notation:
-    integral values get NO decimal point (1.0 → "1")."""
-    if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
+    integral values get NO decimal point (1.0 → "1"). Go uses fixed-point
+    ('f') formatting for exponents below 21, so integral values up to 1e21
+    print without an exponent — int() is exact for any integral float64 in
+    that range."""
+    if isinstance(v, float) and v.is_integer() and abs(v) < 1e21:
         return int(v)
     return v
 
@@ -121,11 +124,21 @@ _DB_STRUCT = T.StructType([
 
 
 def wire_records_df(spark: SparkSession, path: str) -> DataFrame:
-    """Parse a reference snapshot into the engine records schema, fully in
-    Spark: text → ``from_json`` with map-typed schema → double ``explode``
-    (maps-with-dynamic-keys become rows — SURVEY §1.4)."""
+    """Parse a reference snapshot into the engine records schema in Spark:
+    text → ``from_json`` with map-typed schema → double ``explode``
+    (maps-with-dynamic-keys become rows — SURVEY §1.4).
+
+    Scale honesty: the snapshot is ONE nested JSON object, so the parse
+    itself is a single task (and a single text cell, capped at ~2 GB) —
+    the format is inherently non-splittable. Parallelism begins after the
+    explodes. This path exists for reference interop; bulk data belongs
+    in partitioned Parquet (``save_parquet``)."""
     raw = spark.read.text(path, wholetext=True)
     parsed = raw.select(F.from_json("value", _DB_STRUCT).alias("db"))
+    return _records_from_parsed(parsed)
+
+
+def _records_from_parsed(parsed: DataFrame) -> DataFrame:
     colls = parsed.select(F.explode("db.collections").alias("collection_id", "coll"))
     recs = colls.select(
         "collection_id",
@@ -154,8 +167,11 @@ def database_from_file(spark: SparkSession, path: str) -> "SparkEmbeddingDatabas
     raw = spark.read.text(path, wholetext=True)
     # Unparseable input must error like the reference's json.Unmarshal
     # (database/database.go:155-160), not silently yield an empty DB —
-    # from_json returns NULL on malformed input.
-    parsed = raw.select(F.from_json("value", _DB_STRUCT).alias("db"))
+    # from_json returns NULL on malformed input. The parsed snapshot is
+    # persisted so validation, headers, and the records relation all read
+    # ONE parse instead of re-parsing the file per action (measured 3
+    # full parses before).
+    parsed = raw.select(F.from_json("value", _DB_STRUCT).alias("db")).persist()
     # Empty input parses to zero rows, malformed input to NULL structs —
     # both must raise, not silently yield an empty DB.
     counts = parsed.agg(
@@ -163,16 +179,16 @@ def database_from_file(spark: SparkSession, path: str) -> "SparkEmbeddingDatabas
         F.count(F.when(F.col("db").isNull() | F.col("db.collections").isNull(), 1)).alias("bad"),
     ).collect()[0]
     if counts.total == 0 or counts.bad > 0:
+        parsed.unpersist()
         raise ValueError(f"not a valid database snapshot: {path}")
     headers = (
-        raw.select(F.from_json("value", _DB_STRUCT).alias("db"))
-        .select(F.explode("db.collections").alias("collection_id", "coll"))
+        parsed.select(F.explode("db.collections").alias("collection_id", "coll"))
         .select("collection_id", F.col("coll.embedderId").alias("embedder_id"))
         .collect()
     )
     for r in headers:
         db._catalog[r.collection_id] = CollectionInfo(r.collection_id, r.embedder_id)
-    db._records = wire_records_df(spark, path).select(
+    db._records = _records_from_parsed(parsed).select(
         "collection_id", "id", "embedder_id", "blob",
         F.col("embedding").cast("array<double>").alias("embedding"),
     )

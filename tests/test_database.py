@@ -140,6 +140,37 @@ def test_add_records_skip_mode_quarantines(db, spark):
     assert db.records_df("c1").count() == 3  # a, b(original), c
 
 
+def test_add_records_intra_batch_duplicates(db, spark):
+    """A duplicate id WITHIN one batch must error (the reference's
+    per-record loop accepts the first copy and rejects the second,
+    collection/collection.go:33-36) — not insert both."""
+    blobs = spark.createDataFrame([("a", "x"), ("a", "x2"), ("b", "y")],
+                                  "id string, blob string")
+    with pytest.raises(errors.RecordExistsError):
+        db.add_records("c1", db.make_records(blobs, "mock-constant"))
+    # skip mode: first copy (by blob order) inserts, second quarantines
+    violations = db.add_records("c1", db.make_records(blobs, "mock-constant"),
+                                on_violation="skip")
+    assert [r.violation for r in violations.collect()] == ["duplicate id"]
+    got = {r.id: r.blob for r in db.records_df("c1").collect()}
+    assert got == {"a": "x", "b": "y"}
+
+
+def test_add_records_null_embedder_is_mismatch(db, spark):
+    """A NULL embedder_id can never match the collection's embedder — it
+    must be counted and quarantined as a mismatch, not slip through the
+    != predicate as SQL NULL."""
+    recs = spark.createDataFrame(
+        [("a", None, "x", [1.0, 2.0]), ("b", "mock-constant", "y", [1.0, 2.0])],
+        "id string, embedder_id string, blob string, embedding array<double>")
+    with pytest.raises(errors.EmbedderMismatchError):
+        db.add_records("c1", recs)
+    violations = db.add_records("c1", recs, on_violation="skip")
+    assert [(r.id, r.violation) for r in violations.collect()] == \
+        [("a", "embedder mismatch")]
+    assert [r.id for r in db.records_df("c1").collect()] == ["b"]
+
+
 # -- query semantics (§2.3) -------------------------------------------------
 
 def test_query_small_collection_short_circuit(db, spark):
