@@ -122,7 +122,8 @@ def _q_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = (emb.filter(F.col("vec_id") < 3)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_embedding")))
-    out = batch_topk(emb, queries, 3, score_col="sim", tie_break=["vec_id"])
+    out = batch_topk(emb, queries, 3, score_col="sim", tie_break=["vec_id"],
+                     records_id="vec_id")
     return out.select("query_id", "vec_id", F.round("sim", 6).alias("sim"))
 
 

@@ -77,7 +77,7 @@ def main() -> None:
                 # Record after EVERY successful run so a flaky second run
                 # can't discard a valid first measurement.
                 timings[name] = round(min(dt, timings.get(name, dt)), 4)
-                if dt > 10.0:
+                if dt > 15.0:
                     break
         except Exception as e:  # one broken query must not kill the bench
             errors[name] = f"{type(e).__name__}: {e}"[:200]

@@ -39,6 +39,21 @@ from go_simple_embedding_database_spark.schema import RECORDS_SCHEMA
 RECORD_COLUMNS = [f.name for f in RECORDS_SCHEMA.fields]
 
 
+def shape_records(blobs: DataFrame, embedder_id: str,
+                  blob_col: str = "blob", id_col: str = "id") -> DataFrame:
+    """The canonical (id, embedder_id, blob, embedding) projection — the
+    ONE place the records shape is defined for both batch ingest
+    (``make_records``) and streaming ingest (``streaming.ingest
+    .embed_stream``), so the two tables can never silently diverge."""
+    emb = get_embedder(embedder_id)
+    return blobs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.lit(embedder_id).alias("embedder_id"),
+        F.col(blob_col).cast("string").alias("blob"),
+        emb.column(F.col(blob_col).cast("string")).alias("embedding"),
+    )
+
+
 @dataclass(frozen=True)
 class CollectionInfo:
     """Collection{Id, EmbedderId} minus the records map
@@ -149,12 +164,7 @@ class SparkEmbeddingDatabase:
         target = max(1, min(parallelism, est_bytes >> 20))
         if blobs.rdd.getNumPartitions() < target:
             blobs = blobs.repartition(target)
-        out = blobs.select(
-            F.col(id_col).cast("string").alias("id"),
-            F.lit(embedder_id).alias("embedder_id"),
-            F.col(blob_col).cast("string").alias("blob"),
-            emb.column(F.col(blob_col).cast("string")).alias("embedding"),
-        )
+        out = shape_records(blobs, embedder_id, blob_col, id_col)
         # Persist across the validation joins and the insert: embedding is
         # the expensive stage and must run ONCE per blob, not once per
         # downstream action. The cache must outlive add_records (the

@@ -54,7 +54,9 @@ _TWO_32 = 4294967296.0  # 2^32; md5 prefix is 8 hex chars = 32 bits
 # ---------------------------------------------------------------------------
 
 def _hash64_py(blob: str) -> list[float]:
-    seed = hashlib.md5(blob.encode("utf-8")).hexdigest()
+    # (blob or ""): same null contract as the Arrow batch path below —
+    # the two faces of the embedder must agree on every input.
+    seed = hashlib.md5((blob or "").encode("utf-8")).hexdigest()
     raw = []
     for block in range(HASH_DIM // 4):
         digest = hashlib.md5(f"{seed}:{block}".encode("utf-8")).hexdigest()
@@ -221,10 +223,16 @@ def _hf_api_key() -> str:
     return key
 
 
-def _hf_post(model: str, texts: list[str]) -> list[list[float]]:
+def _hf_post(model: str, texts: list[str], api_key: str) -> list[list[float]]:
     """ONE HTTP call for a whole batch of texts (the reference does one call
     per text, embedders.go:40-51 — batching is the scalable fix). Raises on
-    non-200 with context instead of panicking (embedders.go:50-75)."""
+    non-200 with context instead of panicking (embedders.go:50-75).
+
+    ``api_key`` is passed in, never read from the environment here: this
+    runs inside executor Python workers, whose env does not inherit the
+    driver's shell — the key is captured driver-side in ``_hf_embedder``
+    (which also fails fast before any scan starts, matching the
+    reference's factory-time check, embedders.go:28-31)."""
     body = json.dumps(
         {"inputs": texts, "options": {"use_cache": True, "wait_for_model": True}}
     ).encode("utf-8")
@@ -232,7 +240,7 @@ def _hf_post(model: str, texts: list[str]) -> list[list[float]]:
         _HF_URL.format(model=model),
         data=body,
         headers={
-            "Authorization": f"Bearer {_hf_api_key()}",
+            "Authorization": f"Bearer {api_key}",
             "Content-Type": "application/json",
         },
     )
@@ -244,17 +252,27 @@ def _hf_post(model: str, texts: list[str]) -> list[list[float]]:
 
 
 def _hf_embedder(model: str) -> Embedder:
+    # Key contract (parity with the reference closure, embedders.go:28-31):
+    # RESOLUTION needs no key; the key is read when an embed is requested.
+    # Crucially it is read DRIVER-side — embed_one directly, and column()
+    # when the expression is built — and the closure ships the VALUE to
+    # executors, whose environment does not inherit the driver's shell
+    # (reading os.environ inside the udf would fail mid-scan on a real
+    # cluster even with the key exported where the job launched).
+
     def embed_one(blob: str) -> list[float]:
-        return _hf_post(model, [blob])[0]
+        return _hf_post(model, [blob], _hf_api_key())[0]
 
     def column(blob: Column) -> Column:
         from pyspark.sql.functions import pandas_udf
+
+        api_key = _hf_api_key()  # driver-side, fails fast before the scan
 
         @pandas_udf("array<double>")
         def _embed(texts: pd.Series) -> pd.Series:
             # One HTTP round trip per Arrow batch (<=10k rows by default),
             # executed on executors in parallel across partitions.
-            vecs = _hf_post(model, texts.fillna("").tolist())
+            vecs = _hf_post(model, texts.fillna("").tolist(), api_key)
             return pd.Series(vecs)
 
         return _embed(blob)

@@ -61,9 +61,17 @@ def cosine_similarity(x: Column, y: Column, *, strict: bool = False) -> Column:
     is rejected upstream, collection/collection.go:40-42).
     """
     x, y = _as_double(x), _as_double(y)
-    dot = dot_product(x, y)
-    denom = l2_norm(x) * l2_norm(y)
-    sim = F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise(dot / denom)
+    # Let-bind (dot, denom) through a one-element transform: referencing
+    # `denom` in both the WHEN condition and the ELSE branch would fold
+    # both norm aggregates twice per row (Catalyst does not CSE across
+    # conditional branches) — 2× the kernel cost on a full scan.
+    pair = F.array(F.struct(
+        dot_product(x, y).alias("dot"),
+        (l2_norm(x) * l2_norm(y)).alias("den"),
+    ))
+    sim = F.element_at(
+        F.transform(pair, lambda s: F.when(s["den"] == F.lit(0.0), F.lit(0.0))
+                    .otherwise(s["dot"] / s["den"])), 1)
     if strict:
         mismatch = F.size(x) != F.size(y)
         sim = F.when(

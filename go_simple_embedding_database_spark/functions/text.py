@@ -41,6 +41,14 @@ def words_sql(expr: str) -> str:
     return f"list_filter(regexp_split_to_array({expr}, '\\s+'), w -> w <> '')"
 
 
+# Languages written without word separators: token-boundary matching can
+# never fire (a zh stopword is embedded in an unbroken run), so stopword
+# hits are counted as raw character occurrences instead. All such
+# stopword lists here are single characters, which makes the count a
+# simple character-class scan.
+SPACELESS_LANGS = {"zh"}
+
+
 def _stopword_pattern(sws: list[str]) -> str:
     """Java regex counting whole-token stopword occurrences: a token is a
     maximal non-whitespace run, so a hit is start-or-whitespace, the word,
@@ -52,11 +60,23 @@ def _stopword_pattern(sws: list[str]) -> str:
     return r"(?:^|\s)(?:" + "|".join(sws) + r")(?=\s|$)"
 
 
+def _char_class_pattern(sws: list[str]) -> str:
+    assert all(len(w) == 1 for w in sws)
+    return "[" + "".join(sws) + "]"
+
+
+def _lang_pattern(lang: str, sws: list[str]) -> str:
+    return (_char_class_pattern(sws) if lang in SPACELESS_LANGS
+            else _stopword_pattern(sws))
+
+
 def stopword_hits(text: Column, lang: str) -> Column:
     """Count of stopword occurrences of ``lang`` in the text (with
     multiplicity — repeated stopwords count repeatedly, which is what makes
-    the score discriminative on natural text)."""
-    return F.regexp_count(F.lower(text), F.lit(_stopword_pattern(LANG_STOPWORDS[lang])))
+    the score discriminative on natural text). Spaceless scripts count
+    character occurrences (see SPACELESS_LANGS)."""
+    return F.regexp_count(
+        F.lower(text), F.lit(_lang_pattern(lang, LANG_STOPWORDS[lang])))
 
 
 def language_id(text: Column) -> Column:
@@ -78,7 +98,7 @@ def language_id(text: Column) -> Column:
     lowered = F.lower(text)
     zipped = F.array(*[
         F.struct(
-            F.regexp_count(lowered, F.lit(_stopword_pattern(sws))).alias("h"),
+            F.regexp_count(lowered, F.lit(_lang_pattern(lang, sws))).alias("h"),
             F.lit(-i).alias("ni"),
             F.lit(lang).alias("lang"),
         )
@@ -90,14 +110,23 @@ def language_id(text: Column) -> Column:
 
 def language_id_sql(expr: str) -> str:
     """DuckDB twin of language_id (list_max over (hits, prio, lang) structs
-    — both engines order structs lexicographically by field position)."""
+    — both engines order structs lexicographically by field position).
+    Spaceless languages count character occurrences via a length delta,
+    numerically identical to the Spark char-class regexp_count."""
     structs = []
     for i, (lang, sw) in enumerate(LANG_STOPWORDS.items()):
-        arr = "[" + ", ".join(f"'{w}'" for w in sw) + "]"
-        hits = (
-            f"len(list_filter({words_sql(f'lower({expr})')}, "
-            f"w -> list_contains({arr}, w)))"
-        )
+        if lang in SPACELESS_LANGS:
+            cls = "[" + "".join(sw) + "]"
+            hits = (
+                f"length(lower({expr})) - "
+                f"length(regexp_replace(lower({expr}), '{cls}', '', 'g'))"
+            )
+        else:
+            arr = "[" + ", ".join(f"'{w}'" for w in sw) + "]"
+            hits = (
+                f"len(list_filter({words_sql(f'lower({expr})')}, "
+                f"w -> list_contains({arr}, w)))"
+            )
         structs.append(f"{{'hits': {hits}, 'prio': {-i}, 'lang': '{lang}'}}")
     best = f"list_max([{', '.join(structs)}])"
     return f"CASE WHEN ({best}).hits > 0 THEN ({best}).lang ELSE 'und' END"

@@ -66,6 +66,8 @@ def decode_media(df: DataFrame, on_error: str = "quarantine") -> DataFrame:
     into NULL-feature rows (filter ``feature IS NULL`` for the quarantine
     set); ``'raise'`` propagates — a single corrupt file should not kill a
     100 TB decode unless you ask it to."""
+    if on_error not in ("quarantine", "raise"):
+        raise ValueError(f"on_error must be 'quarantine' or 'raise', got {on_error!r}")
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
         df = df.repartition(parallelism)
@@ -78,7 +80,12 @@ def decode_media(df: DataFrame, on_error: str = "quarantine") -> DataFrame:
                                               pdf["payload"]):
                 try:
                     d = _decode_payload(payload, modality)
-                except ValueError:
+                except Exception:
+                    # Catch everything, not just ValueError: real codecs
+                    # raise their own taxonomies (PIL OSError /
+                    # UnidentifiedImageError, pyav AVError) and the
+                    # quarantine contract must survive the promised
+                    # one-function decoder swap.
                     if on_error == "raise":
                         raise
                     d = {"width": None, "height": None, "n_frames": None,
@@ -113,12 +120,17 @@ def frame_sample_plan(df: DataFrame, every_nth: int = 10) -> DataFrame:
     frame_no) rows for frames 0, n, 2n, ... using the decoded n_frames —
     the shuffle-free explode that a real frame extractor would map over."""
     decoded = decode_media(df)
-    return decoded.filter(F.col("n_frames").isNotNull()).select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
-        ).alias("frame_no"),
-    )
+    # Only VIDEO rows have frames to sample — without the modality filter
+    # every image (n_frames=1) and audio row would expand into fake frame
+    # rows for the downstream extractor.
+    return (decoded
+            .filter((F.col("modality") == "video") & F.col("n_frames").isNotNull())
+            .select(
+                "media_id",
+                F.explode(
+                    F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
+                ).alias("frame_no"),
+            ))
 
 
 def documents_as_media(docs: DataFrame, modality: str = "image") -> DataFrame:

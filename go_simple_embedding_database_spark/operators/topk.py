@@ -66,26 +66,61 @@ def batch_topk(
     query_id: str = "query_id",
     score_col: str = "score",
     tie_break: list[str] | None = None,
+    records_id: str | None = None,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Top-k per query for a whole DataFrame of queries in ONE scan.
 
     The query side is broadcast (queries are small by construction — they
     are the working set of a request batch); the big records table is
-    scanned once, never shuffled: the window partitions by ``query_id``
-    AFTER the crossJoin, and AQE handles per-query skew. ``row_number``
-    (not ``rank``) reproduces exactly-k-with-arbitrary-ties.
+    scanned once. The per-query selection is a TWO-stage window: stage 1
+    partitions by (query, bucket) so every query's candidates spread over
+    ``buckets`` tasks (a single ``partitionBy(query_id)`` window would
+    funnel ALL N scored rows of a query through one task — an OOM/straggler
+    at the 100 TB design point; AQE cannot split a window partition);
+    stage 2 re-ranks the surviving ``buckets × k`` rows per query — tiny.
+    Global top-k ⊆ union of per-bucket top-k, so the result is identical.
+    ``row_number`` (not ``rank``) reproduces exactly-k-with-arbitrary-ties.
+
+    With ``records_id`` (a unique record key) the shuffle carries only
+    (query_id, id, score, tie columns) — the record payload (embedding
+    included) is re-attached afterwards by broadcasting the k×|queries|
+    winners against the records table: the wide columns are never
+    shuffled at all. Pass it at scale; the default path shuffles whole
+    scored rows, acceptable when the payload is narrow.
     """
     joined = records.crossJoin(F.broadcast(queries))
     scored = joined.withColumn(
         score_col, cosine_similarity(F.col(records_vec), F.col(queries_vec))
     )
     order = [F.desc(score_col)] + [F.asc(c) for c in (tie_break or [])]
-    w = Window.partitionBy(query_id).orderBy(*order)
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn", queries_vec)
-    )
+    nb = buckets or records.sparkSession.sparkContext.defaultParallelism
+    w1 = Window.partitionBy(query_id, "_b").orderBy(*order)
+    w2 = Window.partitionBy(query_id).orderBy(*order)
+
+    if records_id is None:
+        pre = (scored.withColumn("_b", F.spark_partition_id() % nb)
+               .withColumn("_rn", F.row_number().over(w1))
+               .filter(F.col("_rn") <= k).drop("_rn", "_b"))
+        return (pre.withColumn("_rn", F.row_number().over(w2))
+                .filter(F.col("_rn") <= k)
+                .drop("_rn", queries_vec))
+
+    slim_cols = list(dict.fromkeys(
+        [query_id, records_id, score_col] + (tie_break or [])))
+    slim = scored.select(*slim_cols)
+    pre = (slim.withColumn("_b", F.crc32(F.col(records_id).cast("string")) % nb)
+           .withColumn("_rn", F.row_number().over(w1))
+           .filter(F.col("_rn") <= k).drop("_rn", "_b"))
+    winners = (pre.withColumn("_rn", F.row_number().over(w2))
+               .filter(F.col("_rn") <= k).drop("_rn"))
+    out = records.join(
+        F.broadcast(winners.select(*dict.fromkeys([records_id, query_id, score_col]))),
+        records_id)
+    qattrs = queries.drop(queries_vec)
+    if len(qattrs.columns) > 1:
+        out = out.join(F.broadcast(qattrs), query_id)
+    return out
 
 
 def similarity_join(

@@ -23,16 +23,18 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+# The (dot, denom) pair is let-bound through a one-element transform:
+# repeating the norm aggregates in the WHEN and ELSE branches would fold
+# each O(d) aggregate twice per row (no CSE across conditional branches).
 _COSINE_SQL = """
 CREATE OR REPLACE TEMPORARY FUNCTION cosine_sim(x ARRAY<DOUBLE>, y ARRAY<DOUBLE>)
 RETURNS DOUBLE
-RETURN CASE
-  WHEN sqrt(aggregate(x, 0.0D, (a, v) -> a + v * v))
-     * sqrt(aggregate(y, 0.0D, (a, v) -> a + v * v)) = 0.0D THEN 0.0D
-  ELSE aggregate(zip_with(x, y, (a, b) -> a * b), 0.0D, (a, v) -> a + v)
-     / (sqrt(aggregate(x, 0.0D, (a, v) -> a + v * v))
-      * sqrt(aggregate(y, 0.0D, (a, v) -> a + v * v)))
-END
+RETURN element_at(transform(
+  array(named_struct(
+    'dot', aggregate(zip_with(x, y, (a, b) -> a * b), 0.0D, (a, v) -> a + v),
+    'den', sqrt(aggregate(x, 0.0D, (a, v) -> a + v * v))
+         * sqrt(aggregate(y, 0.0D, (a, v) -> a + v * v)))),
+  s -> CASE WHEN s.den = 0.0D THEN 0.0D ELSE s.dot / s.den END), 1)
 """
 
 _DOT_SQL = """
@@ -41,14 +43,15 @@ RETURNS DOUBLE
 RETURN aggregate(zip_with(x, y, (a, b) -> a * b), 0.0D, (a, v) -> a + v)
 """
 
+# The max-abs is let-bound: referencing it inside the per-element lambda
+# would rescan the whole array for every output element — O(d^2).
 _QUANTIZE_SQL = """
 CREATE OR REPLACE TEMPORARY FUNCTION quantize_int8(x ARRAY<DOUBLE>)
 RETURNS ARRAY<DOUBLE>
-RETURN CASE
-  WHEN array_max(transform(x, v -> abs(v))) = 0.0D THEN x
-  ELSE transform(x, v -> CAST(round(v * 127.0D /
-       array_max(transform(x, v2 -> abs(v2)))) AS DOUBLE))
-END
+RETURN element_at(transform(
+  array(array_max(transform(x, v -> abs(v)))),
+  m -> CASE WHEN m = 0.0D THEN x
+            ELSE transform(x, v -> CAST(round(v * 127.0D / m) AS DOUBLE)) END), 1)
 """
 
 _JACCARD_SQL = """

@@ -24,21 +24,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from go_simple_embedding_database_spark.functions.embedders import get_embedder
 
 
 def embed_stream(stream: DataFrame, embedder_id: str, blob_col: str = "blob",
                  id_col: str = "id") -> DataFrame:
-    """Attach embeddings to a streaming DataFrame of blobs — identical
-    embedder surface as batch ``make_records`` (the pandas_udf runs per
-    micro-batch, Arrow-batched)."""
-    emb = get_embedder(embedder_id)
-    return stream.select(
-        F.col(id_col).cast("string").alias("id"),
-        F.lit(embedder_id).alias("embedder_id"),
-        F.col(blob_col).cast("string").alias("blob"),
-        emb.column(F.col(blob_col).cast("string")).alias("embedding"),
-    )
+    """Attach embeddings to a streaming DataFrame of blobs — the SAME
+    record-shaping code as batch ``make_records`` (``database
+    .shape_records``), so the streaming records table can never diverge
+    from the batch one; the pandas_udf runs per micro-batch,
+    Arrow-batched."""
+    from go_simple_embedding_database_spark.database import shape_records
+    return shape_records(stream, embedder_id, blob_col, id_col)
 
 
 def _as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
@@ -53,13 +49,21 @@ def _as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
 
 def dedup_stream(stream: DataFrame, event_time_col: str, watermark: str = "10 minutes",
                  keys: list[str] | None = None) -> DataFrame:
-    """Exactly-once-per-key within the watermark horizon: late duplicates
+    """Exactly-once-per-KEY within the watermark horizon: late duplicates
     beyond the watermark age out of state instead of growing it forever —
-    the only state-bounded way to run continuous dedup."""
+    the only state-bounded way to run continuous dedup.
+
+    Uses ``dropDuplicatesWithinWatermark`` on the keys alone: deduping on
+    (keys + event_time) would re-admit a producer retry that refreshed the
+    timestamp — the common at-least-once-delivery case this operator
+    exists to absorb. The batch path dedups on the keys for the same
+    per-key semantics."""
     stream = _as_event_time(stream, event_time_col)
-    return stream.withWatermark(event_time_col, watermark).dropDuplicates(
-        (keys or ["id"]) + [event_time_col]
-    )
+    keys = keys or ["id"]
+    if stream.isStreaming:
+        return (stream.withWatermark(event_time_col, watermark)
+                .dropDuplicatesWithinWatermark(keys))
+    return stream.dropDuplicates(keys)
 
 
 def streaming_ingest(spark, source_dir: str, sink_dir: str, checkpoint_dir: str,

@@ -49,6 +49,25 @@ def test_streaming_ingest_dedups_and_embeds(spark, tmp_path):
     assert {r.id for r in spark.read.parquet(sink).collect()} == {"a", "b", "c"}
 
 
+def test_streaming_ingest_drops_retry_with_new_timestamp(spark, tmp_path):
+    """At-least-once producers retry a record with a REFRESHED timestamp —
+    per-key dedup (dropDuplicatesWithinWatermark) must still drop it;
+    deduping on (key, ts) would re-admit it."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(src, "b1.json", [
+        {"id": "a", "blob": "first doc", "ts": "2026-01-01T00:00:00Z"},
+        {"id": "a", "blob": "first doc", "ts": "2026-01-01T00:03:00Z"},  # retry, new ts
+        {"id": "b", "blob": "second doc", "ts": "2026-01-01T00:00:01Z"},
+    ])
+    q = streaming_ingest(spark, src, sink, ckpt, "mock-hash-64", "streamed")
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    assert out.count() == 2
+    assert {r.id for r in out.collect()} == {"a", "b"}
+
+
 def test_windowed_event_counts_batch_parity(spark, sf_dir):
     """The same code path aggregates a batch DataFrame — the oracle the
     driver can check; streaming adds only watermark state semantics."""

@@ -19,6 +19,21 @@ def test_language_id_basics(spark):
     assert out == ["en", "de", "es", "fr", "und"]
 
 
+def test_language_id_detects_unsegmented_chinese(spark):
+    """Chinese has no word separators, so zh stopword hits are counted as
+    character occurrences — token-boundary matching would never fire and
+    every Chinese document would come back 'und'. The DuckDB twin must
+    agree on the same counts."""
+    zh = "我是中国人这是不对的我有和人说过"
+    df = spark.createDataFrame([(zh,), ("the cat and the dog",)], "text string")
+    out = [r.lang for r in df.select(tx.language_id(F.col("text")).alias("lang")).collect()]
+    assert out == ["zh", "en"]
+    got_duck = duckdb.sql(
+        f"SELECT {tx.language_id_sql('t')} FROM (SELECT '{zh}' AS t)"
+    ).fetchone()[0]
+    assert got_duck == "zh"
+
+
 def test_stopword_hits_regex_equals_token_equality(spark):
     """The regexp_count formulation must count exactly the whitespace-split
     tokens equal to a stopword: punctuation-attached words don't count,
