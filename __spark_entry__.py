@@ -1314,16 +1314,21 @@ def _q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the table layout and plans ZERO exchanges (asserted in test_plans).
     The write is the one-time cost every repeated join amortizes — the
     100 TB answer to 'this join runs every day'."""
-    from go_simple_embedding_database_spark.sources.bucketed import ensure_bucketed_copy
+    from go_simple_embedding_database_spark.sources.bucketed import (
+        ensure_bucketed_copy,
+        source_fingerprint,
+    )
     tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
     orders = ensure_bucketed_copy(
         spark, spark.read.parquet(f"{sf_dir}/orders.parquet")
         .select("o_custkey", "o_totalprice"),
-        f"b_orders_{tag}", ["o_custkey"])
+        f"b_orders_{tag}", ["o_custkey"],
+        fingerprint=source_fingerprint(f"{sf_dir}/orders.parquet"))
     cust = ensure_bucketed_copy(
         spark, spark.read.parquet(f"{sf_dir}/customer.parquet")
         .select("c_custkey", "c_mktsegment"),
-        f"b_customer_{tag}", ["c_custkey"])
+        f"b_customer_{tag}", ["c_custkey"],
+        fingerprint=source_fingerprint(f"{sf_dir}/customer.parquet"))
     return (
         orders.hint("merge").join(cust.hint("merge"),
                                   orders.o_custkey == cust.c_custkey)

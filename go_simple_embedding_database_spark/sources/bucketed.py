@@ -36,8 +36,22 @@ def save_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
     writer.saveAsTable(table_name)
 
 
+def source_fingerprint(*paths: str) -> str:
+    """Cheap change-detection token for ``ensure_bucketed_copy``: size and
+    mtime of the source files (no data read). If the sources are rewritten
+    the fingerprint changes and the bucketed copy is rebuilt."""
+    import os
+
+    parts = []
+    for p in paths:
+        st = os.stat(p)
+        parts.append(f"{p}:{st.st_size}:{int(st.st_mtime)}")
+    return "|".join(parts)
+
+
 def ensure_bucketed_copy(spark: SparkSession, src: DataFrame, table_name: str,
-                         bucket_cols: list[str], num_buckets: int = 16) -> DataFrame:
+                         bucket_cols: list[str], num_buckets: int = 16,
+                         fingerprint: str | None = None) -> DataFrame:
     """Idempotent bucketed materialization: write once, then reuse the
     managed table across queries/sessions (the write is the one-time cost
     the exchange-free joins amortize).
@@ -51,7 +65,10 @@ def ensure_bucketed_copy(spark: SparkSession, src: DataFrame, table_name: str,
     An existing table is validated against the requested layout (bucket
     columns + count): returning a differently-bucketed table would
     silently reintroduce the join shuffles this module exists to remove —
-    fail loudly instead."""
+    fail loudly instead. A ``fingerprint`` (see ``source_fingerprint``)
+    additionally guards against STALE data: the token is stored in the
+    table properties on write, and a mismatch (source files rewritten
+    since) drops and rebuilds the copy instead of serving old rows."""
     if spark.catalog.tableExists(table_name):
         desc = {r.col_name: r.data_type
                 for r in spark.sql(f"DESCRIBE EXTENDED {table_name}").collect()}
@@ -63,7 +80,16 @@ def ensure_bucketed_copy(spark: SparkSession, src: DataFrame, table_name: str,
                 f"table {table_name} exists with layout (buckets={got_n}, "
                 f"cols={got_cols}) but (buckets={num_buckets}, cols={want_cols}) "
                 f"was requested — drop it or use a different name")
-        return spark.table(table_name)
+        if fingerprint is not None:
+            stored = spark.sql(
+                f"SHOW TBLPROPERTIES {table_name} ('source_fingerprint')"
+            ).collect()
+            if not stored or stored[0].value != fingerprint:
+                spark.sql(f"DROP TABLE {table_name}")
+            else:
+                return spark.table(table_name)
+        else:
+            return spark.table(table_name)
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     jvm = spark.sparkContext._jvm
     loc = jvm.org.apache.hadoop.fs.Path(warehouse, table_name.lower())
@@ -71,4 +97,8 @@ def ensure_bucketed_copy(spark: SparkSession, src: DataFrame, table_name: str,
     if fs.exists(loc):
         fs.delete(loc, True)
     save_bucketed(src, table_name, bucket_cols, num_buckets)
+    if fingerprint is not None:
+        escaped = fingerprint.replace("'", "''")
+        spark.sql(f"ALTER TABLE {table_name} "
+                  f"SET TBLPROPERTIES ('source_fingerprint' = '{escaped}')")
     return spark.table(table_name)

@@ -75,3 +75,13 @@ def test_bucketed_copy_validates_layout(spark):
     with pytest.raises(ValueError, match="layout"):
         bucketed.ensure_bucketed_copy(spark, df, name, ["v"], 4)
     spark.sql(f"DROP TABLE {name}")
+    # stale-data guard: fingerprint stored on write; a changed fingerprint
+    # rebuilds the copy with the NEW source data instead of serving stale
+    t2 = bucketed.ensure_bucketed_copy(spark, df, name, ["k"], 4, fingerprint="v1")
+    assert t2.count() == 2
+    df3 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k bigint, v string")
+    same = bucketed.ensure_bucketed_copy(spark, df3, name, ["k"], 4, fingerprint="v1")
+    assert same.count() == 2  # unchanged fingerprint -> stale reuse by design
+    fresh = bucketed.ensure_bucketed_copy(spark, df3, name, ["k"], 4, fingerprint="v2")
+    assert fresh.count() == 3  # changed fingerprint -> rebuilt
+    spark.sql(f"DROP TABLE {name}")
