@@ -1745,6 +1745,56 @@ FROM daily
 """
 
 
+def _q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table join: revenue per nation for ASIA in 1996
+    where the supplier is LOCAL to the customer (c_nationkey = s_nationkey
+    — the classic join-graph cycle). The whole dim chain
+    (region → nation → customer/supplier) broadcasts; only the
+    lineitem-orders fact join shuffles, on orderkey. Catalyst orders the
+    joins from the pushed-down region/date filters."""
+    region = (spark.read.parquet(f"{sf_dir}/region.parquet")
+              .filter(F.col("r_name") == "ASIA"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey", "c_nationkey")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet") \
+        .select("s_suppkey", "s_nationkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = (orders.filter(F.year("o_orderdate") == 1996)
+              .select("o_orderkey", "o_custkey"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"))
+    dims = (nation.join(F.broadcast(region),
+                        nation.n_regionkey == region.r_regionkey)
+            .select("n_nationkey", "n_name"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(dims), supp.s_nationkey == dims.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count("*").alias("n_lineitems"))
+    )
+
+
+_ORACLE_LOCAL_SUPPLIER_REVENUE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+GROUP BY n_name
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_cosine": _q_topk_cosine,
@@ -1807,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_contamination": _q_split_contamination,
         "corpus_upsert": _q_corpus_upsert,
         "approx_distinct_users": _q_approx_distinct_users,
+        "local_supplier_revenue": _q_local_supplier_revenue,
         "dedup_clusters": _q_dedup_clusters,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "user_activity_streaks": _q_user_activity_streaks,
@@ -1879,6 +1930,7 @@ def oracle_sql() -> dict[str, str]:
         "balanced_sample": _ORACLE_BALANCED_SAMPLE,
         "split_contamination": _oracle_split_contamination(),
         "corpus_upsert": _ORACLE_CORPUS_UPSERT,
+        "local_supplier_revenue": _ORACLE_LOCAL_SUPPLIER_REVENUE,
         "dedup_clusters": _oracle_dedup_clusters(),
         "tfidf_top_terms": _ORACLE_TFIDF_TOP_TERMS,
         "user_activity_streaks": _ORACLE_USER_ACTIVITY_STREAKS,

@@ -234,6 +234,17 @@ def test_rolling_range_frame_single_window_shuffle(plans):
     assert "CartesianProduct" not in p
 
 
+def test_local_supplier_revenue_broadcasts_dim_chain(plans):
+    """The Q5-shaped six-table join: every dim join broadcasts; the only
+    shuffle join is lineitem-orders on orderkey; the region filter is
+    pushed to its scan."""
+    p = plans("local_supplier_revenue")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+    pushed = p.split("PushedFilters")
+    assert any("r_name" in seg[:200] for seg in pushed[1:])
+
+
 def test_correlated_subquery_decorrelates(plans):
     """The correlated scalar subquery must decorrelate to an aggregate +
     join — never a per-row subquery loop (no nested scans of customer
