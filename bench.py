@@ -71,6 +71,11 @@ def main() -> None:
             # number. Queries already slower than 10s skip the retry.
             for _ in range(2):
                 spark.catalog.clearCache()
+                # Collect BEFORE the clock starts: the previous query's
+                # garbage (Arrow batches, dropped cache blocks) otherwise
+                # surfaces as GC pauses inside this measurement — the main
+                # source of run-to-run variance at small SF.
+                spark._jvm.System.gc()
                 t0 = time.perf_counter()
                 _run(fn(spark, sf_dir))
                 dt = time.perf_counter() - t0
