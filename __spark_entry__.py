@@ -58,6 +58,27 @@ def _ts_lit(df: DataFrame, ts_col: str, value: str):
     return F.lit(value).cast(df.schema[ts_col].dataType)
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events via sources.tables.load_table — normalizes a TIMESTAMP(NANOS)
+    ts (read as long under nanosAsLong) to micros; reading the parquet
+    directly would hand date/window functions a bigint ts the moment the
+    generator emits nanos again."""
+    from go_simple_embedding_database_spark.sources.tables import load_table
+    return load_table(spark, sf_dir, "events")
+
+
+def _split_bucket(col_name: str = "doc_id"):
+    """THE corpus split definition (md5 bucket mod 100) — train_split_counts
+    and split_contamination must audit the SAME split, so there is exactly
+    one producer for the expression and one for its DuckDB twin."""
+    return (F.conv(F.substring(F.md5(F.col(col_name).cast("string").cast("binary")), 1, 4), 16, 10)
+            .cast("bigint") % 100)
+
+
+def _split_bucket_sql(expr: str = "doc_id") -> str:
+    return (f"CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, 4)) AS BIGINT) % 100")
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     row = _emb(spark, sf_dir).filter(F.col("vec_id") == vec_id).collect()[0]
     return [float(v) for v in row.embedding]
@@ -1022,7 +1043,7 @@ def _q_events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-by — salting must be result-invariant, which is exactly what
     this checks."""
     from go_simple_embedding_database_spark.operators.skew import salted_aggregate
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     out = salted_aggregate(
         events, "user_id",
         {"n_events": F.count("*"), "sum_value": F.sum("value")},
@@ -1111,7 +1132,7 @@ def _q_user_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on user_id, then a sorted in-partition pass — the canonical
     sequential-dependency pattern expressed without any driver loop."""
     from pyspark.sql import Window
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return events.select(
         "event_id", "user_id",
@@ -1183,21 +1204,19 @@ def _q_train_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     train < 80, val < 90, test otherwise. Pure codegen, identical recipe
     in DuckDB, stable under repartitioning (depends only on doc_id)."""
     docs = _docs(spark, sf_dir)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
-        .cast("bigint") % 100)
+    bucket = _split_bucket("doc_id")
     split = (F.when(bucket < 80, "train").when(bucket < 90, "val")
              .otherwise("test"))
     return (docs.select(F.col("source"), split.alias("split"))
             .groupBy("source", "split").agg(F.count("*").alias("n_docs")))
 
 
-_ORACLE_TRAIN_SPLIT_COUNTS = """
+_ORACLE_TRAIN_SPLIT_COUNTS = f"""
 SELECT source,
        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
        count(*) AS n_docs
 FROM (SELECT source,
-             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+             {_split_bucket_sql('doc_id')} AS b
       FROM documents) _h
 GROUP BY source, split
 """
@@ -1238,7 +1257,7 @@ def _q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     type, stats over the extracted integer field. The schema-on-read path
     every log pipeline needs — the JSON parse happens at the scan and the
     aggregate sees a plain int column."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("bigint")
     return (events.select("event_type", k.alias("k"))
             .groupBy("event_type")
@@ -1288,7 +1307,7 @@ def _q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot the event_type dimension into columns (one shuffle; the pivot
     values are declared, so Catalyst plans a single pass — never an
     N-scans-per-category loop)."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     types = ["click", "view", "purchase", "signup", "error"]
     return (events.groupBy("user_id")
             .pivot("event_type", types).count()
@@ -1491,9 +1510,7 @@ def _q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-fingerprint matches."""
     from go_simple_embedding_database_spark.operators import dedup as dd
     docs = _docs_par(spark, sf_dir)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
-        .cast("bigint") % 100)
+    bucket = _split_bucket("doc_id")
     fp = docs.select(
         "doc_id", (bucket < 80).alias("_is_train"),
         F.explode(dd.winnow_fingerprints(F.col("text"))).alias("fp"))
@@ -1512,8 +1529,7 @@ def _oracle_split_contamination() -> str:
     return f"""
 WITH fp AS (
   SELECT doc_id,
-         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
-           % 100 < 80 AS is_train,
+         {_split_bucket_sql('doc_id')} < 80 AS is_train,
          unnest({fps}) AS fp
   FROM documents)
 SELECT DISTINCT t.doc_id AS test_doc_id, tr.doc_id AS train_doc_id
@@ -1562,7 +1578,7 @@ def _q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     different implementation — sketch values are engine-specific), so the
     driver records the weaker rows-only check; the in-repo test pins the
     error bound instead."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     return (events.groupBy("event_type")
             .agg(F.countDistinct("user_id").alias("n_exact"),
                  F.approx_count_distinct("user_id", 0.02).alias("n_approx"))
@@ -1661,7 +1677,7 @@ def _q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     number is constant within an island, group by that anchor. Two window
     passes + one aggregate, all partitioned by user."""
     from pyspark.sql import Window
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     days = (events.select("user_id",
                           F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
                           .alias("day"))
@@ -1716,7 +1732,7 @@ def _q_events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     the numeric day), so gaps in activity are handled correctly, unlike a
     rows frame."""
     from pyspark.sql import Window
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     daily = (events.select(
         "user_id",
         F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day"),

@@ -4,7 +4,10 @@ Reference: ``Record.String`` (/root/reference/records/records.go:57-79),
 golden-tested at /root/reference/records/records_test.go:59-85. Quirks
 reproduced exactly:
 
-- blob truncated at 100 chars, ``...`` appended only when longer;
+- blob truncated at 100 chars, ``...`` appended only when longer
+  (the Go Stringer slices BYTES; this implementation counts characters,
+  so parity is exact for ASCII blobs and intentionally rune-safe — never
+  splitting a multi-byte character — beyond it);
 - embedding truncated at 5 elements, 2-decimal fixed precision;
 - with >5 elements every shown element is followed by ``", "`` and then
   ``" ..."`` is appended — yielding the double space in ``"5.00,  ..."``;
@@ -47,6 +50,12 @@ def record_str_column(blob: Column, embedding: Column,
     # differ only on exactly-representable halves (0.125), which real data
     # never hits. bround would fix that but LOSES the sign of -0.0
     # ("0.00" where Go prints "-0.00"), which real data does hit.
+    # NULL alignment with the driver-side record_str: a NULL embedding
+    # formats as "[]" and a NULL blob as "" — without the coalesce, size()
+    # of a NULL array is NULL, the when() falls through, and format_string
+    # renders the literal string "null".
+    embedding = F.coalesce(embedding, F.array().cast("array<double>"))
+    blob = F.coalesce(blob, F.lit(""))
     shown = F.transform(F.slice(embedding, 1, 5),
                         lambda v: F.format_string("%.2f", v))
     emb_str = F.when(

@@ -85,7 +85,16 @@ def replicated_skew_join(
     rows and one full copy of its right rows. Exact same result as
     ``left.join(right, key_col)`` for 1:N joins; shuffle cost on the right
     grows by ×salts — apply only when the right side is the small-but-not-
-    broadcastable one."""
+    broadcastable one.
+
+    Left-favored joins only: under right/full outer semantics every
+    replicated-but-unmatched right copy would survive as its own
+    null-padded output row (salts× duplicates) — rejected loudly."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"replicated_skew_join supports inner/left/left_semi/left_anti, "
+            f"got {how!r}: replicated right rows would duplicate under "
+            f"right/full outer semantics")
     lsalted = with_salt(left, salts)
     explode_salt = F.explode(F.sequence(F.lit(0), F.lit(salts - 1))).alias("_salt")
     rrepl = right.select("*", explode_salt)

@@ -50,8 +50,12 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
+        # cpus doubles as the default partition count only when numeric —
+        # SPARK_GRAFT_CPUS='*' (a valid local[*] request) must not crash
+        # the int() here.
+        fallback = cpus if cpus and cpus.isdigit() else "32"
         shuffle_partitions = int(
-            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus or "32")
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", fallback)
         )
     pythonpath = os.environ.get("PYTHONPATH", "")
     if _REPO_ROOT not in pythonpath.split(os.pathsep):

@@ -32,7 +32,11 @@ def _with_corrupt(schema: str) -> str:
 def read_jsonl(spark: SparkSession, path: str, schema: str = RECORDS_DDL,
                strict: bool = False) -> DataFrame:
     """One JSON object per line. Malformed lines land in _corrupt_record
-    (filter ``IS NOT NULL`` for the quarantine set) unless strict."""
+    (filter ``IS NOT NULL`` for the quarantine set) unless strict.
+
+    Spark restriction: a query referencing ONLY the corrupt column is
+    disallowed on raw JSON/CSV scans — ``.cache()`` the DataFrame (as the
+    tests do) before building a quarantine-only extract."""
     reader = spark.read.schema(schema if strict else _with_corrupt(schema))
     reader = reader.option("mode", "FAILFAST" if strict else "PERMISSIVE") \
                    .option("columnNameOfCorruptRecord", CORRUPT_COL)
@@ -48,6 +52,12 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_csv(spark: SparkSession, path: str, schema: str,
              header: bool = True, strict: bool = False) -> DataFrame:
+    """CSV is scalars-only: Spark's CSV source rejects array/map/struct
+    columns, so the full records schema (embedding array<double>) cannot
+    ride CSV — use JSONL or parquet for records, CSV for flat exports.
+    The guard below turns Spark's late AnalysisException into an
+    immediate, explicit error."""
+    _reject_nested("read_csv", schema)
     reader = (spark.read.schema(schema if strict else _with_corrupt(schema))
               .option("header", str(header).lower())
               .option("mode", "FAILFAST" if strict else "PERMISSIVE")
@@ -57,4 +67,18 @@ def read_csv(spark: SparkSession, path: str, schema: str,
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
               header: bool = True) -> None:
+    nested = [f.name for f in df.schema.fields
+              if f.dataType.typeName() in ("array", "map", "struct")]
+    if nested:
+        raise ValueError(
+            f"write_csv: CSV cannot carry nested columns {nested} — "
+            f"serialize with to_json first, or use JSONL/parquet")
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def _reject_nested(op: str, schema: str) -> None:
+    low = schema.lower()
+    if "array<" in low or "map<" in low or "struct<" in low:
+        raise ValueError(
+            f"{op}: CSV cannot carry nested types ({schema!r}) — serialize "
+            f"arrays with to_json first, or use JSONL/parquet")
