@@ -48,6 +48,17 @@ def test_batch_topk_broadcasts_queries(plans):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
 
 
+def test_batch_topk_slim_path_never_shuffles_payload(plans):
+    """With records_id set, the per-query selection shuffles only
+    (query, id, score) and the winners broadcast back onto the records
+    table — the embedding column must not appear in any exchange."""
+    p = plans("batch_topk")
+    assert "BroadcastHashJoin" in p  # winners joined back by broadcast
+    for seg in p.split("Exchange hashpartitioning")[1:]:
+        # the shuffle key lists follow the operator name; embeddings stay out
+        assert "embedding" not in seg[:300].split("Input")[0]
+
+
 def test_segment_revenue_broadcast_join(plans):
     """Small dim (customer) broadcast: no shuffle of the orders fact side
     for the join itself."""
