@@ -427,12 +427,40 @@ def simhash_sql(expr: str, n: int = 3) -> str:
     return f"(SELECT {votes} FROM (SELECT {hs} AS h) _sh)"
 
 
+def _pigeonhole_bands(fp: Column, bits: int, nbands: int) -> list[Column]:
+    """Split a ``bits``-wide fingerprint into ``nbands`` contiguous bit
+    ranges (widths differ by at most one). Pigeonhole: a pair with Hamming
+    distance <= nbands-1 has fewer differing bits than bands, so at least
+    one band matches EXACTLY on both sides."""
+    base, rem = divmod(bits, nbands)
+    bands, off = [], 0
+    for i in range(nbands):
+        w = base + (1 if i < rem else 0)
+        bands.append(F.shiftright(fp, off).bitwiseAND(F.lit((1 << w) - 1)))
+        off += w
+    return bands
+
+
 def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", max_hamming: int = 3,
                           n: int = 3, block_col: str | None = None) -> DataFrame:
-    """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming. Candidate
-    generation joins on a block column when given (at 100 TB: fingerprint
-    prefix or an existing partition key); all-pairs only within blocks."""
+    """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Candidate generation is an EQUI-join on pigeonhole bands — never a
+    cross join: the fingerprint is split into ``max_hamming + 1`` bands,
+    and any pair within the Hamming budget must agree exactly on at least
+    one band, so banding loses NO true pairs (equivalence vs brute force
+    pinned in test_dedup). Each doc explodes into one row per band and the
+    join key is (band_idx, band_bits) — the same bucketed shuffle shape as
+    the MinHash LSH path above.
+
+    Selectivity honesty: with 32-bit fingerprints and max_hamming=6 the
+    bands are 4-5 bits wide (16-32 distinct values), so the candidate cut
+    is real but modest. At 100 TB raise SIMHASH_BITS to 64 (wider bands =
+    sharper buckets; the banding code is width-agnostic), lower the budget,
+    and/or compose with ``block_col`` (source / partition key), which is
+    AND-ed into the join key here.
+    """
     from go_simple_embedding_database_spark.session import ensure_parallelism
 
     fp = ensure_parallelism(df).select(
@@ -444,17 +472,30 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
     # cache lives until the session clears it (callers holding the result
     # lazily depend on it; there is no post-action hook to release it).
     fp = fp.persist()
-    a, b = fp.alias("a"), fp.alias("b")
-    on = [F.col(f"a.{block_col}") == F.col(f"b.{block_col}")] if block_col else []
-    joined = a.join(b, on) if on else a.crossJoin(b)
+    nbands = max_hamming + 1
+    banded = fp.select(
+        id_col, "fp", *([block_col] if block_col else []),
+        F.posexplode(F.array(*_pigeonhole_bands(F.col("fp"), SIMHASH_BITS, nbands))
+                     ).alias("band_idx", "band_bits"))
+    a, b = banded.alias("a"), banded.alias("b")
+    on = [F.col("a.band_idx") == F.col("b.band_idx"),
+          F.col("a.band_bits") == F.col("b.band_bits")]
+    if block_col:
+        on.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
     return (
-        joined.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(b, on)
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
         )
+        # Hamming filter BEFORE the pair-dedup shuffle: a pair may collide
+        # in several bands, so duplicates exist, but only surviving pairs
+        # (a tiny set) pay the distinct — the bulk candidates die in the
+        # same codegen stage that scored them.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

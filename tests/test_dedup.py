@@ -115,6 +115,41 @@ def test_simhash_neardup_pairs(spark, docs_with_dups):
     assert {(i, i + 100000) for i in range(20)} <= found
 
 
+def test_simhash_banding_equals_bruteforce(spark, docs_with_dups):
+    """Pigeonhole banding is candidate generation, not approximation: the
+    banded pair set must equal the exact all-pairs result (same discipline
+    as the reference's tie-fill oracle test,
+    /root/reference/collection/collection_test.go:156-197)."""
+    docs = docs_with_dups.filter((F.col("doc_id") % 3 == 0) | (F.col("doc_id") >= 100000))
+    for max_hamming in (2, 6):
+        banded = {(r.id_a, r.id_b, r.hamming)
+                  for r in dd.simhash_neardup_pairs(docs, max_hamming=max_hamming).collect()}
+        fp = docs.select("doc_id", dd.simhash(F.col("text")).alias("fp"))
+        a, b = fp.alias("a"), fp.alias("b")
+        brute = {(r.id_a, r.id_b, r.hamming)
+                 for r in a.crossJoin(b)
+                 .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+                 .select(F.col("a.doc_id").alias("id_a"),
+                         F.col("b.doc_id").alias("id_b"),
+                         F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+                         .alias("hamming"))
+                 .filter(F.col("hamming") <= max_hamming).collect()}
+        assert banded == brute
+
+
+def test_simhash_banding_respects_block_col(spark, docs_with_dups):
+    """With a block column the band join is additionally keyed on the
+    block — pairs never cross blocks."""
+    docs = docs_with_dups.withColumn("blk", (F.col("doc_id") % 100000) % 2)
+    pairs = dd.simhash_neardup_pairs(docs, max_hamming=10, block_col="blk")
+    rows = pairs.collect()
+    assert rows, "planted near-dups share their block and must survive"
+    blk = {r.doc_id % 2 for r in docs.select("doc_id").collect()}  # sanity: both blocks exist
+    assert blk == {0, 1}
+    for r in rows:
+        assert r.id_a % 100000 % 2 == r.id_b % 100000 % 2
+
+
 def test_cosine_neardup_planted(spark, embeddings):
     # scaled copies have cosine exactly 1.0 (scale-invariance) without
     # being byte-identical — the planted semantic dup.

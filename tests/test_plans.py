@@ -88,6 +88,14 @@ def test_dedup_minhash_is_equi_join_not_cross(plans):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_dedup_simhash_pairs_is_banded_equi_join(plans):
+    """SimHash pair generation must equi-join on pigeonhole bands — the
+    unblocked O(N^2) cross join is the 100 TB anti-pattern this plan
+    assertion exists to keep out."""
+    p = plans("dedup_simhash_pairs")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_dedup_cosine_blocked_join_not_cross(plans):
     """Blocked cosine near-dup joins on the block column (label)."""
     p = plans("dedup_cosine")
