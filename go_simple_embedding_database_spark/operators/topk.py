@@ -133,7 +133,8 @@ def similarity_join(
     left_id: str = "id",
     right_id: str = "id",
     score_col: str = "score",
-    broadcast_right: bool = True,
+    broadcast_side: str = "left",
+    buckets: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine join: for each left row, its matches on the right.
 
@@ -144,13 +145,33 @@ def similarity_join(
 
     Exact O(|L|·|R|) — correct at any scale but quadratic; this is the
     correctness oracle. The scale path is ``operators.ann`` (LSH bucketing
-    / IVF cells) which feeds candidate pairs into the same scoring. When
-    the right side fits in executor memory it is broadcast so the left side
-    is never shuffled.
+    / IVF cells) which feeds candidate pairs into the same scoring.
+
+    Broadcast orientation: the k-NN join shape is "few queries (left) ×
+    huge corpus (right)", so the DEFAULT broadcasts the LEFT side — the
+    corpus is scanned in place, never shuffled and never collected to the
+    driver (a broadcast of the big side is the 100 TB OOM). Broadcasting
+    the right side is opt-in (``broadcast_side="right"``) for the mirrored
+    case of a small reference set; ``broadcast_side=None`` leaves the
+    planner free (local tests of the pure semantics).
+
+    The per-left top-k is the same TWO-stage bucketed window as
+    ``batch_topk``: stage 1 partitions by (left_id, bucket) so one query's
+    candidates never funnel through a single task, stage 2 re-ranks the
+    surviving buckets × k rows. Global top-k ⊆ union of per-bucket top-k,
+    and the (score desc, right_id asc) order is total, so the result is
+    identical to the single-window formulation.
     """
+    if broadcast_side not in ("left", "right", None):
+        raise ValueError(
+            f"broadcast_side must be 'left', 'right' or None, got {broadcast_side!r}")
     lv, rv = F.col("_l." + left_vec), F.col("_r." + right_vec)
-    r = F.broadcast(right.alias("_r")) if broadcast_right else right.alias("_r")
-    pairs = left.alias("_l").crossJoin(r)
+    if broadcast_side == "left":
+        pairs = right.alias("_r").crossJoin(F.broadcast(left.alias("_l")))
+    elif broadcast_side == "right":
+        pairs = left.alias("_l").crossJoin(F.broadcast(right.alias("_r")))
+    else:
+        pairs = left.alias("_l").crossJoin(right.alias("_r"))
     scored = pairs.select(
         F.col("_l." + left_id).alias("left_id"),
         F.col("_r." + right_id).alias("right_id"),
@@ -159,9 +180,15 @@ def similarity_join(
     if threshold is not None:
         scored = scored.filter(F.col(score_col) >= threshold)
     if k is not None:
-        w = Window.partitionBy("left_id").orderBy(F.desc(score_col), F.asc("right_id"))
+        nb = buckets or left.sparkSession.sparkContext.defaultParallelism
+        order = [F.desc(score_col), F.asc("right_id")]
+        w1 = Window.partitionBy("left_id", "_b").orderBy(*order)
+        w2 = Window.partitionBy("left_id").orderBy(*order)
         scored = (
-            scored.withColumn("_rn", F.row_number().over(w))
+            scored.withColumn("_b", F.crc32(F.col("right_id").cast("string")) % nb)
+            .withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= k).drop("_rn", "_b")
+            .withColumn("_rn", F.row_number().over(w2))
             .filter(F.col("_rn") <= k)
             .drop("_rn")
         )

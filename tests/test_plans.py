@@ -96,6 +96,18 @@ def test_dedup_simhash_pairs_is_banded_equi_join(plans):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_similarity_join_broadcasts_query_side_only(plans):
+    """The k-NN join must broadcast the SMALL query side; the corpus is
+    scanned in place (a corpus broadcast is the 100 TB driver OOM). In the
+    plan tree the BroadcastExchange subtree is the filtered query relation
+    and the corpus scan is its bare sibling."""
+    import re
+    p = plans("similarity_join_knn")
+    assert re.search(r"BroadcastExchange \(\d+\)\n\s*\+- Filter", p)
+    assert re.search(r":- Scan parquet", p)  # corpus side: plain scan, no exchange
+    assert "LessThan(vec_id,10)" in p  # the broadcast subtree is the query slice
+
+
 def test_dedup_cosine_blocked_join_not_cross(plans):
     """Blocked cosine near-dup joins on the block column (label)."""
     p = plans("dedup_cosine")
