@@ -521,20 +521,24 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
 
     Caching contract: the returned labels DataFrame is persisted (it was
     the loop's working set); callers done with it should ``.unpersist()``
-    it. Intermediate rounds and the edge relation are released here."""
+    it. Intermediate rounds and the edge relation are released here.
+
+    Raises RuntimeError if labels are still changing after ``max_iter``
+    rounds — partial labels would silently mis-cluster downstream dedup."""
     und = (edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
            .unionByName(edges.select(F.col(id_b).alias("src"),
                                      F.col(id_a).alias("dst"))))
     und = und.distinct().persist()
     labels = (und.select(F.col("src").alias("node")).distinct()
               .withColumn("comp", F.col("node")).persist())
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und.dst == labels.node)
             .groupBy("src").agg(F.min("comp").alias("ncomp")))
         propagated = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select("node",
+            .select("node", F.col("comp").alias("_prev"),
                     F.least("comp", F.coalesce("ncomp", F.col("comp")))
                     .alias("comp")))
         # Pointer jumping (shortcutting): replace each label by its
@@ -545,16 +549,31 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         new_labels = (
             l1.join(l2, F.col("l1.comp") == F.col("l2.node"))
             .select(F.col("l1.node").alias("node"),
+                    F.col("l1._prev").alias("_prev"),
                     F.col("l2.comp").alias("comp")).persist())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.comp") != F.col("o.comp")).limit(1).count())
+        # Convergence detection folded into the materializing action: the
+        # previous round's label rides along as _prev, so ONE aggregate
+        # both fills the cache and yields the change count — no separate
+        # join-against-old-labels job per round.
+        changed = new_labels.agg(
+            F.count_if(F.col("comp") != F.col("_prev")).alias("n")
+        ).collect()[0][0]
         labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     und.unpersist()
-    return labels
+    if changed:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — returning partial labels "
+            f"would mis-cluster; raise max_iter (rounds needed is "
+            f"O(log diameter) with pointer jumping)")
+    out = labels.select("node", "comp").persist()
+    out.count()
+    labels.unpersist()
+    return out
 
 
 # -- embedding cosine near-dup --------------------------------------------------
@@ -595,8 +614,12 @@ def cosine_neardup_pairs_gemm(df: DataFrame, vec_col: str = "embedding",
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[mask]})
 
+    # Output id type follows the input id column (string doc ids are as
+    # valid as bigints here; a hardcoded bigint would die in the Arrow
+    # conversion), mirroring stateful.running_key_stats' key handling.
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.groupBy(block_col).applyInPandas(
-        _pairs, "id_a bigint, id_b bigint, cosine double")
+        _pairs, f"id_a {id_type}, id_b {id_type}, cosine double")
 
 
 def cosine_neardup_pairs(df: DataFrame, vec_col: str = "embedding",

@@ -216,6 +216,26 @@ def test_connected_components_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_raises_when_not_converged(spark):
+    """Exhausting max_iter while labels still change must raise — partial
+    labels would silently mis-cluster (advisor finding, round 1)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a bigint, id_b bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(chain, max_iter=1)
+
+
+def test_cosine_neardup_gemm_string_ids(spark, embeddings):
+    """The GEMM path must respect a non-bigint id column (advisor finding:
+    the output schema was hardcoded bigint)."""
+    df = embeddings.select(
+        F.concat(F.lit("v"), F.format_string("%04d", "vec_id")).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"), "label")
+    got = dd.cosine_neardup_pairs_gemm(df, threshold=0.99).collect()
+    for r in got:
+        assert isinstance(r.id_a, str) and r.id_a < r.id_b
+
+
 def test_winnow_shared_passage_guarantee(spark):
     """Winnowing's contract: two documents sharing a passage longer than
     window + n - 1 words MUST share at least one fingerprint; disjoint
