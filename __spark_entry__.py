@@ -479,10 +479,24 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells, exact top-5 inside — the scan prunes to probed cells (partition
     pruning on a cell-partitioned table at scale)."""
     from go_simple_embedding_database_spark.operators import ann
-    emb = _emb(spark, sf_dir)
-    cents = ann.deterministic_centroids(emb, 8)
+    from go_simple_embedding_database_spark.sources.bucketed import source_fingerprint
+
+    # Query the MATERIALIZED index (built once per source fingerprint,
+    # like the bucketed tables): the per-query cost is centroid ranking +
+    # a partition-pruned scan of the two probed cells — never the full
+    # assign-every-vector pass (that runs only on [re]build).
+    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    for pfx in ("file://", "file:"):
+        if warehouse.startswith(pfx):
+            warehouse = warehouse[len(pfx):]
+            break
+    idx = f"{warehouse}/ivf_embeddings_{tag}"
+    ann.ensure_ivf_index(
+        spark, f"{sf_dir}/embeddings.parquet", idx, n_centroids=8,
+        fingerprint=source_fingerprint(f"{sf_dir}/embeddings.parquet"))
     qvec = _query_vec(spark, sf_dir, 0)
-    out = ann.ivf_topk(emb, cents, qvec, 5, nprobe=2, score_col="score")
+    out = ann.ivf_query_index(spark, idx, qvec, 5, nprobe=2, score_col="score")
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 

@@ -108,6 +108,17 @@ def test_similarity_join_broadcasts_query_side_only(plans):
     assert "LessThan(vec_id,10)" in p  # the broadcast subtree is the query slice
 
 
+def test_ann_ivf_driver_query_partition_prunes(plans):
+    """The exercised IVF path must read the materialized cell-partitioned
+    index with PartitionFilters on cell — not rebuild the assignment per
+    query (the round-1 weak grading)."""
+    p = plans("ann_ivf")
+    assert "PartitionFilters" in p
+    assert "cell" in p.split("PartitionFilters")[1][:200]
+    # the per-query plan contains no cell-assignment window
+    assert "Window" not in p
+
+
 def test_dedup_cosine_blocked_join_not_cross(plans):
     """Blocked cosine near-dup joins on the block column (label)."""
     p = plans("dedup_cosine")
