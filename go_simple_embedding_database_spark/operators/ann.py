@@ -134,6 +134,72 @@ def quantized_topk(df: DataFrame, qvec: list[float], k: int,
                               score_col=score_col, tie_break=[id_col])
 
 
+def ensure_quantized_copy(spark, src_path: str, index_path: str,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          fingerprint: str | None = None) -> None:
+    """Materialize the int8-quantized vectors ONCE per source as a slim
+    (id, embedding_q array<tinyint>) parquet beside the table — the
+    coarse-scan stage then reads 1 byte/component instead of 4/8 (the
+    4-8x IO cut quantization promises; quantizing on the fly reads the
+    full-width column anyway and saves nothing). Same fingerprint marker
+    contract as ``ensure_ivf_index``."""
+    import os
+    import shutil
+
+    marker = os.path.join(index_path, "_source_fingerprint")
+    if fingerprint is not None and os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == fingerprint:
+                return
+    if os.path.exists(index_path):
+        shutil.rmtree(index_path)
+    df = spark.read.parquet(src_path)
+    (df.select(F.col(id_col),
+               scalar_quantize(F.col(vec_col)).cast("array<tinyint>")
+               .alias("embedding_q"))
+     .write.mode("overwrite").parquet(index_path))
+    if fingerprint is not None:
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
+
+
+def quantized_candidates(spark, index_path: str, qvec: list[float], n: int,
+                         id_col: str = "vec_id") -> DataFrame:
+    """Stage 1 of indexed quantized retrieval: top-n ids by quantized
+    cosine over the slim materialized copy. The scan reads ONLY
+    (id, embedding_q) — plan-asserted in tests. Quantized values are
+    small exact ints, so the tinyint→double cast is lossless and the
+    candidate set is identical to quantizing the full-width column on
+    the fly."""
+    qq = quantize_vector_py(qvec)
+    qtab = spark.read.parquet(index_path)
+    return (qtab.withColumn("_qsim", cosine_similarity(
+                F.col("embedding_q").cast("array<double>"),
+                F.array(*[F.lit(v) for v in qq])))
+            .orderBy(F.desc("_qsim"), F.asc(id_col))
+            .limit(n)
+            .select(id_col))
+
+
+def quantized_topk_indexed(spark, index_path: str, records: DataFrame,
+                           qvec: list[float], k: int, rescore_factor: int = 4,
+                           vec_col: str = "embedding", id_col: str = "vec_id",
+                           score_col: str = "score") -> DataFrame:
+    """Two-stage retrieval against the MATERIALIZED quantized copy:
+    (1) coarse top k*rescore_factor over the 1-byte/component scan,
+    (2) exact rescore of just those ids against the full-width table.
+    The candidate ids (a k*rescore_factor-sized list) come back to the
+    driver — the same legitimately-tiny collect as IVF's probe cells —
+    so stage 2's scan gets a pushed ``id IN (...)`` filter and skips
+    row groups instead of re-reading the table."""
+    cand_ids = [r[0] for r in
+                quantized_candidates(spark, index_path, qvec,
+                                     k * rescore_factor, id_col).collect()]
+    cand = records.filter(F.col(id_col).isin(cand_ids))
+    return topk_by_similarity(cand, qvec, k, vec_col=vec_col,
+                              score_col=score_col, tie_break=[id_col])
+
+
 def scalar_quantize_sql(expr: str) -> str:
     """DuckDB twin of ``scalar_quantize``."""
     v = f"list_transform({expr}, x -> CAST(x AS DOUBLE))"

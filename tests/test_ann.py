@@ -65,6 +65,40 @@ def test_ivf_index_roundtrip_and_pruning(spark, embeddings, centroids, tmp_path)
     assert "cell" in frag
 
 
+def test_quantized_index_matches_on_the_fly(spark, embeddings, tmp_path, sf_dir):
+    """The materialized-int8 path must return the exact rows of the
+    on-the-fly quantized_topk (tinyint storage is lossless for |q|<=127),
+    and its stage-1 scan must read ONLY (vec_id, embedding_q)."""
+    from go_simple_embedding_database_spark.plans.explain_utils import formatted_plan
+
+    path = str(tmp_path / "qidx")
+    ann.ensure_quantized_copy(spark, f"{sf_dir}/embeddings.parquet", path)
+    q = [float(v) for v in embeddings.filter(F.col("vec_id") == 7).collect()[0].embedding]
+    fly = ann.quantized_topk(embeddings, q, 10, rescore_factor=4)
+    idx = ann.quantized_topk_indexed(spark, path, embeddings, q, 10, rescore_factor=4)
+    assert [(r.vec_id, round(r.score, 9)) for r in idx.collect()] == \
+           [(r.vec_id, round(r.score, 9)) for r in fly.collect()]
+
+    stage1 = formatted_plan(ann.quantized_candidates(spark, path, q, 40))
+    read_schema = stage1.split("ReadSchema")[1][:300]
+    assert "embedding_q" in read_schema and "embedding:" not in read_schema
+
+
+def test_quantized_index_fingerprint_guard(spark, tmp_path, sf_dir):
+    """Same fingerprint → no rebuild (marker survives); changed fingerprint
+    → rebuild."""
+    import os
+    path = str(tmp_path / "qidx2")
+    src = f"{sf_dir}/embeddings.parquet"
+    ann.ensure_quantized_copy(spark, src, path, fingerprint="fp1")
+    t0 = os.path.getmtime(os.path.join(path, "_source_fingerprint"))
+    ann.ensure_quantized_copy(spark, src, path, fingerprint="fp1")
+    assert os.path.getmtime(os.path.join(path, "_source_fingerprint")) == t0
+    ann.ensure_quantized_copy(spark, src, path, fingerprint="fp2")
+    with open(os.path.join(path, "_source_fingerprint")) as fh:
+        assert fh.read() == "fp2"
+
+
 def test_kmeans_centroids_shape(spark, embeddings):
     c = ann.kmeans_centroids(embeddings.limit(200), k=4)
     rows = c.collect()

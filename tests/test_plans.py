@@ -164,13 +164,16 @@ def test_range_join_is_banded_equi_join(plans):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
-def test_quantized_topk_two_take_ordered_stages(plans):
-    """Both stages (candidate scan, exact rescore) are top-k heaps, not
-    global sorts."""
+def test_quantized_topk_rescore_stage_pushes_id_filter(plans):
+    """The exercised quantized query runs stage 1 against the materialized
+    int8 copy as its own job (the candidate ids are an IVF-probe-sized
+    collect), so the returned plan is the rescore stage: a top-k heap over
+    a scan with the candidate ids PUSHED DOWN — never a second full read
+    of the table."""
     p = plans("ann_quantized")
-    # two TOAP nodes (each named twice in formatted output: tree + details)
-    assert p.count("TakeOrderedAndProject") >= 2
+    assert "TakeOrderedAndProject" in p
     assert "Sort " not in p.split("TakeOrderedAndProject")[0]
+    assert "PushedFilters" in p and "In(vec_id" in p.split("PushedFilters")[1][:300]
 
 
 def test_shipping_priority_broadcasts_dim_and_pushes_filters(plans):
