@@ -620,14 +620,51 @@ FROM documents
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode of binary payloads (stub codec — deterministic
-    sha256-derived features; real decoder is a one-function swap). No SQL
-    oracle: the codec is Python-side by nature; rows-only check."""
+    sha256-derived features; real decoder is a one-function swap). The
+    stub is pure sha256 arithmetic, so it admits a full DuckDB twin —
+    the decode plumbing gets the same hash-matched gate as every other
+    operator (a REAL codec would drop back to a rows-only check)."""
     from go_simple_embedding_database_spark.operators.multimodal import (
         decode_media, documents_as_media)
     media = documents_as_media(_docs(spark, sf_dir))
     out = decode_media(media)
     return out.select("media_id", "width", "height", "n_frames",
                       F.round(F.element_at("feature", 1), 6).alias("f0"))
+
+
+# DuckDB twin of operators/multimodal._decode_payload for modality='image'
+# over UTF-8 text payloads: per-byte values are re-derived from the sha256
+# hex (strpos-based nibble math — DuckDB-portable), then the same
+# width/height/feature arithmetic as the stub. Empty payloads take the
+# quarantine (all-NULL) branch, same as the decoder's error path.
+_ORACLE_MULTIMODAL_DECODE = """
+WITH h AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id, sha256(text) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+),
+b AS (
+  SELECT media_id, nb,
+         list_transform(range(16), i ->
+           CAST(strpos('0123456789abcdef', substr(hx, 2*i+1, 1)) - 1 AS DOUBLE) * 16
+           + CAST(strpos('0123456789abcdef', substr(hx, 2*i+2, 1)) - 1 AS DOUBLE)
+         ) AS bytes
+  FROM h
+),
+f AS (
+  SELECT media_id, nb, bytes,
+         list_transform(bytes, x -> x / 255.0 * 2.0 - 1.0) AS raw
+  FROM b
+),
+n AS (SELECT *, sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM f)
+SELECT media_id,
+       CASE WHEN nb = 0 THEN NULL ELSE CAST(16 + CAST(bytes[1] AS INT) % 240 AS INT) END AS width,
+       CASE WHEN nb = 0 THEN NULL ELSE CAST(16 + CAST(bytes[2] AS INT) % 240 AS INT) END AS height,
+       CASE WHEN nb = 0 THEN NULL ELSE 1 END AS n_frames,
+       CASE WHEN nb = 0 THEN NULL
+            ELSE round(CASE WHEN nrm = 0 THEN raw[1] ELSE raw[1] / nrm END, 6) END AS f0
+FROM n
+"""
 
 
 def _q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1947,8 +1984,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_join": _oracle_ann_lsh_join(),
         "events_windowed": _ORACLE_EVENTS_WINDOWED,
         "multimodal_metadata": _ORACLE_MULTIMODAL_METADATA,
-        # multimodal_decode: intentionally absent — Python-side stub codec,
-        # rows-only check.
+        "multimodal_decode": _ORACLE_MULTIMODAL_DECODE,
         # approx_distinct_users: intentionally absent — HLL sketch values
         # are engine-specific; error bound pinned by unit test instead.
         "text_chunks": _oracle_text_chunks(),
