@@ -24,6 +24,12 @@ import __spark_entry__ as entry_mod
 from go_simple_embedding_database_spark.session import get_spark
 
 
+# A first run slower than this skips the best-of-two retry: the retry
+# exists to shave plan-compile noise off sub-second queries, not to double
+# the cost of the slow ones.
+_NO_RETRY_SEC = 15.0
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else -1.0
@@ -68,7 +74,8 @@ def main() -> None:
             # query pays one-off plan compilation + codegen (~1s) and is
             # exposed to GC pauses from the previous query's teardown;
             # at a real SF those costs are noise, at sf0.1 they ARE the
-            # number. Queries already slower than 10s skip the retry.
+            # number. Queries already slower than _NO_RETRY_SEC skip the
+            # retry.
             for _ in range(2):
                 spark.catalog.clearCache()
                 # Collect BEFORE the clock starts: the previous query's
@@ -82,7 +89,7 @@ def main() -> None:
                 # Record after EVERY successful run so a flaky second run
                 # can't discard a valid first measurement.
                 timings[name] = round(min(dt, timings.get(name, dt)), 4)
-                if dt > 15.0:
+                if dt > _NO_RETRY_SEC:
                     break
         except Exception as e:  # one broken query must not kill the bench
             errors[name] = f"{type(e).__name__}: {e}"[:200]

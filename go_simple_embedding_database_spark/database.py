@@ -76,6 +76,8 @@ class SparkEmbeddingDatabase:
         self.spark = spark
         self._catalog: dict[str, CollectionInfo] = {}
         self._records: DataFrame = spark.createDataFrame([], RECORDS_SCHEMA)
+        # Batches make_records persisted; released by compact().
+        self._pinned: list[DataFrame] = []
 
     # -- catalog / DDL (§2.1) ------------------------------------------------
 
@@ -168,11 +170,25 @@ class SparkEmbeddingDatabase:
         # Persist across the validation joins and the insert: embedding is
         # the expensive stage and must run ONCE per blob, not once per
         # downstream action. The cache must outlive add_records (the
-        # records table's lineage references it), so sessions ingesting
-        # many batches should periodically save_parquet + load_parquet to
-        # truncate lineage and release the caches — the warehouse-scale
-        # analog is writing each embedded batch to a staging table.
-        return out.persist()
+        # records table's lineage references it) — ``compact()`` is the
+        # release hook: sessions ingesting many batches call it
+        # periodically to truncate lineage and drop these caches (the
+        # warehouse-scale analog of a staging-table checkpoint).
+        out = out.persist()
+        self._pinned.append(out)
+        return out
+
+    def compact(self, path: str) -> None:
+        """Lineage/cache maintenance for long ingest sessions: write the
+        records table to parquet, reload it as the new scan baseline, and
+        unpersist every batch ``make_records`` pinned. Without this the
+        union lineage deepens per batch and the pinned embedding caches
+        accumulate for the life of the session."""
+        self.save_parquet(path)
+        self._records = type(self).load_parquet(self.spark, path)._records
+        for df in self._pinned:
+            df.unpersist()
+        self._pinned.clear()
 
     def add_record(self, collection_id: str, record: Row) -> None:
         """Single-record insert with the reference's three constraint checks,

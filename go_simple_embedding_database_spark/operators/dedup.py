@@ -47,12 +47,20 @@ def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
 
 # -- exact dedup --------------------------------------------------------------
 
+def content_hash(content_col: str) -> Column:
+    """THE content-identity definition (sha256 over the raw bytes) shared
+    by ``exact_dedup`` and ``exact_dedup_keep`` — a single definition so
+    the cluster table and the kept table can never disagree about what
+    counts as "the same document"."""
+    return F.sha2(F.col(content_col).cast("binary"), 256)
+
+
 def exact_dedup(df: DataFrame, content_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate clusters by content hash: (content_hash,
     keeper, n_copies). Keeper = min id (deterministic)."""
     return (
-        df.groupBy(F.sha2(F.col(content_col).cast("binary"), 256).alias("content_hash"))
+        df.groupBy(content_hash(content_col).alias("content_hash"))
         .agg(F.min(id_col).alias(f"keeper_{id_col}"), F.count("*").alias("n_copies"))
     )
 
@@ -63,7 +71,7 @@ def exact_dedup_keep(df: DataFrame, content_col: str = "text",
     (window row_number over hash — one shuffle on the hash key)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.sha2(F.col(content_col).cast("binary"), 256)).orderBy(id_col)
+    w = Window.partitionBy(content_hash(content_col)).orderBy(id_col)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 

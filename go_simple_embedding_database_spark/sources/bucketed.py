@@ -19,7 +19,14 @@ without the per-task sort when both sides are sorted on the key.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+# Table names are interpolated into DDL strings below; one up-front check
+# covers every site (and odd names have no business in a warehouse layout
+# contract anyway).
+_TABLE_NAME_RE = re.compile(r"^[A-Za-z0-9_]+$")
 
 
 def save_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
@@ -69,17 +76,29 @@ def ensure_bucketed_copy(spark: SparkSession, src: DataFrame, table_name: str,
     additionally guards against STALE data: the token is stored in the
     table properties on write, and a mismatch (source files rewritten
     since) drops and rebuilds the copy instead of serving old rows."""
+    if not _TABLE_NAME_RE.match(table_name):
+        raise ValueError(
+            f"invalid table name {table_name!r}: must match [A-Za-z0-9_]+")
     if spark.catalog.tableExists(table_name):
-        desc = {r.col_name: r.data_type
-                for r in spark.sql(f"DESCRIBE EXTENDED {table_name}").collect()}
-        want_cols = "[" + ", ".join(f"`{c}`" for c in bucket_cols) + "]"
-        got_n = desc.get("Num Buckets")
-        got_cols = desc.get("Bucket Columns")
-        if got_n != str(num_buckets) or got_cols != want_cols:
+        # Bucket COLUMNS come from the catalog API (listColumns' isBucket
+        # flag), never from string-parsing DESCRIBE data rows; the bucket
+        # COUNT is only exposed in DESCRIBE EXTENDED's detailed-metadata
+        # section, so restrict the parse to rows AFTER the '# Detailed
+        # Table Information' separator — a data column that happens to be
+        # named 'Num Buckets' cannot shadow it there.
+        got_cols = [c.name for c in spark.catalog.listColumns(table_name)
+                    if c.isBucket]
+        rows = spark.sql(f"DESCRIBE EXTENDED {table_name}").collect()
+        sep = max((i for i, r in enumerate(rows)
+                   if r.col_name.startswith("# Detailed Table")), default=0)
+        meta = {r.col_name: r.data_type for r in rows[sep:]}
+        got_n = meta.get("Num Buckets")
+        if got_n != str(num_buckets) or got_cols != list(bucket_cols):
             raise ValueError(
                 f"table {table_name} exists with layout (buckets={got_n}, "
-                f"cols={got_cols}) but (buckets={num_buckets}, cols={want_cols}) "
-                f"was requested — drop it or use a different name")
+                f"cols={got_cols}) but (buckets={num_buckets}, "
+                f"cols={list(bucket_cols)}) was requested — drop it or use "
+                f"a different name")
         if fingerprint is not None:
             stored = spark.sql(
                 f"SHOW TBLPROPERTIES {table_name} ('source_fingerprint')"

@@ -228,3 +228,24 @@ def test_parquet_roundtrip(db, spark, tmp_path):
     assert set(db2.list_collections()) == {"c1"}
     assert db2.records_df("c1").count() == 5
     assert db2.get_record("c1", "r3").blob == "text 3"
+
+
+def test_compact_releases_pinned_batches(db, spark, tmp_path):
+    """compact() truncates the union lineage to a parquet scan and
+    unpersists every make_records batch (the round-1 leftover: persisted
+    batches had no release hook)."""
+    for b in range(3):
+        blobs = spark.createDataFrame(
+            [(f"b{b}r{i}", f"text {b}/{i}") for i in range(4)],
+            "id string, blob string")
+        db.add_records("c1", db.make_records(blobs, "mock-constant"))
+    assert len(db._pinned) == 3
+    assert all(d.storageLevel.useMemory for d in db._pinned)
+    pinned = list(db._pinned)
+    db.compact(str(tmp_path / "compacted"))
+    assert db._pinned == []
+    assert all(not d.storageLevel.useMemory for d in pinned)
+    # data intact, catalog untouched, and the records plan is now a scan
+    assert db.records_df("c1").count() == 12
+    assert db.get_record("c1", "b2r3").blob == "text 2/3"
+    assert "Union" not in db._records._jdf.queryExecution().executedPlan().toString()

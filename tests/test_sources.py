@@ -85,3 +85,15 @@ def test_bucketed_copy_validates_layout(spark):
     fresh = bucketed.ensure_bucketed_copy(spark, df3, name, ["k"], 4, fingerprint="v2")
     assert fresh.count() == 3  # changed fingerprint -> rebuilt
     spark.sql(f"DROP TABLE {name}")
+
+
+def test_bucketed_copy_rejects_odd_table_names(spark):
+    """Table names are interpolated into DDL — anything outside
+    [A-Za-z0-9_]+ is refused up front (advisor finding, round 1)."""
+    import pytest
+    from go_simple_embedding_database_spark.sources import bucketed
+
+    df = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    for bad in ["t;drop", "a table", "t`x", "sch.tbl", ""]:
+        with pytest.raises(ValueError, match="invalid table name"):
+            bucketed.ensure_bucketed_copy(spark, df, bad, ["k"], 4)
