@@ -104,7 +104,38 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    try:
+        out["skew_canary"] = _skew_canary(spark, sf_dir)
+    except Exception as e:
+        out["skew_canary"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     print(json.dumps(out))
+
+
+def _skew_canary(spark, sf_dir: str) -> dict:
+    """100x-shape smoke: hash-partition the two headline shuffle keys at a
+    forced-high partition count (the 1000-executor stand-in) and record
+    the straggler ratio. max_over_mean > 2 on either is the skew signal
+    the cluster's task metrics would show — tests pin the threshold; the
+    bench line records the measured value per round."""
+    from go_simple_embedding_database_spark.operators.dedup import lsh_bands
+    from go_simple_embedding_database_spark.operators.skew import (
+        partition_balance, suggest_partitions, with_salt)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bands = lsh_bands(docs, "text", "doc_id", num_hashes=12, bands=4)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ep = suggest_partitions(events.count())
+    return {
+        # dedup_minhash's candidate shuffle: bucketed on the band key
+        "minhash_bands": partition_balance(
+            bands, ["band", "key"], suggest_partitions(bands.count())),
+        # the events aggregations' shuffle key: raw user_id DETECTS the
+        # testdata's planted hot user (>2 expected at sf0.1); the salted
+        # key is the remedy events_salted_agg ships — must stay <2
+        "events_by_user_raw": partition_balance(events, ["user_id"], ep),
+        "events_by_user_salted": partition_balance(
+            with_salt(events, 16), ["user_id", "_salt"], ep),
+    }
 
 
 if __name__ == "__main__":

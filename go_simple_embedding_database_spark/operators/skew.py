@@ -30,6 +30,43 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def partition_balance(df: DataFrame, keys: list[str] | None = None,
+                      num_partitions: int = 256) -> dict:
+    """Straggler canary — the local[N] stand-in for the task-metrics check
+    a real cluster gives: hash-partition ``df`` on ``keys`` at a forced-
+    high partition count (or, with ``keys=None``, measure the input
+    splits as-is) and report the per-partition row-count balance.
+    ``max_over_mean > 2`` means one task would read more than twice the
+    mean input at scale — salt the key, widen the bucketing, or rely on
+    AQE skew splitting, but don't ship the plan unmeasured. The mean is
+    over NON-EMPTY partitions: at 100 TB every partition is occupied, so
+    empty local partitions are a small-data artifact, not balance.
+
+    Pick ``num_partitions`` so the mean stays ≳50 rows/partition
+    (``suggest_partitions``): below that, Poisson placement noise alone
+    exceeds the 2x threshold and the canary measures sampling, not skew."""
+    if keys:
+        df = df.repartition(num_partitions, *[F.col(k) for k in keys])
+    sizes = (df.select(F.spark_partition_id().alias("_p"))
+             .groupBy("_p").agg(F.count("*").alias("n")).collect())
+    counts = [r.n for r in sizes]
+    mx, mean = max(counts), sum(counts) / len(counts)
+    return {
+        "partitions_nonempty": len(counts),
+        "max_rows": mx,
+        "mean_rows": round(mean, 1),
+        "max_over_mean": round(mx / mean, 3),
+    }
+
+
+def suggest_partitions(n_rows: int, min_mean: int = 64,
+                       lo: int = 16, hi: int = 1024) -> int:
+    """Partition count for ``partition_balance`` that keeps the mean
+    occupancy ≥ ``min_mean`` rows so the 2x straggler threshold measures
+    key skew, not Poisson placement noise."""
+    return max(lo, min(hi, n_rows // min_mean))
+
+
 def key_histogram(df: DataFrame, key_col: str, top: int = 20) -> DataFrame:
     """Per-key row counts, heaviest first — the skew detector. Run this on
     a sample (or the full table, it is one map-side-combined aggregation)

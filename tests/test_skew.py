@@ -57,3 +57,33 @@ def test_replicated_skew_join_left_outer(spark, skewed):
     out = skew.replicated_skew_join(skewed, dim, "k", salts=4, how="left")
     assert out.count() == 1000
     assert out.filter(F.col("tag").isNull()).count() == 100
+
+
+def test_partition_balance_canary_headline_shuffles(spark, sf_dir):
+    """The 100x-shape smoke (VERDICT round-1 item 8): the two headline
+    shuffle keys, hash-partitioned at a forced-high count, must show no
+    partition reading >2x the mean — the local stand-in for the cluster
+    straggler check."""
+    from go_simple_embedding_database_spark.operators.dedup import lsh_bands
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bands = lsh_bands(docs, "text", "doc_id", num_hashes=12, bands=4)
+    parts = skew.suggest_partitions(bands.count())
+    b = skew.partition_balance(bands, ["band", "key"], parts)
+    assert b["max_over_mean"] < 2.0, b
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    salted = skew.partition_balance(
+        skew.with_salt(events, 16), ["user_id", "_salt"],
+        skew.suggest_partitions(events.count()))
+    assert salted["max_over_mean"] < 2.0, salted
+
+
+def test_partition_balance_detects_planted_skew(spark):
+    """Sanity: a hot key must trip the canary (otherwise the <2 assertions
+    above prove nothing)."""
+    hot = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1500, F.lit("hot")).otherwise(
+            F.col("id").cast("string")).alias("k"))
+    b = skew.partition_balance(hot, ["k"], 64)
+    assert b["max_over_mean"] > 2.0, b
