@@ -279,6 +279,119 @@ def shingles_py(text: str, n: int = 3) -> list[str]:
     return list(dict.fromkeys(" ".join(ws[i:i + n]) for i in range(k - n + 1)))
 
 
+def ngrams_all(text: Column, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (contrast ``shingles``, which
+    dedups): the denominator of repetition scoring needs every
+    occurrence. Same let-binding trick as ``shingles`` so the word split
+    runs once per row, not once per n-gram. Docs shorter than n words
+    yield their full word sequence as the single n-gram."""
+    def per_words(ws: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
+        return F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
+
+    return F.element_at(
+        F.transform(F.array(words(F.lower(text))), per_words), 1)
+
+
+def ngrams_all_sql(expr: str, n: int = 2) -> str:
+    w = words_sql(f"lower({expr})")
+    return (
+        f"[array_to_string(list_slice({w}, i + 1, i + {n}), ' ') "
+        f"for i in range(greatest(len({w}) - {n}, 0) + 1)]"
+    )
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher-style intra-document repetition signals: the fraction of
+    word occurrences (and 2-/3-gram occurrences) that are repeats of an
+    earlier occurrence — ``1 - distinct/total``. High values flag
+    boilerplate, keyword stuffing, and degenerate generations; training
+    pipelines drop docs above a dup-ngram threshold. Pure codegen
+    (split + transform + array_distinct), no shuffle: scan-linear."""
+    out: dict[str, Column] = {}
+    ws = words(F.lower(text))
+    n_words = F.size(ws).cast("double")
+    safe = F.when(n_words == 0, 1.0).otherwise(n_words)
+    out["n_words"] = F.size(ws)
+    out["dup_word_frac"] = (n_words - F.size(F.array_distinct(ws))) / safe
+    for n in (2, 3):
+        grams = ngrams_all(text, n)
+        total = F.size(grams).cast("double")
+        safe_g = F.when(total == 0, 1.0).otherwise(total)
+        out[f"dup_{n}gram_frac"] = (
+            (total - F.size(F.array_distinct(grams))) / safe_g)
+    return out
+
+
+def repetition_sql(expr: str) -> dict[str, str]:
+    """DuckDB twins of repetition_features."""
+    w = words_sql(f"lower({expr})")
+    safe = f"(CASE WHEN len({w}) = 0 THEN 1.0 ELSE CAST(len({w}) AS DOUBLE) END)"
+    out = {
+        "n_words": f"len({w})",
+        "dup_word_frac":
+            f"(CAST(len({w}) AS DOUBLE) - len(list_distinct({w}))) / {safe}",
+    }
+    for n in (2, 3):
+        g = ngrams_all_sql(expr, n)
+        total = f"CAST(len({g}) AS DOUBLE)"
+        safe_g = f"(CASE WHEN len({g}) = 0 THEN 1.0 ELSE {total} END)"
+        out[f"dup_{n}gram_frac"] = (
+            f"({total} - len(list_distinct({g}))) / {safe_g}")
+    return out
+
+
+# PII scrubbing — patterns deliberately restricted to the regex dialect
+# INTERSECTION of Java (Spark) and RE2 (DuckDB): character classes,
+# bounded repetition, \b, non-capturing groups; no lookaround, no
+# backreferences. Applied in fixed list order.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # International-format phone: leading +, 8+ total digits with
+    # digit-ish separators. The mandatory '+' keeps it from eating ids,
+    # prices and version strings.
+    ("phone", r"\+\d[\d()\- ]{6,}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(text: Column) -> Column:
+    """Replace emails / IPv4s / intl-format phone numbers with typed
+    placeholder tokens — the standard pre-training scrub pass. Pure
+    ``regexp_replace`` chain: codegen, scan-linear, no shuffle."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts on the RAW text (audit columns: pipelines
+    log how much PII they removed per shard)."""
+    return {f"n_{kind}": F.regexp_count(text, F.lit(pat))
+            for kind, pat, _ in PII_PATTERNS}
+
+
+def _sql_quote(pat: str) -> str:
+    # DuckDB single-quoted literals have NO backslash escapes (standard
+    # SQL) — only quote-doubling; the regex backslashes pass through as-is.
+    return pat.replace("'", "''")
+
+
+def pii_scrub_sql(expr: str) -> str:
+    out = expr
+    for _, pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{_sql_quote(pat)}', '{repl}', 'g')"
+    return out
+
+
+def pii_counts_sql(expr: str) -> dict[str, str]:
+    return {
+        f"n_{kind}": f"len(regexp_extract_all({expr}, '{_sql_quote(pat)}'))"
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
 def doc_fingerprint(text: Column, n: int = 3) -> Column:
     """Document fingerprint: the lexicographically minimal md5 over word
     n-gram shingles (a 1-function MinHash / winnowing-lite). Stable under

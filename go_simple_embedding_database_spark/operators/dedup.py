@@ -533,10 +533,16 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
 
     Raises RuntimeError if labels are still changing after ``max_iter``
     rounds — partial labels would silently mis-cluster downstream dedup."""
-    und = (edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-           .unionByName(edges.select(F.col(id_b).alias("src"),
-                                     F.col(id_a).alias("dst"))))
-    und = und.distinct().persist()
+    # Undirect the edges with ONE pass over the pair source: a
+    # union(edges, reversed(edges)) plans the (potentially expensive)
+    # pair-generation subtree twice — explode emits both orientations
+    # from a single evaluation.
+    und = (edges.select(F.explode(F.array(
+               F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+               F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+           )).alias("_e"))
+           .select("_e.src", "_e.dst")
+           .distinct().persist())
     labels = (und.select(F.col("src").alias("node")).distinct()
               .withColumn("comp", F.col("node")).persist())
     changed = 0
@@ -553,6 +559,10 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         # label's label. Propagation alone needs O(diameter) rounds —
         # a 70s run on a chain-heavy fingerprint graph; with the jump
         # the label tree halves in height per round, O(log diameter).
+        # The self-join's two sides hash on DIFFERENT keys (comp vs
+        # node), so exchange reuse can't dedupe them — persist, or the
+        # neighbor-min join+agg subtree evaluates twice per round.
+        propagated = propagated.persist()
         l1, l2 = propagated.alias("l1"), propagated.alias("l2")
         new_labels = (
             l1.join(l2, F.col("l1.comp") == F.col("l2.node"))
@@ -566,6 +576,7 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         changed = new_labels.agg(
             F.count_if(F.col("comp") != F.col("_prev")).alias("n")
         ).collect()[0][0]
+        propagated.unpersist()
         labels.unpersist()
         labels = new_labels
         if changed == 0:

@@ -134,3 +134,78 @@ def test_quality_sql_twin_matches(spark, documents, sf_dir):
         ).fetchall()
     }
     assert got_spark == got_duck
+
+
+# -- round-2: repetition + PII scrub -------------------------------------------
+
+
+def test_repetition_features_values(spark):
+    df = spark.createDataFrame([
+        ("a a a a",),            # 4 words, 1 distinct -> dup_word 0.75
+        ("a b c d",),            # all distinct -> 0.0
+        ("a b a b a b",),        # 2-grams: 5 total {a b, b a} -> dup 0.6
+        ("",),                   # empty: safe denominators, all zeros
+    ], "text string")
+    f = tx.repetition_features(F.col("text"))
+    rows = df.select(
+        f["n_words"].alias("n"),
+        F.round(f["dup_word_frac"], 6).alias("dw"),
+        F.round(f["dup_2gram_frac"], 6).alias("d2"),
+    ).collect()
+    assert (rows[0].n, rows[0].dw) == (4, 0.75)
+    assert rows[1].dw == 0.0 and rows[1].d2 == 0.0
+    assert rows[2].d2 == 0.6
+    assert (rows[3].n, rows[3].dw, rows[3].d2) == (0, 0.0, 0.0)
+
+
+def test_repetition_matches_duckdb(spark, documents):
+    sql = tx.repetition_sql("text")
+    got = {r.doc_id: (r.n, round(r.d3, 6)) for r in documents.select(
+        "doc_id", tx.repetition_features(F.col("text"))["n_words"].alias("n"),
+        F.round(tx.repetition_features(F.col("text"))["dup_3gram_frac"], 6).alias("d3"),
+    ).collect()}
+    con = duckdb.connect()
+    from tests.conftest import SF_DIR
+    exp = {r[0]: (r[1], round(r[2], 6)) for r in con.sql(
+        f"SELECT doc_id, {sql['n_words']}, {sql['dup_3gram_frac']} "
+        f"FROM '{SF_DIR}/documents.parquet'").fetchall()}
+    assert got == exp
+
+
+def test_pii_scrub_replaces_and_counts(spark):
+    df = spark.createDataFrame([
+        ("mail bob.smith+x@corp.example.org now",),
+        ("server at 192.168.0.1 and 10.0.0.255.",),
+        ("call +1 (555) 010-1234 today",),
+        ("versions 1.2.3 and 1.2.3.4.5 stay, v2 stays",),
+        ("no pii here",),
+    ], "text string")
+    c = tx.pii_counts(F.col("text"))
+    rows = df.select(
+        tx.pii_scrub(F.col("text")).alias("s"),
+        c["n_email"].alias("e"), c["n_ipv4"].alias("i"), c["n_phone"].alias("p"),
+    ).collect()
+    assert rows[0].s == "mail <EMAIL> now" and rows[0].e == 1
+    assert rows[1].s == "server at <IP> and <IP>." and rows[1].i == 2
+    assert rows[2].s == "call <PHONE> today" and rows[2].p == 1
+    # dotted version strings: 1.2.3 has 3 octets (no match); 1.2.3.4.5
+    # contains a 4-octet run — RE2/Java agree it matches; pin the behavior
+    assert rows[3].e == 0 and rows[3].p == 0
+    assert rows[4].s == "no pii here"
+
+
+def test_pii_scrub_matches_duckdb(spark):
+    texts = [
+        "mail bob.smith+x@corp.example.org now",
+        "server at 192.168.0.1 and 10.0.0.255.",
+        "call +1 (555) 010-1234 today",
+        "a@b.co c@d.io back to back",
+        "edge +12 345 678 90 and 0.0.0.0",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.s for r in df.select(tx.pii_scrub(F.col("text")).alias("s")).collect()]
+    con = duckdb.connect()
+    exp = [con.execute(
+        f"SELECT {tx.pii_scrub_sql('t')} FROM (SELECT ? AS t)", [t]
+    ).fetchone()[0] for t in texts]
+    assert got == exp
