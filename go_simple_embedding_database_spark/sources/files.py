@@ -82,3 +82,23 @@ def _reject_nested(op: str, schema: str) -> None:
         raise ValueError(
             f"{op}: CSV cannot carry nested types ({schema!r}) — serialize "
             f"arrays with to_json first, or use JSONL/parquet")
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: str | None = None) -> DataFrame:
+    """ORC connector (columnar sibling of parquet, common in Hive-era
+    warehouses). Self-describing: schema comes from the file footer; pass
+    ``schema`` only to assert/prune the expected shape (mismatches fail at
+    analysis, not mid-job). Predicate pushdown and column pruning work as
+    for parquet — the vectorized ORC reader is on by default."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    w = df.write.mode(mode)
+    if "collection_id" in df.columns:
+        w = w.partitionBy("collection_id")
+    w.orc(path)

@@ -105,3 +105,66 @@ def test_cosine_matches_numpy(spark, pairs):
         denom = np.linalg.norm(xa) * np.linalg.norm(ya)
         want = 0.0 if denom == 0 else float(xa @ ya) / denom
         assert g == pytest.approx(want, rel=1e-9, abs=1e-12)
+
+
+# -- round-2: packing + funnel invariants --------------------------------------
+
+
+@SETTINGS
+@given(
+    st.lists(st.tuples(st.sampled_from(["s0", "s1", "s2"]), TEXTS),
+             min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=64),
+)
+def test_packing_conservation(spark, docs, capacity):
+    """Invariants for any corpus/capacity: token mass is conserved, start
+    offsets are the exact per-shard prefix sums in order, and bin indices
+    are start_token // capacity."""
+    from go_simple_embedding_database_spark.operators.packing import (
+        assign_pack_bins)
+    rows = [(i, src, txt) for i, (src, txt) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = assign_pack_bins(df, capacity=capacity, partition_cols=["source"])
+    got = sorted(out.collect(), key=lambda r: (r.source, r.doc_id))
+    offset = {}
+    for r in got:
+        assert r.start_token == offset.get(r.source, 0), r
+        offset[r.source] = r.start_token + r.n_tokens
+        assert r.bin == r.start_token // capacity
+        end_incl = r.start_token + r.n_tokens - 1
+        assert r.spans_bins == end_incl // capacity - r.bin + 1
+        assert r.n_tokens >= 1  # separator floor
+
+
+@SETTINGS
+@given(st.lists(
+    st.tuples(st.integers(min_value=1, max_value=5),
+              st.integers(min_value=0, max_value=50),
+              st.sampled_from(["signup", "view", "click", "purchase"])),
+    min_size=1, max_size=40))
+def test_funnel_matches_python_oracle(spark, evs):
+    """funnel_times == a brute-force per-user Python fold for any event
+    set (including duplicate timestamps and out-of-order stages)."""
+    import datetime as dt
+    from go_simple_embedding_database_spark.operators.funnel import funnel_times
+    stages = ["signup", "view", "click", "purchase"]
+    base = dt.datetime(2024, 1, 1)
+    rows = [(u, base + dt.timedelta(hours=h), t) for u, h, t in evs]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    got = {r.user_id: tuple(r[f"{s}_ts"] for s in stages)
+           for r in funnel_times(df, stages).collect()}
+    want = {}
+    for u in {e[0] for e in rows}:
+        mine = [(ts, t) for (uu, ts, t) in rows if uu == u]
+        prev, out = None, []
+        for s in stages:
+            cand = [ts for ts, t in mine
+                    if t == s and (prev is None or ts > prev)]
+            prev = min(cand) if cand else None
+            out.append(prev)
+            if prev is None:
+                out += [None] * (len(stages) - len(out))
+                break
+        want[u] = tuple(out)
+    assert got == want

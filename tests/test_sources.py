@@ -97,3 +97,26 @@ def test_bucketed_copy_rejects_odd_table_names(spark):
     for bad in ["t;drop", "a table", "t`x", "sch.tbl", ""]:
         with pytest.raises(ValueError, match="invalid table name"):
             bucketed.ensure_bucketed_copy(spark, df, bad, ["k"], 4)
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC carries the FULL records schema (arrays included, unlike CSV)
+    and the scan supports filter pushdown like parquet."""
+    from go_simple_embedding_database_spark.sources.files import (
+        read_orc, write_orc)
+    df = spark.createDataFrame(
+        [("c1", "r1", "mock-hash-64", "hello", [0.1, 0.2]),
+         ("c1", "r2", "mock-hash-64", "world", [0.3, 0.4]),
+         ("c2", "r3", "mock-hash-64", "again", None)],
+        "collection_id string, id string, embedder_id string, "
+        "blob string, embedding array<double>")
+    path = str(tmp_path / "records_orc")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.count() == 3
+    assert sorted(r.id for r in back.collect()) == ["r1", "r2", "r3"]
+    # partitioned layout by collection_id + pushdown evidence in the plan
+    q = back.filter("id = 'r2'").select("id", "blob")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,r2)]" in plan
+    assert [r.blob for r in q.collect()] == ["world"]

@@ -1,0 +1,176 @@
+"""Generate PLANS.md: formatted physical plans of the headline queries with
+scale commentary — the local[32] stand-in for reviewing the plans a
+1000-executor cluster would run.
+
+Usage: python tools/plans_report.py  (writes PLANS.md at the repo root)
+
+Each section states what the plan MUST show for the operator to survive a
+100x scale-up (the same properties tests/test_plans.py pins), then the
+`.explain("formatted")` output so a reviewer can check without a cluster.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# query name -> (headline, what-to-check commentary)
+COMMENTARY: dict[str, tuple[str, str]] = {
+    "topk_cosine": (
+        "Flagship top-k similarity query",
+        "`TakeOrderedAndProject` instead of a global sort: each partition "
+        "keeps its local top-k and only k rows per partition reach the "
+        "driver — O(N) scan, O(k·partitions) movement, vs the reference's "
+        "full O(N log N) sort (collection/collection.go:98-103). The "
+        "cosine kernel is a codegen'd higher-order function inside the "
+        "scan stage; `ReadSchema` shows only the columns used."),
+    "batch_topk": (
+        "Batched top-k (many query vectors at once)",
+        "The query set is the BROADCAST side (`BroadcastExchange` on the "
+        "queries relation, never on the records corpus) and the per-query "
+        "ranking runs as a two-stage window: stage 1 partitions by "
+        "(query_id, bucket) so one query's candidates never funnel into a "
+        "single task; the slim projection keeps embeddings out of every "
+        "exchange (`Exchange` operands carry id+score only)."),
+    "similarity_join_knn": (
+        "k-NN similarity join (queries x corpus)",
+        "Broadcast orientation: the SMALL query side broadcasts "
+        "(`BroadcastExchange` wraps the left/query relation); the corpus "
+        "is scanned in place — never shuffled, never collected. At 100 TB "
+        "a corpus-side broadcast is an OOM; this plan's only exchanges "
+        "are the bucketed per-query windows over (left_id, bucket)."),
+    "dedup_minhash": (
+        "MinHash+LSH near-duplicate pairs",
+        "Candidate generation is an equi-join on the LSH band key "
+        "(`Exchange hashpartitioning(band, key)`), NEVER a cross join — "
+        "no `CartesianProduct`/`BroadcastNestedLoopJoin` anywhere. Pair "
+        "volume is O(sum of bucket^2) bounded by `max_bucket_size`, not "
+        "O(N^2)."),
+    "dedup_simhash_pairs": (
+        "SimHash near-dup pairs (pigeonhole banding)",
+        "The 32-bit fingerprint splits into max_hamming+1 bit-bands; any "
+        "pair within the Hamming budget agrees exactly on >=1 band, so "
+        "candidates come from an equi-join on (band_idx, band_bits) — "
+        "same bucketed shuffle shape as MinHash LSH. No cross join in "
+        "the plan (round 1 ran all-pairs; fixed this round)."),
+    "ann_ivf": (
+        "IVF ANN query via the materialized index",
+        "The per-query scan must show `PartitionFilters: [cell IN (..)]` "
+        "on the cell-partitioned index — only the probed cells' files "
+        "open. The full assign-every-vector pass runs only at [re]build "
+        "(fingerprint-guarded), not per query."),
+    "ann_quantized": (
+        "Two-stage quantized retrieval",
+        "Stage 1 scans the MATERIALIZED int8 copy — `ReadSchema` of the "
+        "first scan shows only (vec_id, embedding_q array<tinyint>), "
+        "1 byte/component instead of 8 — then the exact rescore joins "
+        "back to the full-width table for k*4 survivors only."),
+    "bucketed_join_revenue": (
+        "Repeated fact-fact join on bucketed tables",
+        "Both sides are bucketed managed tables on the join key with the "
+        "same bucket count: the join has ZERO `Exchange` operators — "
+        "every task reads bucket i of both sides. The layout+freshness "
+        "validation (bucket cols/count + source fingerprint) runs once "
+        "per session."),
+    "pack_sequences": (
+        "Sequence packing (concat-and-chunk)",
+        "The token-offset cumsum windows by source (shards pack in "
+        "parallel) — exactly ONE `Exchange hashpartitioning(source)`; the "
+        "per-(source, bin) aggregation reuses that partitioning because "
+        "its keys extend the window key. A global (unpartitioned) cumsum "
+        "would be a one-task plan; this one scales with shard count."),
+    "event_funnel": (
+        "Ordered funnel over events",
+        "All four chained stage windows share the user_id partitioning: "
+        "one `Exchange hashpartitioning(user_id)` total, every stage "
+        "evaluated in the same window stage; the per-user collapse "
+        "reuses the partitioning."),
+    "events_salted_agg": (
+        "Skew-salted aggregation",
+        "Two-phase: partial aggregate on (user_id, salt) spreads the "
+        "planted hot user over 16 tasks, final merge per user_id. The "
+        "plan shows both hash-aggregate pairs; the skew canary in "
+        "bench.py records max_over_mean < 2 on the salted key vs ~3.5 "
+        "raw."),
+    "dedup_clusters": (
+        "Near-dup pairs -> transitive clusters (connected components)",
+        "Iterative min-label propagation with pointer jumping — "
+        "O(log diameter) rounds, each one equi-join + one aggregate on "
+        "the node id. The displayed plan is the FIRST round's; the loop "
+        "persists each round's labels and folds convergence detection "
+        "into the materializing aggregate (no extra job per round)."),
+}
+
+
+def _capture_formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def main() -> None:
+    import __spark_entry__ as em
+    from go_simple_embedding_database_spark.session import get_spark
+
+    spark = get_spark(app_name="plans-report")
+    qs = em.queries()
+    out = [
+        "# PLANS — physical-plan review of the headline operators",
+        "",
+        f"Generated by `tools/plans_report.py` at sf_dir=`{SF_DIR}` "
+        "(plan SHAPE is scale-invariant; only statistics change with sf). "
+        "Each section lists the property the plan must exhibit to survive "
+        "a 100x scale-up — the same properties `tests/test_plans.py` "
+        "asserts — followed by `explain('formatted')` output.",
+        "",
+    ]
+    for name, (title, comment) in COMMENTARY.items():
+        df = qs[name](spark, SF_DIR)
+        plan = _capture_formatted(df)
+        # Strip volatile ids/paths so the artifact diffs cleanly.
+        plan = re.sub(r"file:[^\s,\]]+", "file:<path>", plan)
+        plan = plan.replace(SF_DIR, "<sf_dir>")
+        # Keep it reviewable: the operator TREE (everything up to the
+        # per-node detail dump) plus just the detail lines that carry the
+        # scale evidence (scan pushdown / schema pruning / partition
+        # pruning). The full dump is one `df.explain("formatted")` away.
+        lines = plan.splitlines()
+        tree_end = next((i for i, l in enumerate(lines)
+                         if re.match(r"^\(\d+\) ", l)), len(lines))
+        tree = lines[:tree_end]
+        if len(tree) > 150:
+            # Iterative operators (connected components) drag the whole
+            # cached-round lineage into the tree dump — cap it.
+            tree = tree[:150] + [
+                f"... ({len(lines[:tree_end]) - 150} more tree lines — "
+                "cached iteration lineage elided)"]
+        evidence = [l for l in lines[tree_end:]
+                    if re.search(r"PushedFilters|PartitionFilters|"
+                                 r"ReadSchema|Arguments: \[plan_id", l)
+                    and "PushedFilters: []" not in l]
+        plan = "\n".join(tree).rstrip()
+        if evidence:
+            plan += "\n\n-- scan evidence --\n" + "\n".join(
+                f"  {l.strip()}" for l in evidence[:40])
+        out += [
+            f"## {name} — {title}",
+            "",
+            comment,
+            "",
+            "```",
+            plan.rstrip(),
+            "```",
+            "",
+        ]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w") as fh:
+        fh.write("\n".join(out))
+    print(f"wrote PLANS.md ({len(COMMENTARY)} sections)")
+
+
+if __name__ == "__main__":
+    main()
