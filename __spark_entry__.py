@@ -67,11 +67,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
-def _split_bucket(col_name: str = "doc_id"):
-    """THE corpus split definition (md5 bucket mod 100) — train_split_counts
-    and split_contamination must audit the SAME split, so there is exactly
-    one producer for the expression and one for its DuckDB twin."""
-    return (F.conv(F.substring(F.md5(F.col(col_name).cast("string").cast("binary")), 1, 4), 16, 10)
+def _split_bucket(col="doc_id"):
+    """THE corpus split definition (md5 bucket mod 100) — train_split_counts,
+    split_contamination, and split_leakage_safe must audit the SAME split,
+    so there is exactly one producer for the expression and one for its
+    DuckDB twin. Accepts a column name or a Column (split_leakage_safe
+    buckets a DERIVED key — the cluster root — not a physical column)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 4), 16, 10)
             .cast("bigint") % 100)
 
 
@@ -1671,11 +1674,15 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(Window.partitionBy("comp")).alias("cluster_size"))
 
 
-def _oracle_dedup_clusters() -> str:
+def _clusters_cte() -> str:
+    """Shared recursive-CTE body computing the near-dup components
+    (same edges as length_band_jaccard_dedup(band_width=8, threshold=0.8),
+    same min-reachable-node labels as connected_components) — ONE
+    definition feeding both the dedup_clusters and split_leakage_safe
+    oracles."""
     from go_simple_embedding_database_spark.operators import dedup as dd
     jac = dd.jaccard_sql("a.text", "b.text")
     return f"""
-WITH RECURSIVE
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM documents a JOIN documents b
@@ -1688,7 +1695,13 @@ reach(node, comp) AS (
   SELECT src, src FROM edges
   UNION
   SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
-comps AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node)
+comps AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node)"""
+
+
+def _oracle_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE
+{_clusters_cte()}
 SELECT node AS doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM comps
@@ -1999,6 +2012,184 @@ def _oracle_events_retention() -> str:
     return cohort_retention_sql("events", period_days=7)
 
 
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixture (w_s ∝ n_s^0.5, budget 250):
+    the multilingual-corpus re-weighting that up-samples small domains.
+    Rates come from a domains-sized aggregate; row selection is a pure
+    md5-hash threshold — no per-domain sort or row_number, so every row
+    decides its own membership in a scan (operators/sampling.py scale
+    notes). Reports per-domain corpus size, target, achieved."""
+    from go_simple_embedding_database_spark.operators.sampling import mixture_report
+    return mixture_report(_docs_par(spark, sf_dir), "source", "doc_id",
+                          alpha=0.5, budget=250)
+
+
+def _oracle_mixture_sample() -> str:
+    from go_simple_embedding_database_spark.operators.sampling import (
+        temperature_sample_sql)
+    return temperature_sample_sql("documents", "source", "doc_id",
+                                  alpha=0.5, budget=250)
+
+
+def _next_snapshot(docs: DataFrame) -> DataFrame:
+    """Deterministic 'next version' of the documents table for the CDC
+    diff: ~1% deleted (doc_id % 97), ~3% edited (doc_id % 31 gets a
+    suffix), ~0.7% inserted under shifted ids (doc_id % 151). Same
+    construction in the oracle SQL."""
+    base = docs.filter(F.col("doc_id") % 97 != 0)
+    edited = base.withColumn(
+        "text", F.when(F.col("doc_id") % 31 == 0,
+                       F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text")))
+    inserts = (docs.filter(F.col("doc_id") % 151 == 0)
+               .withColumn("doc_id", F.col("doc_id") + 1000000))
+    return edited.unionByName(inserts)
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: one full-outer
+    join on the key over md5 row fingerprints → (doc_id, change_type in
+    insert/update/delete). The join payload is key + one 32-char hash
+    regardless of row width; bucket both snapshots on the key and the
+    exchange disappears (sources/maintenance.py scale notes)."""
+    from go_simple_embedding_database_spark.sources.maintenance import snapshot_diff
+    docs = _docs(spark, sf_dir)
+    d = snapshot_diff(docs, _next_snapshot(docs), ["doc_id"], ["text"])
+    return d.filter(F.col("change_type") != "unchanged")
+
+
+_ORACLE_SNAPSHOT_DIFF = """
+WITH newsnap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 31 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 151 = 0),
+o AS (SELECT doc_id, md5(concat_ws(chr(31), CAST(text AS VARCHAR))) AS fp FROM documents),
+n AS (SELECT doc_id, md5(concat_ws(chr(31), CAST(text AS VARCHAR))) AS fp FROM newsnap),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.fp IS NULL THEN 'insert'
+              WHEN n.fp IS NULL THEN 'delete'
+              WHEN o.fp <> n.fp THEN 'update'
+              ELSE 'unchanged' END AS change_type
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+SELECT doc_id, change_type FROM j WHERE change_type <> 'unchanged'
+"""
+
+
+def _q_events_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring in a
+    user's history — the co-occurrence statistic behind item-similarity /
+    query-expansion tables. Distinct (user, type) first, so the self-join
+    fanout per user is bounded by the (small) type vocabulary, never the
+    user's raw event count; marginals and the user total are broadcast
+    back. All products stay exact bigints until the final IEEE-exact
+    division, so the oracle matches bit-for-bit."""
+    ev = _events(spark, sf_dir)
+    ut = ev.select("user_id", "event_type").distinct()
+    totals = ut.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    n_users = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (a.join(b, "user_id")
+             .filter(F.col("a.event_type") < F.col("b.event_type"))
+             .groupBy(F.col("a.event_type").alias("type_a"),
+                      F.col("b.event_type").alias("type_b"))
+             .agg(F.count("*").alias("n_co")))
+    ta = totals.select(F.col("event_type").alias("type_a"),
+                       F.col("n_t").alias("n_a"))
+    tb = totals.select(F.col("event_type").alias("type_b"),
+                       F.col("n_t").alias("n_b"))
+    return (pairs.join(F.broadcast(ta), "type_a")
+            .join(F.broadcast(tb), "type_b")
+            .crossJoin(F.broadcast(n_users))
+            .select("type_a", "type_b", "n_co",
+                    F.round(F.log((F.col("n_co") * F.col("n_users"))
+                                  / (F.col("n_a") * F.col("n_b"))), 6)
+                    .alias("pmi")))
+
+
+_ORACLE_EVENTS_PMI = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY event_type),
+nu AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_co
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_co,
+       round(ln((n_co * n_users) / (ta.n_t * tb.n_t)), 6) AS pmi
+FROM pairs
+JOIN tot ta ON pairs.type_a = ta.event_type
+JOIN tot tb ON pairs.type_b = tb.event_type
+CROSS JOIN nu
+"""
+
+
+def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup by rare-shingle containment (quotation /
+    inclusion detection — the case symmetric Jaccard misses). Inverted
+    index on word 3-grams with a document-frequency cutoff; per-gram join
+    fanout bounded by max_df² (operators/dedup.py:containment_pairs)."""
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    out = dd.containment_pairs(_docs_par(spark, sf_dir), threshold=0.5,
+                               max_df=50)
+    return out.select("id_a", "id_b",
+                      F.round("containment", 6).alias("containment"))
+
+
+def _oracle_dedup_containment() -> str:
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    inner = dd.containment_pairs_sql("documents", "text", "doc_id",
+                                     threshold=0.5, max_df=50)
+    return (f"SELECT id_a, id_b, round(containment, 6) AS containment "
+            f"FROM ({inner}) _c")
+
+
+def _q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup clusters (the verified
+    Jaccard pairs → connected components) are split as UNITS — the md5
+    bucket is taken over the cluster ROOT, not the doc id, so two
+    near-duplicate documents can never land in different splits (the
+    eval-contamination failure mode train_split_counts' per-doc split
+    allows). Reports per-split doc and cluster counts."""
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    docs = _docs_par(spark, sf_dir)
+    edges = dd.length_band_jaccard_dedup(docs, band_width=8, threshold=0.8)
+    comps = dd.connected_components(edges.select("id_a", "id_b"))
+    labeled = (docs.select("doc_id")
+               .join(comps.withColumnRenamed("node", "doc_id"), "doc_id",
+                     "left")
+               .withColumn("root", F.coalesce(F.col("comp"), F.col("doc_id"))))
+    bucket = _split_bucket(F.col("root"))
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    return (labeled.withColumn("split", split)
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("root").alias("n_clusters")))
+
+
+def _oracle_split_leakage_safe() -> str:
+    bucket = _split_bucket_sql("root")
+    return f"""
+WITH RECURSIVE
+{_clusters_cte()},
+alldocs AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS root
+  FROM documents d LEFT JOIN comps c ON d.doc_id = c.node),
+labeled AS (
+  SELECT doc_id, root,
+         CASE WHEN {bucket} < 80 THEN 'train'
+              WHEN {bucket} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM alldocs)
+SELECT split, count(*) AS n_docs, count(DISTINCT root) AS n_clusters
+FROM labeled GROUP BY split
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER CONTRACT: the driver's correctness gate checks the first 50
     entries (round 1 stopped there, leaving 16 queries without official
@@ -2039,9 +2230,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "event_funnel": _q_event_funnel,
         "events_retention": _q_events_retention,
+        "mixture_sample": _q_mixture_sample,
+        "snapshot_diff": _q_snapshot_diff,
+        "events_pmi": _q_events_pmi,
+        "dedup_containment": _q_dedup_containment,
+        "split_leakage_safe": _q_split_leakage_safe,
         # (c) previously checked, kept in the window
         "topk_cosine": _q_topk_cosine,
-        "topk_small_collection": _q_topk_small_collection,
         "batch_topk": _q_batch_topk,
         "cosine_kernel_pairs": _q_cosine_kernel_pairs,
         "ingest_embed": _q_ingest_embed,
@@ -2057,14 +2252,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cosine": _q_dedup_cosine,
         "embedding_centroids": _q_embedding_centroids,
         "events_asof": _q_events_asof,
-        "events_range_join": _q_events_range_join,
         "pipeline_clean_corpus": _q_pipeline_clean_corpus,
-        "ann_lsh_join": _q_ann_lsh_join,
-        "multimodal_metadata": _q_multimodal_metadata,
         "dedup_keep": _q_dedup_keep,
         "ingest_violations": _q_ingest_violations,
+        # (d) stable round-1-green tail (rotated out of the checked window;
+        # every entry here is byte-identical to the implementation its
+        # green CORRECTNESS_r01 row checked)
+        "topk_small_collection": _q_topk_small_collection,
+        "events_range_join": _q_events_range_join,
+        "ann_lsh_join": _q_ann_lsh_join,
+        "multimodal_metadata": _q_multimodal_metadata,
         "events_salted_agg": _q_events_salted_agg,
-        # (d) stable round-1-green tail (rotated out of the checked window)
         "revenue_rollup": _q_revenue_rollup,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "events_windowed": _q_events_windowed,
@@ -2148,6 +2346,11 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _oracle_pack_sequences(),
         "event_funnel": _oracle_event_funnel(),
         "events_retention": _oracle_events_retention(),
+        "mixture_sample": _oracle_mixture_sample(),
+        "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
+        "events_pmi": _ORACLE_EVENTS_PMI,
+        "dedup_containment": _oracle_dedup_containment(),
+        "split_leakage_safe": _oracle_split_leakage_safe(),
         "user_event_pivot": _ORACLE_USER_EVENT_PIVOT,
         "bucketed_join_revenue": _ORACLE_BUCKETED_JOIN_REVENUE,
         "big_orders_customers": _ORACLE_BIG_ORDERS_CUSTOMERS,

@@ -509,8 +509,44 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
 
 # -- dedup clusters: connected components --------------------------------------
 
+def _union_find(pairs: list[tuple]) -> dict:
+    """Driver-side union-find with path compression — the small-graph
+    engine under ``connected_components``. Labels every node with its
+    component's MINIMUM member (same contract as the distributed loop)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # Union by min so the root IS the minimum label.
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+# Below this many (undirected, deduped) edges the component graph is
+# solved driver-side: each distributed round costs ~4 shuffle stages of
+# job-scheduling latency, which dominates wall-clock until the edge list
+# stops fitting comfortably in driver memory (500k edges ≈ 8 MB of id
+# pairs). Near-dup edge sets are tiny relative to the corpus even at
+# 100 TB (they are pairs ABOVE a high similarity threshold); when they
+# are not, the distributed loop below engages unchanged.
+SMALL_GRAPH_EDGES = 500_000
+
+
 def connected_components(edges: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 25,
+                         small_graph_edges: int = SMALL_GRAPH_EDGES) -> DataFrame:
     """Connected components over an undirected pair graph by min-label
     propagation: every node starts labeled with itself; each round a node
     takes the minimum label among itself and its neighbors; converge when
@@ -526,6 +562,17 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     propagation for the two-phase large-star/small-star variant
     (Kiveris et al., "Connected Components in MapReduce") — same driver
     loop, fewer rounds on high-degree graphs.
+
+    Hybrid execution: the undirected edge relation is materialized (it
+    is the loop's working set either way) and counted; at or below
+    ``small_graph_edges`` the components are solved with driver-side
+    union-find instead of the loop. This is not a driver-side-loop
+    anti-pattern but the standard small-graph tail: each distributed
+    round costs ~4 shuffle stages of scheduling latency, and a
+    high-threshold near-dup edge set is tiny relative to the corpus —
+    the expensive, genuinely distributed work (pair generation) has
+    already happened upstream. Above the threshold the distributed loop
+    runs unchanged.
 
     Caching contract: the returned labels DataFrame is persisted (it was
     the loop's working set); callers done with it should ``.unpersist()``
@@ -543,6 +590,18 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
            )).alias("_e"))
            .select("_e.src", "_e.dst")
            .distinct().persist())
+    # The count doubles as the persist-materializing action the loop (or
+    # the collect) needs anyway; und holds BOTH orientations, so compare
+    # against 2× the threshold.
+    if und.count() <= 2 * small_graph_edges:
+        comp = _union_find([(r.src, r.dst) for r in und.collect()])
+        und.unpersist()
+        from pyspark.sql.types import StructField, StructType
+        id_type = edges.schema[id_a].dataType
+        schema = StructType([StructField("node", id_type, False),
+                             StructField("comp", id_type, False)])
+        return edges.sparkSession.createDataFrame(
+            sorted(comp.items()), schema)
     labels = (und.select(F.col("src").alias("node")).distinct()
               .withColumn("comp", F.col("node")).persist())
     changed = 0
@@ -671,3 +730,75 @@ def cosine_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# -- asymmetric shingle containment -------------------------------------------
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      threshold: float = 0.9, max_df: int = 50) -> DataFrame:
+    """Asymmetric near-duplicate detection by RARE-shingle containment:
+    C(a→b) = |R_a ∩ R_b| / |R_a| where R_x is x's set of distinct word
+    n-gram shingles that occur in at most ``max_df`` documents corpus-wide.
+    Catches quotation/inclusion (a short document embedded in a longer one)
+    that symmetric Jaccard misses — the training-data case is a forum post
+    quoting an article, or a doc re-released with a preamble. The reference
+    has no dedup at all; this extends §2's surface the same way the Jaccard
+    family does (SURVEY.md §2 extensions).
+
+    Scale shape (100 TB): an inverted-index build — explode shingles,
+    drop grams with document frequency > ``max_df`` (boilerplate n-grams
+    that would otherwise create quadratic bucket fanout), self-equi-join on
+    the gram. Per-gram join fanout is bounded by ``max_df``², and the
+    whole pipeline shuffles on gram/id keys only — never all-pairs. The
+    df-cutoff is part of the operator's SEMANTICS (rare-gram containment),
+    so the DuckDB oracle applies the identical cutoff and results match
+    exactly.
+
+    Returns (id_a, id_b, containment): fraction of a's rare grams that
+    also appear in b, for pairs meeting ``threshold``. Documents with zero
+    rare grams (pure boilerplate) produce no rows — no 0/0 pairs.
+    """
+    from go_simple_embedding_database_spark.functions.text import shingles
+
+    grams = df.select(F.col(id_col).alias("_id"),
+                      F.explode(shingles(F.col(text_col), n)).alias("_g"))
+    rare = (grams.groupBy("_g").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df).select("_g"))
+    rg = grams.join(rare, "_g")
+    sizes = rg.groupBy("_id").agg(F.count("*").alias("_n_rare"))
+    a = rg.select(F.col("_id").alias("id_a"), "_g")
+    b = rg.select(F.col("_id").alias("id_b"), "_g")
+    inter = (a.join(b, "_g")
+             .filter(F.col("id_a") != F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("_n_common")))
+    return (inter.join(sizes.withColumnRenamed("_id", "id_a"), "id_a")
+            .withColumn("containment",
+                        F.col("_n_common") / F.col("_n_rare"))
+            .filter(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "containment"))
+
+
+def containment_pairs_sql(table: str = "documents", text_expr: str = "text",
+                          id_expr: str = "doc_id", n: int = 3,
+                          threshold: float = 0.9, max_df: int = 50) -> str:
+    """DuckDB twin of ``containment_pairs`` — identical gram recipe
+    (``shingles_sql``), identical df cutoff, identical ratio."""
+    from go_simple_embedding_database_spark.functions.text import shingles_sql
+
+    sh = shingles_sql(text_expr, n)
+    return f"""
+WITH grams AS (
+  SELECT {id_expr} AS _id, unnest({sh}) AS _g FROM {table}),
+rare AS (
+  SELECT _g FROM grams GROUP BY _g HAVING count(*) <= {max_df}),
+rg AS (SELECT _id, grams._g FROM grams JOIN rare ON grams._g = rare._g),
+sizes AS (SELECT _id, count(*) AS _n_rare FROM rg GROUP BY _id),
+inter AS (
+  SELECT a._id AS id_a, b._id AS id_b, count(*) AS _n_common
+  FROM rg a JOIN rg b ON a._g = b._g AND a._id <> b._id
+  GROUP BY a._id, b._id)
+SELECT id_a, id_b, CAST(_n_common AS DOUBLE) / _n_rare AS containment
+FROM inter JOIN sizes ON inter.id_a = sizes._id
+WHERE CAST(_n_common AS DOUBLE) / _n_rare >= {threshold}
+"""

@@ -1,0 +1,133 @@
+"""Deterministic corpus sampling — temperature-weighted domain mixtures.
+
+Training-data pipelines rarely take a corpus as-is: they re-weight domains
+(sources, languages) toward a target mixture — the classic
+``w_s ∝ n_s^alpha`` temperature sampling that up-weights small domains
+(alpha < 1) without letting the largest domain swamp the batch. The
+reference has no sampling at all; this extends the corpus-ops surface
+(SURVEY.md §2 extensions) alongside balanced_sample / train-split.
+
+Everything here is RELATIONAL and deterministic:
+
+- Per-domain rates are computed from a per-domain count aggregate — a
+  domains-sized (tiny) relation, derived with window-free aggregates and
+  a cross join against the one-row total. No driver collect.
+- Row selection is a pure hash threshold: a row is in the sample iff
+  ``md5(id) mod 10000 < rate_10k(domain)``. No per-domain sort, no
+  row_number window, no shuffle beyond the broadcast rate join — every
+  row decides its own membership from its id alone, which is the only
+  formulation that survives 100 TB (rank-based selection needs a
+  per-domain global sort). Deterministic ⇒ the DuckDB oracle reproduces
+  the exact same sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_MOD = 10000
+
+
+def hash_bucket(col, mod: int = HASH_MOD):
+    """First 4 md5 hex chars of the value's string form, as an int mod
+    ``mod`` — the same portable construction as the corpus split bucket
+    (__spark_entry__._split_bucket), parameterized by modulus."""
+    return (F.conv(F.substring(F.md5(col.cast("string").cast("binary")), 1, 4),
+                   16, 10).cast("bigint") % mod)
+
+
+def hash_bucket_sql(expr: str, mod: int = HASH_MOD) -> str:
+    return (f"CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, 4)) "
+            f"AS BIGINT) % {mod}")
+
+
+def temperature_rates(df: DataFrame, domain_col: str, alpha: float,
+                      budget: int) -> DataFrame:
+    """Per-domain sampling rates for a temperature-``alpha`` mixture with a
+    total row ``budget``: target_n(s) = floor(budget * w_s / sum_t w_t)
+    capped at n_s, rate_10k = ceil(10000 * target / n). Returns
+    (domain_col, n_docs, target_n, rate_10k) — a domains-sized relation.
+
+    Cross-engine determinism: the per-domain weight is quantized to an
+    exact integer, ``w_s = round(n_s^alpha * 1000)`` — summing DOUBLES
+    across domains is order-dependent in the last ulp (Spark's agg order
+    is nondeterministic), so an exact-integer sum is the only formulation
+    whose floor/ceil boundaries are engine-independent. All downstream
+    divisions are IEEE-exact operations on integers < 2^53, which every
+    engine rounds identically."""
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_docs"))
+    w = F.round(F.pow(F.col("n_docs").cast("double"), alpha) * 1000.0, 0)\
+        .cast("bigint")
+    counts = counts.withColumn("_w", w)
+    tot = counts.agg(F.sum("_w").alias("_wsum"))
+    target = F.least(
+        F.col("n_docs"),
+        F.floor(F.lit(float(budget)) * F.col("_w") / F.col("_wsum"))
+        .cast("bigint"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .withColumn("target_n", target)
+            .withColumn("rate_10k", F.least(
+                F.lit(HASH_MOD).cast("bigint"),
+                F.ceil(F.lit(float(HASH_MOD)) * F.col("target_n")
+                       / F.col("n_docs")).cast("bigint")))
+            .select(domain_col, "n_docs", "target_n", "rate_10k"))
+
+
+def temperature_sample(df: DataFrame, domain_col: str, id_col: str,
+                       alpha: float = 0.5, budget: int = 250) -> DataFrame:
+    """The sampled rows: broadcast-join the tiny rates relation and keep
+    rows whose id hash bucket clears the domain's rate threshold."""
+    rates = temperature_rates(df, domain_col, alpha, budget)
+    return (df.join(F.broadcast(rates.select(domain_col, "rate_10k")),
+                    domain_col)
+            .filter(hash_bucket(F.col(id_col)) < F.col("rate_10k"))
+            .drop("rate_10k"))
+
+
+def mixture_report(df: DataFrame, domain_col: str, id_col: str,
+                   alpha: float = 0.5, budget: int = 250) -> DataFrame:
+    """Per-domain audit of the sample: corpus size, target, achieved.
+    ``sampled_n`` deviates from ``target_n`` by hash-bucket granularity
+    (the threshold admits whatever ids hash below it) — the report makes
+    that deviation visible, which is the point."""
+    rates = temperature_rates(df, domain_col, alpha, budget)
+    sampled = (temperature_sample(df, domain_col, id_col, alpha, budget)
+               .groupBy(domain_col).agg(F.count("*").alias("sampled_n")))
+    return (rates.join(sampled, domain_col, "left")
+            .select(domain_col, "n_docs", "target_n",
+                    F.coalesce("sampled_n", F.lit(0)).alias("sampled_n")))
+
+
+def temperature_sample_sql(table: str, domain_col: str, id_col: str,
+                           alpha: float = 0.5, budget: int = 250,
+                           report: bool = True) -> str:
+    """DuckDB twin — same counts, same floor/ceil/least arithmetic, same
+    hash threshold."""
+    bucket = hash_bucket_sql(id_col)
+    core = f"""
+counts AS (
+  SELECT {domain_col}, count(*) AS n_docs FROM {table} GROUP BY {domain_col}),
+tot AS (SELECT sum(pow(CAST(n_docs AS DOUBLE), {alpha})) AS _wsum FROM counts),
+rates AS (
+  SELECT {domain_col}, n_docs,
+         least(n_docs, CAST(floor({budget} * pow(CAST(n_docs AS DOUBLE), {alpha})
+                                  / _wsum) AS BIGINT)) AS target_n
+  FROM counts CROSS JOIN tot),
+rates2 AS (
+  SELECT *, least({HASH_MOD}, CAST(ceil({float(HASH_MOD)} * target_n / n_docs)
+                              AS BIGINT)) AS rate_10k
+  FROM rates),
+sampled AS (
+  SELECT t.{domain_col}, count(*) AS sampled_n
+  FROM {table} t JOIN rates2 r ON t.{domain_col} = r.{domain_col}
+  WHERE {bucket} < r.rate_10k
+  GROUP BY t.{domain_col})"""
+    if report:
+        return f"""
+WITH {core}
+SELECT r.{domain_col}, r.n_docs, r.target_n,
+       coalesce(s.sampled_n, 0) AS sampled_n
+FROM rates2 r LEFT JOIN sampled s ON r.{domain_col} = s.{domain_col}
+"""
+    return f"WITH {core} SELECT * FROM sampled"

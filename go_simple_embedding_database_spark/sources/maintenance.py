@@ -59,3 +59,35 @@ def compact_parquet(spark: SparkSession, src_path: str, dest_path: str,
         writer = writer.partitionBy(*partition_by)
     writer.parquet(dest_path)
     return int(n_files)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
+                  compare_cols: list[str]) -> DataFrame:
+    """Change-data-capture between two table snapshots: one full-outer
+    join on the key emitting (keys…, change_type) with change_type in
+    {'insert', 'delete', 'update', 'unchanged'}. ``compare_cols`` are
+    md5-fingerprinted into a single comparison value so wide rows diff on
+    one string compare, not N column compares shuffled in full.
+
+    Scale shape (100 TB): exactly one co-partitioned sort-merge join on
+    the key (bucket both snapshots on the key — sources/bucketed.py — and
+    the exchange disappears); the projected join payload is keys + one
+    32-char hash regardless of row width. This is the plan incremental
+    pipelines (Delta CDF, Iceberg changelog) materialize internally;
+    plain parquet gets it as a relational expression.
+    """
+    from pyspark.sql import functions as F
+
+    def fp(df: DataFrame) -> DataFrame:
+        sig = F.md5(F.concat_ws("\x1f",
+                                *[F.col(c).cast("string") for c in compare_cols]))
+        return df.select(*keys, sig.alias("_fp"))
+
+    o = fp(old).withColumnRenamed("_fp", "_fp_old")
+    n = fp(new).withColumnRenamed("_fp", "_fp_new")
+    joined = o.join(n, keys, "full_outer")
+    change = (F.when(F.col("_fp_old").isNull(), F.lit("insert"))
+              .when(F.col("_fp_new").isNull(), F.lit("delete"))
+              .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("update"))
+              .otherwise(F.lit("unchanged")))
+    return joined.select(*keys, change.alias("change_type"))

@@ -209,20 +209,26 @@ def test_minhash_candidates_no_self_pairs_on_duplicate_ids(spark):
 def test_connected_components_transitive(spark):
     """A chain a-b-c-d collapses into ONE component labeled by its min
     node even though a and d share no edge; a separate pair stays its own
-    component."""
+    component — on BOTH engines (driver union-find below the small-graph
+    threshold, distributed min-label loop above it)."""
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint")
-    got = {r.node: r.comp for r in dd.connected_components(edges).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    for thresh in (0, dd.SMALL_GRAPH_EDGES):  # distributed, then local
+        got = {r.node: r.comp for r in
+               dd.connected_components(edges, small_graph_edges=thresh)
+               .collect()}
+        assert got == want, f"small_graph_edges={thresh}"
 
 
 def test_connected_components_raises_when_not_converged(spark):
     """Exhausting max_iter while labels still change must raise — partial
-    labels would silently mis-cluster (advisor finding, round 1)."""
+    labels would silently mis-cluster (advisor finding, round 1). Forces
+    the distributed loop: union-find has no iteration budget."""
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "id_a bigint, id_b bigint")
     with pytest.raises(RuntimeError, match="did not converge"):
-        dd.connected_components(chain, max_iter=1)
+        dd.connected_components(chain, max_iter=1, small_graph_edges=0)
 
 
 def test_cosine_neardup_gemm_string_ids(spark, embeddings):
@@ -285,3 +291,30 @@ def test_length_band_jaccard_pair_matched_once(spark):
         "doc_id int, source string, text string, n_chars int")
     rows = dd.length_band_jaccard_dedup(df, band_width=8, threshold=0.5).collect()
     assert len(rows) == 1 and rows[0].jaccard == 1.0
+
+
+def test_containment_detects_inclusion(spark):
+    """A short doc fully quoted inside a longer doc has containment 1.0
+    (short → long) — the asymmetric case Jaccard misses; the reverse
+    direction scores below threshold and an unrelated doc pairs with
+    nobody."""
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    long_doc = ("intro paragraph about nothing much here " + quote +
+                " closing remarks follow with extra commentary trailing on")
+    other = "completely different subject matter entirely unrelated text runs here"
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, other)], "doc_id bigint, text string")
+    got = {(r.id_a, r.id_b): r.containment
+           for r in dd.containment_pairs(df, threshold=0.9, max_df=10).collect()}
+    assert got == {(1, 2): 1.0}
+
+
+def test_containment_max_df_drops_boilerplate_grams(spark):
+    """Grams shared by more than max_df docs are excluded from the rare
+    set: with the boilerplate gram everywhere, docs sharing ONLY it get
+    no pair."""
+    boiler = "standard legal disclaimer text applies"
+    rows = [(i, boiler + f" unique tail {i} alpha beta") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # boilerplate grams appear in all 10 docs > max_df=5 → no rare overlap
+    assert dd.containment_pairs(df, threshold=0.5, max_df=5).count() == 0

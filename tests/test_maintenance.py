@@ -44,3 +44,34 @@ def test_compaction_respects_partitioning(spark, sf_dir, tmp_path):
     assert out.count() == docs.count()
     assert sorted(os.listdir(dest))[0].startswith("lang=") or \
         any(d.startswith("lang=") for d in os.listdir(dest))
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from go_simple_embedding_database_spark.sources.maintenance import (
+        snapshot_diff)
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, text string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "id bigint, text string")
+    got = {r.id: r.change_type
+           for r in snapshot_diff(old, new, ["id"], ["text"]).collect()}
+    assert got == {1: "unchanged", 2: "update", 3: "delete", 4: "insert"}
+
+
+def test_snapshot_diff_multi_column_fingerprint(spark):
+    """A change in ANY compare column flips the row to update; columns
+    outside compare_cols are ignored."""
+    from go_simple_embedding_database_spark.sources.maintenance import (
+        snapshot_diff)
+
+    old = spark.createDataFrame([(1, "a", "x", 9)],
+                                "id bigint, t1 string, t2 string, junk int")
+    changed_t2 = spark.createDataFrame([(1, "a", "y", 9)],
+                                       "id bigint, t1 string, t2 string, junk int")
+    changed_junk = spark.createDataFrame([(1, "a", "x", 7)],
+                                         "id bigint, t1 string, t2 string, junk int")
+    assert snapshot_diff(old, changed_t2, ["id"], ["t1", "t2"]) \
+        .collect()[0].change_type == "update"
+    assert snapshot_diff(old, changed_junk, ["id"], ["t1", "t2"]) \
+        .collect()[0].change_type == "unchanged"

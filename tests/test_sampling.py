@@ -1,0 +1,62 @@
+"""Temperature mixture sampling (operators/sampling.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_simple_embedding_database_spark.operators import sampling as sp
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, "big") for i in range(400)] + \
+           [(400 + i, "small") for i in range(100)]
+    return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+
+def test_rates_upweight_small_domains(corpus):
+    """alpha=0.5 weights by sqrt(n): the small domain gets a larger share
+    than its corpus proportion (100/500=20% of rows but sqrt gives
+    10/30=33% of the budget)."""
+    rates = {r.source: r for r in
+             sp.temperature_rates(corpus, "source", 0.5, 300).collect()}
+    assert rates["big"].n_docs == 400 and rates["small"].n_docs == 100
+    # weights 20000 : 10000 → targets 200 : 100
+    assert rates["big"].target_n == 200
+    assert rates["small"].target_n == 100
+    assert all(r.rate_10k <= sp.HASH_MOD for r in rates.values())
+
+
+def test_target_capped_at_domain_size(corpus):
+    """A budget larger than the corpus caps every target at n_docs
+    (rate_10k = 10000 = keep everything)."""
+    rates = {r.source: r for r in
+             sp.temperature_rates(corpus, "source", 0.5, 10_000).collect()}
+    assert rates["big"].target_n == 400
+    assert rates["small"].target_n == 100
+    assert rates["small"].rate_10k == sp.HASH_MOD
+
+
+def test_sample_deterministic_subset(corpus):
+    """The sample is a deterministic subset: same rows both runs, every
+    row from the corpus, membership decided by the md5 threshold."""
+    s1 = sorted(r.doc_id for r in
+                sp.temperature_sample(corpus, "source", "doc_id").collect())
+    s2 = sorted(r.doc_id for r in
+                sp.temperature_sample(corpus, "source", "doc_id").collect())
+    assert s1 == s2 and len(s1) > 0
+    all_ids = {r.doc_id for r in corpus.collect()}
+    assert set(s1) <= all_ids
+
+
+def test_report_counts_consistent(corpus):
+    """sampled_n in the report equals the actual sample's per-domain
+    count; achieved is within hash-granularity of target (rate rounds up,
+    bucket distribution is uneven at small n)."""
+    rep = {r.source: r for r in
+           sp.mixture_report(corpus, "source", "doc_id").collect()}
+    counts = {r.source: r.cnt for r in
+              sp.temperature_sample(corpus, "source", "doc_id")
+              .groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    for s, row in rep.items():
+        assert counts.get(s, 0) == row.sampled_n
+        assert row.sampled_n <= row.n_docs
