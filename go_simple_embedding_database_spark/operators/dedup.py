@@ -759,13 +759,24 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     also appear in b, for pairs meeting ``threshold``. Documents with zero
     rare grams (pure boilerplate) produce no rows — no 0/0 pairs.
     """
+    from pyspark.sql import Window
+
     from go_simple_embedding_database_spark.functions.text import shingles
 
     grams = df.select(F.col(id_col).alias("_id"),
                       F.explode(shingles(F.col(text_col), n)).alias("_g"))
-    rare = (grams.groupBy("_g").agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_df).select("_g"))
-    rg = grams.join(rare, "_g")
+    # Document frequency as a count-over-gram window, not a separate
+    # aggregate joined back: one shuffle on the gram produces the
+    # df-filtered inverted index already PARTITIONED on the join key, so
+    # the self-join below adds no exchange. Persisted because three
+    # consumers read it (both join sides + the per-doc sizes) — without
+    # the cache the shingle explode re-runs per consumer (measured 3×
+    # the wall-clock at sf0.1). At full scale this materialization is
+    # the inverted-index table a production pipeline writes anyway.
+    rg = (grams
+          .withColumn("_df", F.count("*").over(Window.partitionBy("_g")))
+          .filter(F.col("_df") <= max_df)
+          .select("_id", "_g").persist())
     sizes = rg.groupBy("_id").agg(F.count("*").alias("_n_rare"))
     a = rg.select(F.col("_id").alias("id_a"), "_g")
     b = rg.select(F.col("_id").alias("id_b"), "_g")

@@ -297,3 +297,33 @@ def test_correlated_subquery_decorrelates(plans):
     p = plans("nation_acctbal_outliers")
     assert p.count("Location: InMemoryFileIndex") <= 2
     assert "Join" in p
+
+
+def test_containment_is_inverted_index_equi_join(plans):
+    """Candidate generation must be the gram equi-join (inverted index),
+    never a cartesian pair enumeration."""
+    p = plans("dedup_containment")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_mixture_sample_broadcasts_rates(plans):
+    """The domains-sized rates relation joins back by broadcast; the
+    corpus side is never shuffled for the sampling decision."""
+    p = plans("mixture_sample")
+    assert "BroadcastExchange" in p
+
+
+def test_snapshot_diff_is_single_key_join_over_fingerprints(plans):
+    """The CDC diff is ONE join on the key; the shuffled payload is the
+    md5 fingerprint, not the text column."""
+    p = plans("snapshot_diff")
+    assert "SortMergeJoin FullOuter" in p or "ShuffledHashJoin FullOuter" in p
+    for seg in p.split("Exchange hashpartitioning")[1:]:
+        assert "text" not in seg[:300].split("Input")[0]
+
+
+def test_events_pmi_broadcasts_marginals(plans):
+    """Marginal counts and the user total are broadcast; the only row-
+    count-sized shuffles key on user_id / the type pair."""
+    p = plans("events_pmi")
+    assert p.count("BroadcastExchange") >= 2

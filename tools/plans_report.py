@@ -99,11 +99,42 @@ COMMENTARY: dict[str, tuple[str, str]] = {
         "raw."),
     "dedup_clusters": (
         "Near-dup pairs -> transitive clusters (connected components)",
-        "Iterative min-label propagation with pointer jumping — "
+        "Hybrid: the (persisted) undirected edge relation is counted; "
+        "below 500k edges — the common case for a high-threshold "
+        "near-dup graph, including this one — components come from "
+        "driver union-find and the displayed plan is the cluster-size "
+        "window over the local label table. Above the threshold the "
+        "distributed min-label loop with pointer jumping runs: "
         "O(log diameter) rounds, each one equi-join + one aggregate on "
-        "the node id. The displayed plan is the FIRST round's; the loop "
-        "persists each round's labels and folds convergence detection "
-        "into the materializing aggregate (no extra job per round)."),
+        "the node id, convergence folded into the materializing "
+        "aggregate (no extra job per round)."),
+    "dedup_containment": (
+        "Asymmetric rare-shingle containment (quotation/inclusion)",
+        "Inverted-index shape: explode shingles, document-frequency "
+        "cutoff (grams in > max_df docs dropped — bounds per-gram join "
+        "fanout at max_df^2), self-equi-join on the gram, count ratio. "
+        "No CartesianProduct anywhere; every shuffle keys on the gram "
+        "or the id pair."),
+    "snapshot_diff": (
+        "Snapshot CDC diff (insert/update/delete)",
+        "ONE full-outer sort-merge join on the key; both sides project "
+        "to (key, md5 fingerprint) before the exchange, so the shuffled "
+        "payload is 32 chars regardless of row width. Bucket both "
+        "snapshots on the key (sources/bucketed.py) and the exchange "
+        "disappears entirely."),
+    "mixture_sample": (
+        "Temperature-weighted domain mixture sampling",
+        "The rates relation is domains-sized and broadcast back; each "
+        "corpus row decides its own membership from md5(id) against the "
+        "broadcast threshold — no per-domain sort, no row_number "
+        "window, no corpus-sized shuffle. The only aggregations are the "
+        "per-domain counts (map-side partial)."),
+    "events_pmi": (
+        "Event-type co-occurrence PMI",
+        "distinct (user, type) first bounds the self-join fanout by the "
+        "type vocabulary, not the user's event count; marginals and the "
+        "user total come back as BroadcastExchanges. Shuffles key on "
+        "user_id and the (type_a, type_b) pair only."),
 }
 
 
