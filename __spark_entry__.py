@@ -71,15 +71,18 @@ def _split_bucket(col="doc_id"):
     """THE corpus split definition (md5 bucket mod 100) — train_split_counts,
     split_contamination, and split_leakage_safe must audit the SAME split,
     so there is exactly one producer for the expression and one for its
-    DuckDB twin. Accepts a column name or a Column (split_leakage_safe
-    buckets a DERIVED key — the cluster root — not a physical column)."""
+    DuckDB twin: operators/sampling.hash_bucket, shared with the mixture
+    sampler (mod 10000 there). Accepts a column name or a Column
+    (split_leakage_safe buckets a DERIVED key — the cluster root — not a
+    physical column)."""
+    from go_simple_embedding_database_spark.operators.sampling import hash_bucket
     c = F.col(col) if isinstance(col, str) else col
-    return (F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 4), 16, 10)
-            .cast("bigint") % 100)
+    return hash_bucket(c, 100)
 
 
 def _split_bucket_sql(expr: str = "doc_id") -> str:
-    return (f"CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, 4)) AS BIGINT) % 100")
+    from go_simple_embedding_database_spark.operators.sampling import hash_bucket_sql
+    return hash_bucket_sql(expr, 100)
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:

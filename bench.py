@@ -122,13 +122,19 @@ def _skew_canary(spark, sf_dir: str) -> dict:
         partition_balance, suggest_partitions, with_salt)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    bands = lsh_bands(docs, "text", "doc_id", num_hashes=12, bands=4)
+    # Persist: the count (for partition sizing) and the balance scan are
+    # two actions over the expensive per-doc signature pipeline.
+    bands = lsh_bands(docs, "text", "doc_id", num_hashes=12, bands=4).persist()
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     ep = suggest_partitions(events.count())
+    try:
+        minhash_balance = partition_balance(
+            bands, ["band", "key"], suggest_partitions(bands.count()))
+    finally:
+        bands.unpersist()
     return {
         # dedup_minhash's candidate shuffle: bucketed on the band key
-        "minhash_bands": partition_balance(
-            bands, ["band", "key"], suggest_partitions(bands.count())),
+        "minhash_bands": minhash_balance,
         # the events aggregations' shuffle key: raw user_id DETECTS the
         # testdata's planted hot user (>2 expected at sf0.1); the salted
         # key is the remedy events_salted_agg ships — must stay <2

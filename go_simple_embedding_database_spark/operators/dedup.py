@@ -537,10 +537,14 @@ def _union_find(pairs: list[tuple]) -> dict:
 # Below this many (undirected, deduped) edges the component graph is
 # solved driver-side: each distributed round costs ~4 shuffle stages of
 # job-scheduling latency, which dominates wall-clock until the edge list
-# stops fitting comfortably in driver memory (500k edges ≈ 8 MB of id
-# pairs). Near-dup edge sets are tiny relative to the corpus even at
-# 100 TB (they are pairs ABOVE a high similarity threshold); when they
-# are not, the distributed loop below engages unchanged.
+# stops fitting comfortably in driver memory. Honest budget at the cap:
+# the Arrow transfer of 1M (src, dst) rows is ~16 MB, but the union-find
+# parent dict and the per-node label dict peak at a few hundred MB of
+# Python objects — well inside this engine's 8g driver (session.py) but
+# NOT a default 1g driver; lower the threshold if the driver is small.
+# Near-dup edge sets are tiny relative to the corpus even at 100 TB
+# (they are pairs ABOVE a high similarity threshold); when they are
+# not, the distributed loop below engages unchanged.
 SMALL_GRAPH_EDGES = 500_000
 
 
@@ -594,7 +598,11 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     # the collect) needs anyway; und holds BOTH orientations, so compare
     # against 2× the threshold.
     if und.count() <= 2 * small_graph_edges:
-        comp = _union_find([(r.src, r.dst) for r in und.collect()])
+        # Arrow-batched transfer (toPandas) instead of Row-object
+        # collect(): ~10× smaller transient footprint at the cap.
+        pdf = und.toPandas()
+        comp = _union_find(list(zip(pdf["src"].tolist(),
+                                    pdf["dst"].tolist())))
         und.unpersist()
         from pyspark.sql.types import StructField, StructType
         id_type = edges.schema[id_a].dataType
@@ -758,6 +766,13 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     Returns (id_a, id_b, containment): fraction of a's rare grams that
     also appear in b, for pairs meeting ``threshold``. Documents with zero
     rare grams (pure boilerplate) produce no rows — no 0/0 pairs.
+
+    Caching contract: the df-filtered inverted index is persisted (three
+    consumers read it — both join sides and the per-doc sizes; see the
+    inline note) and stays cached for the session, same as
+    ``simhash_neardup_pairs``'s fingerprint cache — callers running many
+    containment passes in one session should ``spark.catalog.clearCache()``
+    between corpora or materialize the index to a table instead.
     """
     from pyspark.sql import Window
 

@@ -75,10 +75,14 @@ def temperature_rates(df: DataFrame, domain_col: str, alpha: float,
 
 
 def temperature_sample(df: DataFrame, domain_col: str, id_col: str,
-                       alpha: float = 0.5, budget: int = 250) -> DataFrame:
+                       alpha: float = 0.5, budget: int = 250,
+                       rates: DataFrame | None = None) -> DataFrame:
     """The sampled rows: broadcast-join the tiny rates relation and keep
-    rows whose id hash bucket clears the domain's rate threshold."""
-    rates = temperature_rates(df, domain_col, alpha, budget)
+    rows whose id hash bucket clears the domain's rate threshold. Pass a
+    precomputed ``rates`` (from ``temperature_rates``) to avoid
+    re-aggregating the corpus when the caller already holds one."""
+    if rates is None:
+        rates = temperature_rates(df, domain_col, alpha, budget)
     return (df.join(F.broadcast(rates.select(domain_col, "rate_10k")),
                     domain_col)
             .filter(hash_bucket(F.col(id_col)) < F.col("rate_10k"))
@@ -90,9 +94,12 @@ def mixture_report(df: DataFrame, domain_col: str, id_col: str,
     """Per-domain audit of the sample: corpus size, target, achieved.
     ``sampled_n`` deviates from ``target_n`` by hash-bucket granularity
     (the threshold admits whatever ids hash below it) — the report makes
-    that deviation visible, which is the point."""
+    that deviation visible, which is the point. The rates relation is
+    computed ONCE and shared with the sampler (it feeds both the report
+    columns and the sampling threshold)."""
     rates = temperature_rates(df, domain_col, alpha, budget)
-    sampled = (temperature_sample(df, domain_col, id_col, alpha, budget)
+    sampled = (temperature_sample(df, domain_col, id_col, alpha, budget,
+                                  rates=rates)
                .groupBy(domain_col).agg(F.count("*").alias("sampled_n")))
     return (rates.join(sampled, domain_col, "left")
             .select(domain_col, "n_docs", "target_n",
@@ -107,12 +114,13 @@ def temperature_sample_sql(table: str, domain_col: str, id_col: str,
     bucket = hash_bucket_sql(id_col)
     core = f"""
 counts AS (
-  SELECT {domain_col}, count(*) AS n_docs FROM {table} GROUP BY {domain_col}),
-tot AS (SELECT sum(pow(CAST(n_docs AS DOUBLE), {alpha})) AS _wsum FROM counts),
+  SELECT {domain_col}, count(*) AS n_docs,
+         CAST(round(pow(CAST(count(*) AS DOUBLE), {alpha}) * 1000.0) AS BIGINT) AS _w
+  FROM {table} GROUP BY {domain_col}),
+tot AS (SELECT sum(_w) AS _wsum FROM counts),
 rates AS (
   SELECT {domain_col}, n_docs,
-         least(n_docs, CAST(floor({budget} * pow(CAST(n_docs AS DOUBLE), {alpha})
-                                  / _wsum) AS BIGINT)) AS target_n
+         least(n_docs, CAST(floor({float(budget)} * _w / _wsum) AS BIGINT)) AS target_n
   FROM counts CROSS JOIN tot),
 rates2 AS (
   SELECT *, least({HASH_MOD}, CAST(ceil({float(HASH_MOD)} * target_n / n_docs)

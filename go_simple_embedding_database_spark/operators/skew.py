@@ -50,6 +50,9 @@ def partition_balance(df: DataFrame, keys: list[str] | None = None,
     sizes = (df.select(F.spark_partition_id().alias("_p"))
              .groupBy("_p").agg(F.count("*").alias("n")).collect())
     counts = [r.n for r in sizes]
+    if not counts:  # empty input: report explicitly, don't crash the canary
+        return {"partitions_nonempty": 0, "max_rows": 0,
+                "mean_rows": 0.0, "max_over_mean": 0.0}
     mx, mean = max(counts), sum(counts) / len(counts)
     return {
         "partitions_nonempty": len(counts),

@@ -60,3 +60,28 @@ def test_report_counts_consistent(corpus):
     for s, row in rep.items():
         assert counts.get(s, 0) == row.sampled_n
         assert row.sampled_n <= row.n_docs
+
+
+def test_rates_match_duckdb_on_skewed_counts(spark):
+    """Cross-engine regression (review finding): the oracle must apply
+    the SAME integer weight quantization as the Spark side — raw double
+    pow-sums diverge at floor boundaries on non-uniform domain counts
+    (e.g. [2207, 3942] gave 107 vs 106)."""
+    import duckdb
+
+    rows = [(i, "a") for i in range(2207)] + \
+           [(10000 + i, "b") for i in range(3942)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = {r.source: (r.n_docs, r.target_n, r.rate_10k) for r in
+           sp.temperature_rates(df, "source", 0.5, 250).collect()}
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (doc_id BIGINT, source VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, "a") for i in range(2207)] +
+                    [(10000 + i, "b") for i in range(3942)])
+    sql = sp.temperature_sample_sql("t", "source", "doc_id",
+                                    alpha=0.5, budget=250)
+    want = {r[0]: (r[1], r[2], None) for r in
+            con.sql(sql).fetchall()}
+    for s in ("a", "b"):
+        assert got[s][:2] == want[s][:2], (s, got[s], want[s])
