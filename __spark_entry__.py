@@ -2193,6 +2193,69 @@ FROM labeled GROUP BY split
 """
 
 
+def _q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens without a full-vocabulary shuffle: per-
+    partition Misra-Gries sketches (bounded memory, no shuffle) merge
+    into a broadcast-sized candidate set, then an exact recount of
+    candidates only — the shuffle carries heavy tokens, never the
+    vocabulary (operators/sketch.py; Agarwal et al. mergeable
+    summaries). Threshold 0.1% of all tokens, above the MG guarantee
+    line, so the result is exactly the naive groupBy/HAVING answer the
+    oracle computes."""
+    from go_simple_embedding_database_spark.functions.text import words
+    from go_simple_embedding_database_spark.operators.sketch import frequent_items
+    toks = _docs_par(spark, sf_dir).select(
+        F.explode(words(F.lower(F.col("text")))).alias("token"))
+    return frequent_items(toks, "token", capacity=2000, threshold_frac=0.001)
+
+
+def _oracle_frequent_tokens() -> str:
+    from go_simple_embedding_database_spark.functions.text import words_sql
+    from go_simple_embedding_database_spark.operators.sketch import (
+        frequent_items_sql)
+    sub = (f"SELECT unnest({words_sql('lower(text)')}) AS token "
+           f"FROM documents")
+    return frequent_items_sql(sub, "token", threshold_frac=0.001)
+
+
+def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit: interleave (user_id mod 256,
+    epoch-day mod 256) and report each 256-z-range bucket's rectangle.
+    Because a bucket fixes the interleaved high bits, every bucket spans
+    at most 16 consecutive values of BOTH columns — the locality that
+    makes file-level min/max stats prune filters on either column
+    (operators/layout.py; what Delta OPTIMIZE ZORDER materializes).
+    Pure integer bit arithmetic — bit-for-bit oracle-checkable."""
+    from go_simple_embedding_database_spark.operators.layout import zorder_value
+    ev = _events(spark, sf_dir)
+    u = F.col("user_id") % 256
+    d = F.datediff(F.col("ts").cast("date"),
+                   F.lit("1970-01-01").cast("date")) % 256
+    base = ev.select(u.alias("_u"), d.alias("_d"))
+    z = zorder_value([F.col("_u"), F.col("_d")], 8)
+    return (base.withColumn("bucket", F.shiftright(z, 8))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("_u").alias("u_min"), F.max("_u").alias("u_max"),
+                 F.min("_d").alias("d_min"), F.max("_d").alias("d_max")))
+
+
+def _oracle_zorder_layout() -> str:
+    from go_simple_embedding_database_spark.operators.layout import (
+        zorder_value_sql)
+    zexpr = zorder_value_sql(["_u", "_d"], 8)
+    return f"""
+WITH base AS (
+  SELECT user_id % 256 AS _u,
+         (CAST(ts AS DATE) - DATE '1970-01-01') % 256 AS _d
+  FROM events)
+SELECT ({zexpr} >> 8) AS bucket, count(*) AS n_events,
+       min(_u) AS u_min, max(_u) AS u_max,
+       min(_d) AS d_min, max(_d) AS d_max
+FROM base GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER CONTRACT: the driver's correctness gate checks the first 50
     entries (round 1 stopped there, leaving 16 queries without official
@@ -2238,6 +2301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pmi": _q_events_pmi,
         "dedup_containment": _q_dedup_containment,
         "split_leakage_safe": _q_split_leakage_safe,
+        "frequent_tokens": _q_frequent_tokens,
+        "zorder_layout": _q_zorder_layout,
         # (c) previously checked, kept in the window
         "topk_cosine": _q_topk_cosine,
         "batch_topk": _q_batch_topk,
@@ -2246,8 +2311,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "crud_query": _q_crud_query,
         "text_language_id": _q_text_language_id,
-        "text_stats": _q_text_stats,
-        "text_quality": _q_text_quality,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_winnow": _q_dedup_winnow,
@@ -2261,6 +2324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (d) stable round-1-green tail (rotated out of the checked window;
         # every entry here is byte-identical to the implementation its
         # green CORRECTNESS_r01 row checked)
+        "text_stats": _q_text_stats,
+        "text_quality": _q_text_quality,
         "topk_small_collection": _q_topk_small_collection,
         "events_range_join": _q_events_range_join,
         "ann_lsh_join": _q_ann_lsh_join,
@@ -2354,6 +2419,8 @@ def oracle_sql() -> dict[str, str]:
         "events_pmi": _ORACLE_EVENTS_PMI,
         "dedup_containment": _oracle_dedup_containment(),
         "split_leakage_safe": _oracle_split_leakage_safe(),
+        "frequent_tokens": _oracle_frequent_tokens(),
+        "zorder_layout": _oracle_zorder_layout(),
         "user_event_pivot": _ORACLE_USER_EVENT_PIVOT,
         "bucketed_join_revenue": _ORACLE_BUCKETED_JOIN_REVENUE,
         "big_orders_customers": _ORACLE_BIG_ORDERS_CUSTOMERS,
