@@ -327,3 +327,20 @@ def test_events_pmi_broadcasts_marginals(plans):
     count-sized shuffles key on user_id / the type pair."""
     p = plans("events_pmi")
     assert p.count("BroadcastExchange") >= 2
+
+
+def test_frequent_tokens_recount_is_broadcast_semi_join(plans):
+    """The exact recount must filter the token stream map-side against
+    the broadcast candidate set (semi join) — the aggregation shuffles
+    candidate tokens only, never the vocabulary."""
+    p = plans("frequent_tokens")
+    assert "BroadcastExchange" in p
+    assert "LeftSemi" in p
+
+
+def test_zorder_layout_is_pure_codegen_single_agg(plans):
+    """The z-value is integer bit arithmetic — no Python anywhere, one
+    partial+final aggregate pair on the bucket."""
+    p = plans("zorder_layout")
+    assert "EvalPython" not in p
+    assert "HashAggregate" in p

@@ -135,6 +135,23 @@ COMMENTARY: dict[str, tuple[str, str]] = {
         "type vocabulary, not the user's event count; marginals and the "
         "user total come back as BroadcastExchanges. Shuffles key on "
         "user_id and the (type_a, type_b) pair only."),
+    "frequent_tokens": (
+        "Heavy hitters without a vocabulary shuffle (Misra-Gries)",
+        "Per-partition bounded-memory sketches (mapInPandas, no "
+        "shuffle) merge into a candidates relation capped at "
+        "partitions x capacity rows — broadcast-sized by construction. "
+        "The exact recount is a broadcast LEFT SEMI filter on the token "
+        "stream followed by an aggregation whose shuffle carries heavy "
+        "candidates only; the naive plan's full-vocabulary exchange "
+        "never happens."),
+    "zorder_layout": (
+        "Z-order (Morton) layout audit",
+        "The interleaved key is pure integer shift/and/or — whole-stage "
+        "codegen, no Python — and the audit is one partial+final "
+        "aggregate on the z-bucket. The companion write_zordered lays "
+        "files out so min/max footer stats bound BOTH interleaved "
+        "columns (measured against a single-column sort in "
+        "tests/test_layout.py)."),
 }
 
 
