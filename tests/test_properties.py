@@ -168,3 +168,52 @@ def test_funnel_matches_python_oracle(spark, evs):
                 break
         want[u] = tuple(out)
     assert got == want
+
+
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=60))
+@SETTINGS
+def test_union_find_matches_distributed_cc(spark, edges):
+    """The hybrid's two engines must agree on random graphs: driver
+    union-find (small-graph path) == distributed min-label loop, both
+    labeling every node with its component minimum."""
+    from go_simple_embedding_database_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    local = {r.node: r.comp for r in
+             dd.connected_components(df).collect()}
+    dist = {r.node: r.comp for r in
+            dd.connected_components(df, small_graph_edges=0).collect()}
+    assert local == dist
+    # and against a pure-Python reference closure
+    want = dd._union_find(edges)
+    assert local == want
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 30), st.text(max_size=5)),
+    min_size=0, max_size=30, unique_by=lambda r: r[0]),
+    new_rows=st.lists(
+    st.tuples(st.integers(0, 30), st.text(max_size=5)),
+    min_size=0, max_size=30, unique_by=lambda r: r[0]))
+@SETTINGS
+def test_snapshot_diff_upsert_roundtrip(spark, rows, new_rows):
+    """Diff law: applying the diff's inserts+updates via upsert and
+    dropping its deletes reconstructs the new snapshot exactly."""
+    from go_simple_embedding_database_spark.sources.maintenance import (
+        snapshot_diff, upsert)
+
+    old = spark.createDataFrame(rows, "id bigint, text string")
+    new = spark.createDataFrame(new_rows, "id bigint, text string")
+    d = snapshot_diff(old, new, ["id"], ["text"])
+    changed_ids = {r.id for r in d.collect()
+                   if r.change_type in ("insert", "update")}
+    deleted_ids = {r.id for r in d.collect() if r.change_type == "delete"}
+    updates = new.filter(F.col("id").isin(changed_ids)) if changed_ids \
+        else new.limit(0)
+    rebuilt = upsert(old, updates, ["id"])
+    if deleted_ids:
+        rebuilt = rebuilt.filter(~F.col("id").isin(deleted_ids))
+    assert sorted((r.id, r.text) for r in rebuilt.collect()) == \
+        sorted((r.id, r.text) for r in new.collect())
