@@ -192,3 +192,54 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
         F.col("w.start").alias("window_start"),
         "event_type", "n_events", "sum_value",
     )
+
+
+def streaming_upsert(spark, source_dir: str, table_path: str,
+                     checkpoint_dir: str, keys: list[str],
+                     schema: str = "id bigint, text string, ts timestamp",
+                     event_time_col: str = "ts",
+                     available_now: bool = True) -> StreamingQuery:
+    """Continuous MERGE: a stream of change rows (latest version per key
+    wins) upserts into a parquet table via ``foreachBatch`` — the
+    streaming twin of ``sources.maintenance.upsert``, and the pattern
+    Delta's MERGE-into-stream executes transactionally.
+
+    Per micro-batch: (1) collapse the batch to one row per key (max event
+    time wins — a batch can carry several versions of a key), (2) apply
+    the same relational upsert used in batch mode (no streaming/batch
+    divergence), (3) rewrite to a temp dir and swap. The rewrite is the
+    plain-parquet price for atomic visibility WITHOUT a transactional
+    table format; on Delta/Iceberg step 3 becomes a real MERGE and the
+    base table is never rewritten in full. State is bounded: nothing is
+    held in the streaming state store — dedup-within-batch is a plain
+    window, and the table itself is the accumulated state."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from go_simple_embedding_database_spark.sources.maintenance import upsert
+
+    raw = spark.readStream.schema(schema).json(source_dir)
+
+    def _merge_batch(batch: DataFrame, _batch_id: int) -> None:
+        w = Window.partitionBy(*keys).orderBy(F.desc(event_time_col))
+        latest = (batch.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+        from pyspark.errors import AnalysisException
+
+        spark_l = batch.sparkSession
+        try:
+            base = spark_l.read.parquet(table_path)
+            merged = upsert(base, latest, keys)
+        except AnalysisException:  # first batch: table does not exist yet
+            merged = latest
+        tmp = f"{table_path}__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(table_path, ignore_errors=True)
+        shutil.move(tmp, table_path)
+
+    writer = (raw.writeStream.foreachBatch(_merge_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

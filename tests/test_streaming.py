@@ -241,3 +241,32 @@ def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("select sum(n_events) n from win_counts").collect()[0].n
     assert got == 200
+
+
+def test_streaming_upsert_latest_version_wins(spark, tmp_path):
+    """Two micro-batch files carrying inserts, updates (newer ts wins,
+    including two versions of one key INSIDE a batch), and a fresh key:
+    the merged table must hold exactly one latest row per key."""
+    from go_simple_embedding_database_spark.streaming.ingest import (
+        streaming_upsert)
+
+    src = str(tmp_path / "up_src")
+    table = str(tmp_path / "up_table")
+    ckpt = str(tmp_path / "up_ckpt")
+    _write_batch(src, "b1.json", [
+        {"id": 1, "text": "one-v1", "ts": "2026-01-01T00:00:00Z"},
+        {"id": 2, "text": "two-v1", "ts": "2026-01-01T00:00:00Z"},
+    ])
+    q = streaming_upsert(spark, src, table, ckpt, ["id"])
+    q.awaitTermination(120)
+
+    _write_batch(src, "b2.json", [
+        {"id": 2, "text": "two-v2", "ts": "2026-01-01T01:00:00Z"},
+        {"id": 2, "text": "two-v3", "ts": "2026-01-01T02:00:00Z"},
+        {"id": 3, "text": "three-v1", "ts": "2026-01-01T01:00:00Z"},
+    ])
+    q = streaming_upsert(spark, src, table, ckpt, ["id"])
+    q.awaitTermination(120)
+
+    got = {r.id: r.text for r in spark.read.parquet(table).collect()}
+    assert got == {1: "one-v1", 2: "two-v3", 3: "three-v1"}
