@@ -199,44 +199,64 @@ def streaming_upsert(spark, source_dir: str, table_path: str,
                      schema: str = "id bigint, text string, ts timestamp",
                      event_time_col: str = "ts",
                      available_now: bool = True) -> StreamingQuery:
-    """Continuous MERGE: a stream of change rows (latest version per key
-    wins) upserts into a parquet table via ``foreachBatch`` — the
-    streaming twin of ``sources.maintenance.upsert``, and the pattern
-    Delta's MERGE-into-stream executes transactionally.
+    """Continuous MERGE: a stream of change rows upserts into a parquet
+    table via ``foreachBatch`` — the streaming twin of
+    ``sources.maintenance.upsert``, and the pattern Delta's
+    MERGE-into-stream executes transactionally.
 
-    Per micro-batch: (1) collapse the batch to one row per key (max event
-    time wins — a batch can carry several versions of a key), (2) apply
-    the same relational upsert used in batch mode (no streaming/batch
-    divergence), (3) rewrite to a temp dir and swap. The rewrite is the
-    plain-parquet price for atomic visibility WITHOUT a transactional
-    table format; on Delta/Iceberg step 3 becomes a real MERGE and the
-    base table is never rewritten in full. State is bounded: nothing is
-    held in the streaming state store — dedup-within-batch is a plain
-    window, and the table itself is the accumulated state."""
+    Semantics: the MAX-event-time version of each key wins across
+    EVERYTHING ever seen (base table rows carry their event time, so a
+    late-arriving older change cannot regress a newer row — the
+    at-least-once/late-file case). Event-time ties break on a content
+    hash, which is deterministic under foreachBatch replay (a replayed
+    batch picks the same winner, keeping the sink idempotent).
+
+    Durability honesty: plain parquet has no atomic swap. The rewrite
+    goes to a staging dir, the old table is moved aside, staging moves
+    in, then the old copy is deleted — and the batch function first
+    RECOVERS a table left aside by a crash in that window. A concurrent
+    reader can still catch the table mid-swap; a transactional format
+    (Delta/Iceberg MERGE) is the real answer at scale, and this
+    function is the semantics-preserving stand-in the container's
+    plain-parquet setup allows. State is bounded: nothing is held in
+    the streaming state store — the table itself is the state."""
+    import os
     import shutil
 
     from pyspark.sql import Window
 
-    from go_simple_embedding_database_spark.sources.maintenance import upsert
-
     raw = spark.readStream.schema(schema).json(source_dir)
+    old_path = f"{table_path}__old"
 
     def _merge_batch(batch: DataFrame, _batch_id: int) -> None:
-        w = Window.partitionBy(*keys).orderBy(F.desc(event_time_col))
-        latest = (batch.withColumn("_rn", F.row_number().over(w))
-                  .filter(F.col("_rn") == 1).drop("_rn"))
-        from pyspark.errors import AnalysisException
-
+        # Crash recovery: a previous run may have died between
+        # move-aside and move-in (aside copy IS the table), or between
+        # move-in and cleanup (aside copy is stale and must go, or the
+        # next move-aside would nest into it).
+        if os.path.isdir(old_path):
+            if os.path.isdir(table_path):
+                shutil.rmtree(old_path)
+            else:
+                shutil.move(old_path, table_path)
         spark_l = batch.sparkSession
-        try:
-            base = spark_l.read.parquet(table_path)
-            merged = upsert(base, latest, keys)
-        except AnalysisException:  # first batch: table does not exist yet
-            merged = latest
+        allrows = batch
+        if os.path.isdir(table_path):
+            allrows = spark_l.read.parquet(table_path).unionByName(batch)
+        tiebreak = F.md5(F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in batch.columns]))
+        w = (Window.partitionBy(*keys)
+             .orderBy(F.desc(event_time_col), F.desc("_tb")))
+        merged = (allrows.withColumn("_tb", tiebreak)
+                  .withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn", "_tb"))
         tmp = f"{table_path}__staging"
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(table_path, ignore_errors=True)
+        had_table = os.path.isdir(table_path)
+        if had_table:
+            shutil.move(table_path, old_path)
         shutil.move(tmp, table_path)
+        if had_table:
+            shutil.rmtree(old_path)  # deliberate: failure must surface
 
     writer = (raw.writeStream.foreachBatch(_merge_batch)
               .option("checkpointLocation", checkpoint_dir))

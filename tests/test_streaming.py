@@ -270,3 +270,28 @@ def test_streaming_upsert_latest_version_wins(spark, tmp_path):
 
     got = {r.id: r.text for r in spark.read.parquet(table).collect()}
     assert got == {1: "one-v1", 2: "two-v3", 3: "three-v1"}
+
+
+def test_streaming_upsert_late_old_version_cannot_regress(spark, tmp_path):
+    """At-least-once/late-file case (review finding): a later batch
+    carrying an OLDER version of a key must not overwrite the newer row
+    already in the table — max event time wins across batches, not
+    arrival order."""
+    from go_simple_embedding_database_spark.streaming.ingest import (
+        streaming_upsert)
+
+    src = str(tmp_path / "late_src")
+    table = str(tmp_path / "late_table")
+    ckpt = str(tmp_path / "late_ckpt")
+    _write_batch(src, "b1.json", [
+        {"id": 5, "text": "v-new", "ts": "2026-01-02T00:00:00Z"},
+    ])
+    q = streaming_upsert(spark, src, table, ckpt, ["id"])
+    q.awaitTermination(120)
+    _write_batch(src, "b2.json", [
+        {"id": 5, "text": "v-old-late", "ts": "2026-01-01T00:00:00Z"},
+    ])
+    q = streaming_upsert(spark, src, table, ckpt, ["id"])
+    q.awaitTermination(120)
+    got = {r.id: r.text for r in spark.read.parquet(table).collect()}
+    assert got == {5: "v-new"}
