@@ -1,0 +1,149 @@
+"""Minimal transactional table layer over plain parquet — manifest commits.
+
+The container has no Delta/Iceberg, so rewrite-in-place sinks (compaction,
+upsert) swap directories and accept a visibility window. This module is
+the smallest layer that removes that window, using the same core idea as
+the real table formats: data files are IMMUTABLE and a tiny, atomically
+committed MANIFEST names the files that constitute each version.
+
+- Writers write new parquet files into a per-version data dir (never
+  touching existing files), then COMMIT by creating
+  ``_manifests/v<NNNNNN>.json`` with O_CREAT|O_EXCL — an atomic
+  claim-or-fail on POSIX. Losing a race raises ``CommitConflictError``
+  (optimistic concurrency; the caller re-reads and retries), never
+  corrupts.
+- Readers list manifests, pick the highest committed version, and read
+  exactly the files it names — snapshot isolation for free: a concurrent
+  commit changes which manifest is latest, never the bytes under a
+  reader.
+- Old versions stay readable (``version=``: time travel) until
+  ``vacuum`` drops manifests-and-files older than a kept horizon.
+
+Scale notes: the manifest holds file PATHS (and row counts), so commit
+cost is O(files in the version), independent of data volume — the same
+contract as Delta's JSON log before checkpointing. What this layer
+deliberately does NOT do (and the real formats do): per-column stats for
+file skipping, manifest checkpoint compaction, multi-table transactions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version first — re-read and retry."""
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_manifest_dir(path), f"v{version:06d}.json")
+
+
+def list_versions(path: str) -> list[int]:
+    mdir = _manifest_dir(path)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def latest_version(path: str) -> int | None:
+    vs = list_versions(path)
+    return vs[-1] if vs else None
+
+
+def _data_files(data_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(data_dir, f) for f in os.listdir(data_dir)
+        if f.endswith(".parquet") and not f.startswith((".", "_")))
+
+
+def commit_version(spark: SparkSession, df: DataFrame, path: str,
+                   expected_base: int | None = None) -> int:
+    """Write ``df`` as the next table version and commit it atomically.
+
+    ``expected_base``: optimistic-concurrency guard — the version this
+    writer derived its data from (None for a blind overwrite-latest).
+    If another writer committed in between, the exclusive manifest
+    create fails and CommitConflictError is raised; nothing of the
+    failed attempt is visible (its data dir carries no manifest and is
+    vacuum-fodder).
+    """
+    base = latest_version(path)
+    if expected_base is not None and base != expected_base:
+        raise CommitConflictError(
+            f"table advanced to v{base} while this writer worked from "
+            f"v{expected_base}; re-read and retry")
+    version = (base if base is not None else 0) + 1
+    data_dir = os.path.join(path, f"data_v{version:06d}")
+    df.write.mode("overwrite").parquet(data_dir)
+    files = _data_files(data_dir)
+    manifest = {"version": version, "files": files,
+                "base": base, "format": "parquet/manifest-v1"}
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    mpath = _manifest_path(path, version)
+    try:
+        # O_CREAT|O_EXCL: the atomic claim. Exactly one writer can
+        # create this version's manifest; everyone else conflicts.
+        fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"version {version} was committed concurrently") from None
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    return version
+
+
+def read_version(spark: SparkSession, path: str,
+                 version: int | None = None) -> DataFrame:
+    """Snapshot read: exactly the files the (latest or given) committed
+    manifest names. Immune to concurrent commits and to uncommitted
+    data dirs from failed writers."""
+    v = latest_version(path) if version is None else version
+    if v is None or not os.path.exists(_manifest_path(path, v)):
+        raise FileNotFoundError(
+            f"no committed version {'(empty table)' if v is None else v} "
+            f"at {path}")
+    with open(_manifest_path(path, v)) as f:
+        manifest = json.load(f)
+    return spark.read.parquet(*manifest["files"])
+
+
+def vacuum(path: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` versions: delete their
+    manifests FIRST (readers stop resolving them atomically), then their
+    data dirs, plus any uncommitted data dirs no manifest ever claimed.
+    Returns the removed versions.
+
+    Concurrency caveat (same as Delta VACUUM's retention window): do not
+    run while a writer is mid-commit — an unclaimed data dir is
+    indistinguishable from a crashed writer's leftovers, and vacuuming
+    it out from under an in-flight commit leaves that manifest naming
+    deleted files. Schedule vacuum in the maintenance window."""
+    import shutil
+
+    vs = list_versions(path)
+    drop, keep = vs[:-keep_last], vs[-keep_last:]
+    kept_files: set[str] = set()
+    for v in keep:
+        with open(_manifest_path(path, v)) as f:
+            kept_files.update(json.load(f)["files"])
+    for v in drop:
+        os.remove(_manifest_path(path, v))
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        if (name.startswith("data_v") and os.path.isdir(full)
+                and not any(fp.startswith(full + os.sep)
+                            for fp in kept_files)):
+            shutil.rmtree(full)
+    return drop

@@ -1,0 +1,68 @@
+"""Manifest-committed versioned tables (sources/txn.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_simple_embedding_database_spark.sources import txn
+
+
+def _t(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, text string")
+
+
+def test_commit_read_roundtrip_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t1")
+    v1 = txn.commit_version(spark, _t(spark, [(1, "a"), (2, "b")]), path)
+    v2 = txn.commit_version(spark, _t(spark, [(1, "a2"), (3, "c")]), path)
+    assert (v1, v2) == (1, 2)
+    latest = {r.id: r.text for r in txn.read_version(spark, path).collect()}
+    assert latest == {1: "a2", 3: "c"}
+    old = {r.id: r.text
+           for r in txn.read_version(spark, path, version=1).collect()}
+    assert old == {1: "a", 2: "b"}  # time travel unaffected by v2
+
+
+def test_conflicting_commit_raises_and_leaves_table_intact(spark, tmp_path):
+    """Optimistic concurrency: a writer that worked from a stale base
+    must fail loudly; the winner's version stays the readable truth."""
+    path = str(tmp_path / "t2")
+    txn.commit_version(spark, _t(spark, [(1, "a")]), path)
+    base = txn.latest_version(path)
+    # winner commits from the same base first
+    txn.commit_version(spark, _t(spark, [(1, "winner")]), path,
+                       expected_base=base)
+    with pytest.raises(txn.CommitConflictError):
+        txn.commit_version(spark, _t(spark, [(1, "loser")]), path,
+                           expected_base=base)
+    got = {r.text for r in txn.read_version(spark, path).collect()}
+    assert got == {"winner"}
+
+
+def test_uncommitted_data_is_invisible(spark, tmp_path):
+    """A failed writer's data dir (no manifest) must never be read."""
+    path = str(tmp_path / "t3")
+    txn.commit_version(spark, _t(spark, [(1, "a")]), path)
+    # simulate a crashed writer: data written, manifest never created
+    _t(spark, [(9, "ghost")]).write.parquet(
+        os.path.join(path, "data_v000099"))
+    got = {r.id for r in txn.read_version(spark, path).collect()}
+    assert got == {1}
+
+
+def test_vacuum_drops_old_versions_and_orphans(spark, tmp_path):
+    path = str(tmp_path / "t4")
+    for i in range(4):
+        txn.commit_version(spark, _t(spark, [(i, f"v{i}")]), path)
+    _t(spark, [(9, "ghost")]).write.parquet(
+        os.path.join(path, "data_v000099"))  # orphan from a failed writer
+    dropped = txn.vacuum(path, keep_last=2)
+    assert dropped == [1, 2]
+    assert txn.list_versions(path) == [3, 4]
+    assert not os.path.isdir(os.path.join(path, "data_v000001"))
+    assert not os.path.isdir(os.path.join(path, "data_v000099"))
+    # survivors still read
+    assert txn.read_version(spark, path, version=3).count() == 1
+    with pytest.raises(FileNotFoundError):
+        txn.read_version(spark, path, version=1)
