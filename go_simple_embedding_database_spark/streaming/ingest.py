@@ -198,7 +198,8 @@ def streaming_upsert(spark, source_dir: str, table_path: str,
                      checkpoint_dir: str, keys: list[str],
                      schema: str = "id bigint, text string, ts timestamp",
                      event_time_col: str = "ts",
-                     available_now: bool = True) -> StreamingQuery:
+                     available_now: bool = True,
+                     transactional: bool = False) -> StreamingQuery:
     """Continuous MERGE: a stream of change rows upserts into a parquet
     table via ``foreachBatch`` — the streaming twin of
     ``sources.maintenance.upsert``, and the pattern Delta's
@@ -211,37 +212,52 @@ def streaming_upsert(spark, source_dir: str, table_path: str,
     hash, which is deterministic under foreachBatch replay (a replayed
     batch picks the same winner, keeping the sink idempotent).
 
-    Durability honesty: plain parquet has no atomic swap. The rewrite
-    goes to a staging dir, the old table is moved aside, staging moves
-    in, then the old copy is deleted — and the batch function first
-    RECOVERS a table left aside by a crash in that window. A concurrent
-    reader can still catch the table mid-swap; a transactional format
-    (Delta/Iceberg MERGE) is the real answer at scale, and this
-    function is the semantics-preserving stand-in the container's
-    plain-parquet setup allows. State is bounded: nothing is held in
-    the streaming state store — the table itself is the state."""
+    Two sinks:
+    - ``transactional=True`` — the table is a ``sources.txn``
+      manifest-committed versioned table: each micro-batch commits a new
+      version atomically (O_EXCL manifest claim), readers get snapshot
+      isolation with NO visibility window, and every prior micro-batch
+      state remains time-travelable until vacuum. Read it with
+      ``txn.read_version``.
+    - default — plain parquet directory with move-aside/move-in swap
+      plus crash recovery. A concurrent reader can still catch the
+      table mid-swap; kept as the lowest-common-denominator sink for
+      readers that insist on ``spark.read.parquet(table_path)``.
+
+    State is bounded either way: nothing is held in the streaming state
+    store — the table itself is the state."""
     import os
     import shutil
 
     from pyspark.sql import Window
 
+    from go_simple_embedding_database_spark.sources import txn
+
     raw = spark.readStream.schema(schema).json(source_dir)
     old_path = f"{table_path}__old"
 
+    def _read_base(spark_l):
+        if transactional:
+            if txn.latest_version(table_path) is None:
+                return None
+            return txn.read_version(spark_l, table_path)
+        if os.path.isdir(table_path):
+            return spark_l.read.parquet(table_path)
+        return None
+
     def _merge_batch(batch: DataFrame, _batch_id: int) -> None:
-        # Crash recovery: a previous run may have died between
-        # move-aside and move-in (aside copy IS the table), or between
-        # move-in and cleanup (aside copy is stale and must go, or the
-        # next move-aside would nest into it).
-        if os.path.isdir(old_path):
+        if not transactional and os.path.isdir(old_path):
+            # Crash recovery for the plain sink: died between move-aside
+            # and move-in (aside copy IS the table), or between move-in
+            # and cleanup (aside copy is stale and must go, or the next
+            # move-aside would nest into it).
             if os.path.isdir(table_path):
                 shutil.rmtree(old_path)
             else:
                 shutil.move(old_path, table_path)
         spark_l = batch.sparkSession
-        allrows = batch
-        if os.path.isdir(table_path):
-            allrows = spark_l.read.parquet(table_path).unionByName(batch)
+        base = _read_base(spark_l)
+        allrows = batch if base is None else base.unionByName(batch)
         tiebreak = F.md5(F.concat_ws(
             "\x1f", *[F.col(c).cast("string") for c in batch.columns]))
         w = (Window.partitionBy(*keys)
@@ -249,6 +265,9 @@ def streaming_upsert(spark, source_dir: str, table_path: str,
         merged = (allrows.withColumn("_tb", tiebreak)
                   .withColumn("_rn", F.row_number().over(w))
                   .filter(F.col("_rn") == 1).drop("_rn", "_tb"))
+        if transactional:
+            txn.commit_version(spark_l, merged, table_path)
+            return
         tmp = f"{table_path}__staging"
         merged.write.mode("overwrite").parquet(tmp)
         had_table = os.path.isdir(table_path)

@@ -295,3 +295,37 @@ def test_streaming_upsert_late_old_version_cannot_regress(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.id: r.text for r in spark.read.parquet(table).collect()}
     assert got == {5: "v-new"}
+
+
+def test_streaming_upsert_transactional_versions(spark, tmp_path):
+    """Transactional sink: each micro-batch commits one manifest
+    version; the latest snapshot merges correctly and the pre-merge
+    state stays time-travelable."""
+    from go_simple_embedding_database_spark.sources import txn
+    from go_simple_embedding_database_spark.streaming.ingest import (
+        streaming_upsert)
+
+    src = str(tmp_path / "tx_src")
+    table = str(tmp_path / "tx_table")
+    ckpt = str(tmp_path / "tx_ckpt")
+    _write_batch(src, "b1.json", [
+        {"id": 1, "text": "one-v1", "ts": "2026-01-01T00:00:00Z"},
+    ])
+    q = streaming_upsert(spark, src, table, ckpt, ["id"],
+                         transactional=True)
+    q.awaitTermination(120)
+    _write_batch(src, "b2.json", [
+        {"id": 1, "text": "one-v2", "ts": "2026-01-02T00:00:00Z"},
+        {"id": 2, "text": "two-v1", "ts": "2026-01-01T00:00:00Z"},
+    ])
+    q = streaming_upsert(spark, src, table, ckpt, ["id"],
+                         transactional=True)
+    q.awaitTermination(120)
+
+    assert txn.list_versions(table) == [1, 2]
+    latest = {r.id: r.text
+              for r in txn.read_version(spark, table).collect()}
+    assert latest == {1: "one-v2", 2: "two-v1"}
+    v1 = {r.id: r.text
+          for r in txn.read_version(spark, table, version=1).collect()}
+    assert v1 == {1: "one-v1"}
