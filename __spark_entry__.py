@@ -2081,18 +2081,30 @@ SELECT doc_id, change_type FROM j WHERE change_type <> 'unchanged'
 """
 
 
+_PMI_MAX_TYPES = 100  # heavy-user cap: bounds self-join fanout at cap²
+
+
 def _q_events_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise mutual information between event types co-occurring in a
     user's history — the co-occurrence statistic behind item-similarity /
     query-expansion tables. Distinct (user, type) first, so the self-join
-    fanout per user is bounded by the (small) type vocabulary, never the
-    user's raw event count; marginals and the user total are broadcast
-    back. All products stay exact bigints until the final IEEE-exact
-    division, so the oracle matches bit-for-bit."""
+    fanout per user is bounded by the type vocabulary, never the user's
+    raw event count — and users touching more than _PMI_MAX_TYPES types
+    are dropped before the join (the standard heavy-user cap in
+    co-occurrence mining: a crawler account touching 10k item types
+    would alone contribute 10k² pairs and distort PMI anyway; no-op on
+    this corpus's 10-type vocabulary, load-bearing at catalog scale).
+    Marginals and the user total are broadcast back. All products stay
+    exact bigints until the final IEEE-exact division, so the oracle
+    matches bit-for-bit."""
     ev = _events(spark, sf_dir)
-    ut = ev.select("user_id", "event_type").distinct()
+    ut_all = ev.select("user_id", "event_type").distinct()
+    ok_users = (ut_all.groupBy("user_id")
+                .agg(F.count("*").alias("_nt"))
+                .filter(F.col("_nt") <= _PMI_MAX_TYPES).select("user_id"))
+    ut = ut_all.join(ok_users, "user_id")
     totals = ut.groupBy("event_type").agg(F.count("*").alias("n_t"))
-    n_users = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    n_users = ut.agg(F.countDistinct("user_id").alias("n_users"))
     a, b = ut.alias("a"), ut.alias("b")
     pairs = (a.join(b, "user_id")
              .filter(F.col("a.event_type") < F.col("b.event_type"))
@@ -2112,10 +2124,13 @@ def _q_events_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("pmi")))
 
 
-_ORACLE_EVENTS_PMI = """
-WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+_ORACLE_EVENTS_PMI = f"""
+WITH ut_all AS (SELECT DISTINCT user_id, event_type FROM events),
+ok_users AS (SELECT user_id FROM ut_all GROUP BY user_id
+             HAVING count(*) <= {_PMI_MAX_TYPES}),
+ut AS (SELECT ut_all.* FROM ut_all JOIN ok_users USING (user_id)),
 tot AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY event_type),
-nu AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
 pairs AS (
   SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_co
   FROM ut a JOIN ut b ON a.user_id = b.user_id

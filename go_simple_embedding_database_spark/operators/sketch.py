@@ -47,15 +47,22 @@ def _mg_partial_sketches(tokens: DataFrame, token_col: str,
         # is ~100x the per-token-loop throughput: the scan cost is one
         # value_counts per batch plus an O(k log k) trim.
         counters: dict = {}
+        n_rows = 0
         for pdf in batches:
+            # non-null only: value_counts drops nulls, and N must count
+            # exactly what the counters can see
+            n_rows += int(pdf[token_col].notna().sum())
             for tok, cnt in pdf[token_col].value_counts().items():
                 counters[tok] = counters.get(tok, 0) + int(cnt)
             if len(counters) > capacity:
                 cut = sorted(counters.values(), reverse=True)[capacity]
                 counters = {t: c - cut for t, c in counters.items()
                             if c > cut}
-        yield pd.DataFrame({token_col: list(counters.keys()),
-                            "partial": list(counters.values())})
+        # Sentinel row (NULL token) carries the partition's EXACT row
+        # count — the global total then comes from the sketch pass
+        # itself instead of a separate full scan of the token stream.
+        yield pd.DataFrame({token_col: list(counters.keys()) + [None],
+                            "partial": list(counters.values()) + [n_rows]})
 
     return tokens.mapInPandas(sketch, f"{token_col} string, partial long")
 
@@ -79,10 +86,14 @@ def frequent_items(tokens: DataFrame, token_col: str = "token",
             f"threshold_frac {threshold_frac} below the Misra-Gries "
             f"guarantee 1/(capacity+1) = {1.0 / (capacity + 1):.6f}: "
             f"items above the threshold could be missed; raise capacity")
-    partials = _mg_partial_sketches(tokens, token_col, capacity)
-    candidates = (partials.groupBy(token_col)
+    # One scan builds the sketches AND the exact total (sentinel rows);
+    # persist so candidates and n_total don't re-run the token scan.
+    partials = _mg_partial_sketches(tokens, token_col, capacity).persist()
+    candidates = (partials.filter(F.col(token_col).isNotNull())
+                  .groupBy(token_col)
                   .agg(F.sum("partial").alias("_lb")).select(token_col))
-    n_total = tokens.agg(F.count("*").alias("_n"))
+    n_total = (partials.filter(F.col(token_col).isNull())
+               .agg(F.sum("partial").alias("_n")))
     # Exact recount of candidates only: broadcast semi-join filters the
     # stream map-side; the aggregation shuffles candidate tokens only.
     recount = (tokens.join(F.broadcast(candidates), token_col, "left_semi")
