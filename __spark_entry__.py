@@ -2208,6 +2208,58 @@ FROM labeled GROUP BY split
 """
 
 
+def _q_user_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spend trend: ordinary-least-squares slope of purchase
+    value over time, computed from the closed-form sufficient statistics
+    — one map-side-combined aggregate per user, no iteration, no window
+    (the grouped-regression shape that scales to any key count).
+
+    Cross-engine determinism: float SUMS are aggregation-order-dependent
+    in the last ulp, so value is quantized to exact integer cents and
+    the day index is an exact int — every Σx, Σy, Σxy, Σx² is then an
+    exact bigint and the one final division is IEEE-exact. Slope unit:
+    cents per day, rounded to 6 decimals. Users need ≥ 2 distinct days
+    (the denominator is 0 otherwise — filtered, not divided). At extreme
+    per-key row counts the n·Σxy product can overflow int64 — shift x
+    to days-since-first-event per key (one extra min-aggregate) before
+    trusting this at billions of rows per key."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    x = F.datediff(F.col("ts").cast("date"),
+                   F.lit("1970-01-01").cast("date")).cast("bigint")
+    y = F.round(F.col("value") * 100, 0).cast("bigint")  # exact cents
+    base = ev.select("user_id", x.alias("_x"), y.alias("_y"))
+    agg = (base.groupBy("user_id")
+           .agg(F.count("*").alias("n_purchases"),
+                F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
+                F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+                F.sum(F.col("_x") * F.col("_x")).alias("_sxx")))
+    denom = agg["n_purchases"] * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = (agg["n_purchases"] * F.col("_sxy")
+             - F.col("_sx") * F.col("_sy")) / denom
+    return (agg.filter(denom != 0)
+            .select("user_id", "n_purchases",
+                    F.round(slope, 6).alias("slope_cents_per_day")))
+
+
+_ORACLE_USER_SPEND_TREND = """
+WITH base AS (
+  SELECT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS _x,
+         CAST(round(value * 100, 0) AS BIGINT) AS _y
+  FROM events WHERE event_type = 'purchase'),
+agg AS (
+  SELECT user_id, count(*) AS n_purchases,
+         sum(_x) AS _sx, sum(_y) AS _sy,
+         sum(_x * _y) AS _sxy, sum(_x * _x) AS _sxx
+  FROM base GROUP BY user_id)
+SELECT user_id, n_purchases,
+       round((n_purchases * _sxy - _sx * _sy)
+             / (n_purchases * _sxx - _sx * _sx), 6) AS slope_cents_per_day
+FROM agg
+WHERE n_purchases * _sxx - _sx * _sx <> 0
+"""
+
+
 def _q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter tokens without a full-vocabulary shuffle: per-
     partition Misra-Gries sketches (bounded memory, no shuffle) merge
@@ -2318,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_safe": _q_split_leakage_safe,
         "frequent_tokens": _q_frequent_tokens,
         "zorder_layout": _q_zorder_layout,
+        "user_spend_trend": _q_user_spend_trend,
         # (c) previously checked, kept in the window
         "topk_cosine": _q_topk_cosine,
         "batch_topk": _q_batch_topk,
@@ -2332,7 +2385,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_cosine": _q_dedup_cosine,
         "embedding_centroids": _q_embedding_centroids,
-        "events_asof": _q_events_asof,
         "pipeline_clean_corpus": _q_pipeline_clean_corpus,
         "dedup_keep": _q_dedup_keep,
         "ingest_violations": _q_ingest_violations,
@@ -2341,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green CORRECTNESS_r01 row checked)
         "text_stats": _q_text_stats,
         "text_quality": _q_text_quality,
+        "events_asof": _q_events_asof,
         "topk_small_collection": _q_topk_small_collection,
         "events_range_join": _q_events_range_join,
         "ann_lsh_join": _q_ann_lsh_join,
@@ -2436,6 +2489,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_safe": _oracle_split_leakage_safe(),
         "frequent_tokens": _oracle_frequent_tokens(),
         "zorder_layout": _oracle_zorder_layout(),
+        "user_spend_trend": _ORACLE_USER_SPEND_TREND,
         "user_event_pivot": _ORACLE_USER_EVENT_PIVOT,
         "bucketed_join_revenue": _ORACLE_BUCKETED_JOIN_REVENUE,
         "big_orders_customers": _ORACLE_BIG_ORDERS_CUSTOMERS,
