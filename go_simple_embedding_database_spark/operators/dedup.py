@@ -631,26 +631,38 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         # neighbor-min join+agg subtree evaluates twice per round.
         propagated = propagated.persist()
         l1, l2 = propagated.alias("l1"), propagated.alias("l2")
+        # localCheckpoint (lazy) truncates LINEAGE, not just recompute:
+        # persist alone leaves the full logical plan in place for the
+        # analyzer, and each round references the previous round's plan
+        # ~3× (neighbor-min join + the two self-join sides), so the
+        # analyzed tree grows 3^rounds — driver-heap OOM before round ~12.
+        # The checkpointed frame plans as a LogicalRDD leaf, keeping every
+        # round's plan O(1). (localCheckpoint is executor-local — on a
+        # cluster an executor loss forces recompute from the persisted
+        # parent; use checkpoint(dir) for fault-critical runs.)
         new_labels = (
             l1.join(l2, F.col("l1.comp") == F.col("l2.node"))
             .select(F.col("l1.node").alias("node"),
                     F.col("l1._prev").alias("_prev"),
-                    F.col("l2.comp").alias("comp")).persist())
+                    F.col("l2.comp").alias("comp"))
+            .localCheckpoint(eager=False))
         # Convergence detection folded into the materializing action: the
         # previous round's label rides along as _prev, so ONE aggregate
-        # both fills the cache and yields the change count — no separate
-        # join-against-old-labels job per round.
+        # both fills the cache (checkpoints the RDD) and yields the change
+        # count — no separate join-against-old-labels job per round.
         changed = new_labels.agg(
             F.count_if(F.col("comp") != F.col("_prev")).alias("n")
         ).collect()[0][0]
         propagated.unpersist()
-        labels.unpersist()
+        if labels.is_cached:
+            labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     und.unpersist()
     if changed:
-        labels.unpersist()
+        if labels.is_cached:
+            labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing) — returning partial labels "
@@ -658,7 +670,8 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
             f"O(log diameter) with pointer jumping)")
     out = labels.select("node", "comp").persist()
     out.count()
-    labels.unpersist()
+    if labels.is_cached:
+        labels.unpersist()
     return out
 
 
