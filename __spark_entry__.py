@@ -2260,6 +2260,42 @@ WHERE n_purchases * _sxx - _sx * _sx <> 0
 """
 
 
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus selection under a global token budget: take documents in
+    priority order (n_chars DESC as the stand-in quality key, doc_id
+    tiebreak) until 12,000 tokens are spent; report the per-source doc
+    and token take. The oracle is the naive global-window running sum —
+    a single-partition sort at scale — while the Spark plan is the
+    two-phase histogram refinement (operators/sampling.py budget_select):
+    a bands-sized histogram picks the one boundary band, full bands pass
+    with a broadcast status join and no window, and only boundary-band
+    rows (bounded by band width, not corpus size) see a cumsum window.
+    Token counts are exact integers, so the budget boundary is
+    engine-independent."""
+    from go_simple_embedding_database_spark.functions import text as tx
+    from go_simple_embedding_database_spark.operators.sampling import (
+        budget_select)
+    docs = _docs_par(spark, sf_dir).withColumn(
+        "n_tokens", tx.token_count(F.col("text")).cast("bigint"))
+    sel = budget_select(docs, "doc_id", "n_chars", "n_tokens", budget=12000)
+    return (sel.groupBy("source")
+            .agg(F.count("*").alias("n_docs_selected"),
+                 F.sum("n_tokens").alias("tokens_selected")))
+
+
+def _oracle_token_budget() -> str:
+    from go_simple_embedding_database_spark.functions import text as tx
+    from go_simple_embedding_database_spark.operators.sampling import (
+        budget_select_sql)
+    docs = (f"(SELECT *, CAST({tx.token_count_sql('text')} AS BIGINT) "
+            f"AS n_tokens FROM documents)")
+    sel = budget_select_sql(docs, "doc_id", "n_chars", "n_tokens",
+                            budget=12000)
+    return (f"WITH sel AS ({sel}) "
+            f"SELECT source, count(*) AS n_docs_selected, "
+            f"sum(n_tokens) AS tokens_selected FROM sel GROUP BY source")
+
+
 def _q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter tokens without a full-vocabulary shuffle: per-
     partition Misra-Gries sketches (bounded memory, no shuffle) merge
@@ -2371,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_tokens": _q_frequent_tokens,
         "zorder_layout": _q_zorder_layout,
         "user_spend_trend": _q_user_spend_trend,
+        "token_budget": _q_token_budget,
         # (c) previously checked, kept in the window
         "topk_cosine": _q_topk_cosine,
         "batch_topk": _q_batch_topk,
@@ -2490,6 +2527,7 @@ def oracle_sql() -> dict[str, str]:
         "frequent_tokens": _oracle_frequent_tokens(),
         "zorder_layout": _oracle_zorder_layout(),
         "user_spend_trend": _ORACLE_USER_SPEND_TREND,
+        "token_budget": _oracle_token_budget(),
         "user_event_pivot": _ORACLE_USER_EVENT_PIVOT,
         "bucketed_join_revenue": _ORACLE_BUCKETED_JOIN_REVENUE,
         "big_orders_customers": _ORACLE_BIG_ORDERS_CUSTOMERS,

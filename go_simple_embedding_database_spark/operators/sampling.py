@@ -106,6 +106,94 @@ def mixture_report(df: DataFrame, domain_col: str, id_col: str,
                     F.coalesce("sampled_n", F.lit(0)).alias("sampled_n")))
 
 
+def budget_select(df: DataFrame, id_col: str, key_col: str, cost_col: str,
+                  budget: int, bucket_width: int = 32) -> DataFrame:
+    """Global greedy prefix under a total cost budget — "take documents in
+    priority order until the token budget is spent", the corpus-selection
+    primitive behind quality-filtered pretraining mixes. Semantics: order
+    rows by (key DESC, id ASC); a row is selected iff its inclusive
+    running ``cost`` sum is <= ``budget`` (costs are non-negative, so the
+    selected set is a true prefix).
+
+    The naive formulation is a single global window
+    (``SUM(cost) OVER (ORDER BY key DESC, id)``) — one partition holding
+    the entire corpus, the canonical 100 TB scale-killer. This is instead
+    the two-phase histogram refinement:
+
+    1. HISTOGRAM: aggregate (count, sum cost) per key band
+       ``bucket = floor(key / bucket_width)`` — a bands-sized relation
+       (hundreds of rows), map-side combined, one scan.
+    2. BAND CUMSUM driver-side: the histogram is collected (a bands-sized
+       relation — bounded by key_range / bucket_width, NOT by corpus row
+       count, the same legitimate tiny-relation collect as the IVF probe
+       cells) and a running sum in band-DESC order marks each band FULL
+       (cumulative through the band fits the budget), BOUNDARY (first
+       band that overflows), or excluded. Only the ONE boundary band
+       needs row-level resolution. Collecting instead of windowing the
+       tiny frame guarantees the corpus-scanning histogram runs exactly
+       once — as a lazy subtree it would re-evaluate under every
+       consuming branch of the union.
+    3. SELECT: full-band rows pass with a broadcast band-status join (no
+       window at all); boundary-band rows — one band's worth, bounded by
+       the band width not the corpus — get the fine-grained window with
+       ``prior`` (tokens of all fuller bands) added. Union of the two.
+
+    All costs/keys must be exact integers: the inclusive-cumsum-vs-budget
+    comparison is a hard boundary, and float sums are aggregation-order-
+    dependent (see temperature_rates). Equal keys always share a band, so
+    band order refines global order and the union equals the naive global
+    prefix exactly (property-tested against it in tests/test_sampling.py).
+    If one band could still exceed a partition at the target scale,
+    recurse: re-histogram the boundary band on a finer width.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(key_col).cast("bigint").alias("_key"),
+        F.col(cost_col).cast("bigint").alias("_cost"),
+        "*")
+    base = base.withColumn("_bucket",
+                           F.floor(F.col("_key") / bucket_width).cast("bigint"))
+    hist = (base.groupBy("_bucket")
+            .agg(F.sum("_cost").alias("_btok"))
+            .collect())
+    cum, status_rows = 0, []
+    for r in sorted(hist, key=lambda r: -r["_bucket"]):
+        prior, cum = cum, cum + r["_btok"]
+        st = ("full" if cum <= budget
+              else "boundary" if prior <= budget else "out")
+        if st != "out":
+            status_rows.append((r["_bucket"], prior, st))
+    status = df.sparkSession.createDataFrame(
+        status_rows, "_bucket bigint, _prior bigint, _status string")
+    tagged = base.join(F.broadcast(status), "_bucket")
+    full_rows = tagged.filter(F.col("_status") == "full")
+    from pyspark.sql import Window
+    wr = Window.partitionBy("_bucket") \
+        .orderBy(F.col("_key").desc(), F.col("_id").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    boundary_rows = (tagged.filter(F.col("_status") == "boundary")
+                     .withColumn("_cum", F.col("_prior")
+                                 + F.sum("_cost").over(wr))
+                     .filter(F.col("_cum") <= budget)
+                     .drop("_cum"))
+    drop = ["_id", "_key", "_cost", "_bucket", "_prior", "_status"]
+    return full_rows.unionByName(boundary_rows).drop(*drop)
+
+
+def budget_select_sql(table: str, id_col: str, key_expr: str, cost_expr: str,
+                      budget: int) -> str:
+    """DuckDB twin of ``budget_select`` — the naive global-window prefix,
+    which the histogram refinement must equal exactly."""
+    return f"""
+WITH scored AS (
+  SELECT *, {cost_expr} AS _cost,
+         sum({cost_expr}) OVER (ORDER BY {key_expr} DESC, {id_col} ASC
+                                ROWS UNBOUNDED PRECEDING) AS _cum
+  FROM {table})
+SELECT * EXCLUDE (_cost, _cum) FROM scored WHERE _cum <= {budget}
+"""
+
+
 def temperature_sample_sql(table: str, domain_col: str, id_col: str,
                            alpha: float = 0.5, budget: int = 250,
                            report: bool = True) -> str:

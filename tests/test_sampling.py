@@ -85,3 +85,53 @@ def test_rates_match_duckdb_on_skewed_counts(spark):
             con.sql(sql).fetchall()}
     for s in ("a", "b"):
         assert got[s][:2] == want[s][:2], (s, got[s], want[s])
+
+
+# -- budget_select (token-budget prefix) ---------------------------------------
+
+@pytest.fixture(scope="module")
+def costed(spark):
+    """Skewed keys with heavy ties (many rows share a key, so band
+    boundaries and tiebreaks are both exercised) and lumpy costs."""
+    rows = [(i, (i * 7) % 50 + (i % 3) * 40, (i * i) % 90 + 1)
+            for i in range(300)]
+    return spark.createDataFrame(rows, "id bigint, key bigint, cost bigint")
+
+
+def _naive_prefix(df, budget):
+    from pyspark.sql import Window
+    w = (Window.orderBy(F.col("key").desc(), F.col("id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return {r.id for r in df.withColumn("_c", F.sum("cost").over(w))
+            .filter(F.col("_c") <= budget).collect()}
+
+
+@pytest.mark.parametrize("budget", [0, 1, 500, 4000, 10**9])
+def test_budget_select_equals_naive_prefix(costed, budget):
+    """The histogram refinement must equal the naive global-window prefix
+    at every boundary regime: empty take, single-row take, mid-corpus
+    boundary, and budget beyond the total (take everything)."""
+    got = {r.id for r in
+           sp.budget_select(costed, "id", "key", "cost", budget,
+                            bucket_width=16).collect()}
+    assert got == _naive_prefix(costed, budget)
+
+
+def test_budget_select_bucket_width_invariant(costed):
+    """The band width is a physical knob, not a semantic one: any width
+    yields the same selected set."""
+    want = _naive_prefix(costed, 3000)
+    for w in (1, 7, 64, 10_000):
+        got = {r.id for r in
+               sp.budget_select(costed, "id", "key", "cost", 3000,
+                                bucket_width=w).collect()}
+        assert got == want, w
+
+
+def test_budget_select_keeps_payload_columns(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 5, "x"), (2, 20, 5, "y"), (3, 30, 5, "z")],
+        "id bigint, key bigint, cost bigint, payload string")
+    out = sp.budget_select(df, "id", "key", "cost", 10)
+    assert set(out.columns) == {"id", "key", "cost", "payload"}
+    assert {(r.id, r.payload) for r in out.collect()} == {(3, "z"), (2, "y")}
