@@ -2296,6 +2296,53 @@ def _oracle_token_budget() -> str:
             f"sum(n_tokens) AS tokens_selected FROM sel GROUP BY source")
 
 
+def _q_incremental_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained monthly revenue rollup: history (orders
+    before 1997-01-01) lives as a manifest-committed aggregate snapshot
+    built once per source fingerprint (sources/txn.py); each run scans
+    ONLY the delta (predicate pushed to the parquet scan) and folds its
+    partial aggregate into the snapshot with merge_additive_agg — merge
+    cost ∝ months × measures, never the history. The 100 TB shape of
+    "this rollup updates every day": the full-history scan happens once,
+    not per refresh. Revenue is quantized to exact cents per row before
+    summing, so the merged totals are bit-identical to the oracle's
+    single-pass aggregate over all orders."""
+    from go_simple_embedding_database_spark.sources.bucketed import (
+        source_fingerprint)
+    from go_simple_embedding_database_spark.sources.maintenance import (
+        ensure_agg_snapshot, merge_additive_agg)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cutoff = _ts_lit(orders, "o_orderdate", "1997-01-01")
+    month = F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return (df.select(month, cents.alias("_cents"))
+                .groupBy("month")
+                .agg(F.count("*").alias("n_orders"),
+                     F.sum("_cents").alias("revenue_cents")))
+
+    base = ensure_agg_snapshot(
+        spark, _index_path(spark, sf_dir, "mv_monthly_revenue"),
+        source_fingerprint(f"{sf_dir}/orders.parquet"),
+        lambda: agg(orders.filter(F.col("o_orderdate") < cutoff)))
+    merged = merge_additive_agg(
+        base, agg(orders.filter(F.col("o_orderdate") >= cutoff)),
+        ["month"], ["n_orders", "revenue_cents"])
+    return merged.select(
+        "month", "n_orders",
+        F.round(F.col("revenue_cents") / 100.0, 2).alias("revenue"))
+
+
+_ORACLE_INCREMENTAL_REVENUE = """
+SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+       count(*) AS n_orders,
+       round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+         AS revenue
+FROM orders GROUP BY 1
+"""
+
+
 def _q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter tokens without a full-vocabulary shuffle: per-
     partition Misra-Gries sketches (bounded memory, no shuffle) merge
@@ -2408,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "user_spend_trend": _q_user_spend_trend,
         "token_budget": _q_token_budget,
+        "incremental_revenue": _q_incremental_revenue,
         # (c) previously checked, kept in the window
         "topk_cosine": _q_topk_cosine,
         "batch_topk": _q_batch_topk,
@@ -2528,6 +2576,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _oracle_zorder_layout(),
         "user_spend_trend": _ORACLE_USER_SPEND_TREND,
         "token_budget": _oracle_token_budget(),
+        "incremental_revenue": _ORACLE_INCREMENTAL_REVENUE,
         "user_event_pivot": _ORACLE_USER_EVENT_PIVOT,
         "bucketed_join_revenue": _ORACLE_BUCKETED_JOIN_REVENUE,
         "big_orders_customers": _ORACLE_BIG_ORDERS_CUSTOMERS,

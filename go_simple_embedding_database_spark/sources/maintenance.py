@@ -91,3 +91,46 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
               .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("update"))
               .otherwise(F.lit("unchanged")))
     return joined.select(*keys, change.alias("change_type"))
+
+
+def merge_additive_agg(old: DataFrame, delta: DataFrame, keys: list[str],
+                       measures: list[str]) -> DataFrame:
+    """Incremental view maintenance for ADDITIVE aggregates (SUM/COUNT —
+    the self-mergeable ones): fold a delta's partial aggregate into the
+    stored aggregate by key. This is the step that lets a 100 TB pipeline
+    maintain a rollup by scanning only the day's increment: the merge
+    cost is proportional to the two AGGREGATE sizes (key space), never to
+    the history that produced them. Non-additive measures (AVG, DISTINCT)
+    must be carried as their additive sufficient statistics (sum+count,
+    sketch) and finalized on read — same discipline as any partial
+    aggregate. Both sides must share the (keys + measures) schema."""
+    from pyspark.sql import functions as F
+
+    cols = keys + measures
+    return (old.select(*cols).unionByName(delta.select(*cols))
+            .groupBy(*keys)
+            .agg(*[F.sum(m).alias(m) for m in measures]))
+
+
+def ensure_agg_snapshot(spark: SparkSession, path: str, fingerprint: str,
+                        build) -> DataFrame:
+    """Idempotent materialization of an aggregate snapshot as a
+    manifest-committed table (sources/txn.py): build once per source
+    ``fingerprint``, then serve the committed version — the stored half
+    of an incremental-maintenance pair (merge_additive_agg folds deltas
+    into it). A fingerprint mismatch (source rewritten) commits a fresh
+    version through the transactional layer, so readers mid-query keep
+    their snapshot and time travel keeps the history."""
+    import os
+
+    from . import txn
+
+    marker = os.path.join(path, "_source_fingerprint")
+    if os.path.exists(marker) and txn.latest_version(path) is not None:
+        with open(marker) as fh:
+            if fh.read() == fingerprint:
+                return txn.read_version(spark, path)
+    txn.commit_version(spark, build(), path)
+    with open(marker, "w") as fh:
+        fh.write(fingerprint)
+    return txn.read_version(spark, path)

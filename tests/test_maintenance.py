@@ -75,3 +75,59 @@ def test_snapshot_diff_multi_column_fingerprint(spark):
         .collect()[0].change_type == "update"
     assert snapshot_diff(old, changed_junk, ["id"], ["t1", "t2"]) \
         .collect()[0].change_type == "unchanged"
+
+
+def test_merge_additive_agg_equals_full_agg(spark):
+    from pyspark.sql import functions as F
+
+    from go_simple_embedding_database_spark.sources.maintenance import (
+        merge_additive_agg)
+
+    rows = [(i % 5, i, i * 3) for i in range(100)]
+    df = spark.createDataFrame(rows, "k bigint, a bigint, b bigint")
+
+    def agg(d):
+        return d.groupBy("k").agg(F.count("*").alias("n"),
+                                  F.sum("b").alias("sb"))
+
+    full = {(r.k, r.n, r.sb) for r in agg(df).collect()}
+    merged = merge_additive_agg(agg(df.filter("a < 40")),
+                                agg(df.filter("a >= 40")),
+                                ["k"], ["n", "sb"])
+    assert {(r.k, r.n, r.sb) for r in merged.collect()} == full
+
+
+def test_merge_additive_agg_disjoint_keys(spark):
+    from pyspark.sql import functions as F
+
+    from go_simple_embedding_database_spark.sources.maintenance import (
+        merge_additive_agg)
+
+    old = spark.createDataFrame([(1, 10)], "k bigint, n bigint")
+    delta = spark.createDataFrame([(2, 5)], "k bigint, n bigint")
+    got = {(r.k, r.n) for r in
+           merge_additive_agg(old, delta, ["k"], ["n"]).collect()}
+    assert got == {(1, 10), (2, 5)}
+
+
+def test_ensure_agg_snapshot_builds_once_and_on_fingerprint_change(
+        spark, tmp_path):
+    from go_simple_embedding_database_spark.sources.maintenance import (
+        ensure_agg_snapshot)
+    from go_simple_embedding_database_spark.sources import txn
+
+    path = str(tmp_path / "mv")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.createDataFrame([(1, len(calls))], "k bigint, v bigint")
+
+    a = ensure_agg_snapshot(spark, path, "fp1", build).collect()
+    b = ensure_agg_snapshot(spark, path, "fp1", build).collect()
+    assert len(calls) == 1 and a == b
+    # source rewritten -> new fingerprint -> rebuild as a NEW committed
+    # version; the old snapshot stays readable (time travel)
+    c = ensure_agg_snapshot(spark, path, "fp2", build)
+    assert len(calls) == 2 and c.collect()[0].v == 2
+    assert txn.read_version(spark, path, 1).collect()[0].v == 1
