@@ -1,0 +1,203 @@
+"""Distributed k-means over embedding columns, and SemDeDup-style
+semantic near-duplicate detection built on its cells.
+
+Reference scope: the reference stores embeddings and brute-force-scans
+them per query (/root/reference/collection/collection.go:64-103); it has
+no clustering. Clustering is the standard scale path for curating a
+100 TB embedding corpus — IVF cell construction (operators/ann.py seeds
+cells from a plain sample) and SemDeDup semantic dedup (Abbas et al.
+2023: cluster, then near-dup only *within* a cluster) both need it.
+
+Spark-first physical strategy (Lloyd's algorithm):
+
+- the data is scanned once per iteration; per-point work is a pure
+  Catalyst expression (no Python in the loop);
+- centroids are tiny (k × dim doubles) and live driver-side between
+  iterations, embedded as literals into the next pass — the classic
+  broadcast-the-model shape. No join, no shuffle of the data itself;
+- the only shuffle per iteration is the centroid update: a hash
+  aggregation producing k × dim partial sums, combined map-side, so the
+  exchange carries O(k·dim·partitions) longs no matter how many rows.
+
+Cross-engine determinism (what makes the DuckDB oracle byte-exact):
+
+- inputs are quantized ONCE to integers (``round(x*scale)``), so every
+  per-cluster component sum is an exact, order-independent bigint;
+- a centroid component is ``sum/n`` evaluated in IEEE double: division
+  of two exactly-represented integers is correctly rounded, so Spark,
+  DuckDB and Python produce the identical bit pattern;
+- squared distances fold left-to-right over array order on both engines
+  (``F.aggregate`` here, ``list_reduce`` in SQL) — every basic double op
+  is correctly rounded, so identical inputs + identical association
+  order = identical distance bits, and argmin (ties broken by smallest
+  cluster id via lexicographic struct min) picks the identical cell.
+
+Empty clusters keep their previous centroid (same rule in the SQL twin
+via a left join against the previous round's centroid list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["quantize_vectors", "kmeans_fit", "kmeans_assign",
+           "kmeans_cte_sql", "semantic_dedup_pairs"]
+
+
+def quantize_vectors(vec: Column, scale: int) -> Column:
+    """``array<double>`` -> exact ``array<bigint>`` (component * scale,
+    half-away-from-zero — the rounding both Spark and DuckDB use)."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * scale, 0)
+                       .cast("long"))
+
+
+def _dist2(qv_double: Column, centroid: list[float]) -> Column:
+    """Strict left fold of (x_i - c_i)^2 in array order (see module doc)."""
+    carr = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(qv_double, carr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _argmin_cell(qv_double: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid; ties -> smallest index (struct min
+    is lexicographic on (distance, cluster_id))."""
+    pairs = F.array(*[
+        F.struct(_dist2(qv_double, c).alias("d"),
+                 F.lit(j).alias("c"))
+        for j, c in enumerate(centroids)])
+    return F.array_min(pairs)["c"]
+
+
+def kmeans_assign(df: DataFrame, centroids: list[list[float]],
+                  vec_col: str = "embedding", scale: int = 1000,
+                  cell_col: str = "cluster_id") -> DataFrame:
+    """One assignment pass: adds ``cell_col`` = nearest-centroid index.
+
+    Pure Catalyst projection — the physical plan is scan + project, no
+    exchange; at 100 TB it parallelizes embarrassingly."""
+    qvd = F.transform(quantize_vectors(F.col(vec_col), scale),
+                      lambda x: x.cast("double"))
+    return df.withColumn(cell_col, _argmin_cell(qvd, centroids))
+
+
+def kmeans_fit(df: DataFrame, k: int, n_iter: int,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               scale: int = 1000) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means; returns (assignments, final centroids).
+
+    Deterministic protocol: initial centroids are the quantized vectors
+    of the ``k`` smallest ``id_col`` values; each subsequent centroid is
+    the exact integer component sum over its members divided by the
+    member count (IEEE double). ``n_iter`` update rounds are followed by
+    one final assignment against the last centroids.
+
+    Cost model at scale: n_iter+1 scans; per round one k-group hash agg
+    whose exchange is bounded by k*dim*partitions regardless of rows;
+    centroids (k*dim doubles) are the only driver-side state.
+    """
+    if k < 1 or n_iter < 0:
+        raise ValueError("k >= 1 and n_iter >= 0 required")
+    q = df.select(F.col(id_col).alias("_id"),
+                  quantize_vectors(F.col(vec_col), scale).alias("_qv"))
+    # Deterministic init: the k smallest ids. k rows — driver-side is fine.
+    seed_rows = (q.orderBy("_id").limit(k).collect())
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(seed_rows)}")
+    centroids = [[float(v) for v in r._qv] for r in sorted(
+        seed_rows, key=lambda r: r._id)]
+    dim = len(centroids[0])
+
+    qd = q.withColumn("_qvd", F.transform("_qv", lambda x: x.cast("double")))
+    for _ in range(n_iter):
+        assigned = qd.withColumn("_cell", _argmin_cell(F.col("_qvd"), centroids))
+        # Exact integer sufficient statistics: per-cell component sums.
+        sums = (assigned
+                .select("_cell", F.posexplode("_qv").alias("_i", "_x"))
+                .groupBy("_cell", "_i").agg(F.sum("_x").alias("_s"),
+                                            F.count("*").alias("_n"))
+                .collect())
+        by_cell: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            by_cell.setdefault(r._cell, [0] * dim)[r._i] = r._s
+            counts[r._cell] = r._n
+        centroids = [
+            [s / counts[j] for s in by_cell[j]] if j in by_cell else centroids[j]
+            for j in range(k)]
+    assignments = (qd.withColumn("_cell", _argmin_cell(F.col("_qvd"), centroids))
+                   .select(F.col("_id").alias(id_col),
+                           F.col("_cell").alias("cluster_id")))
+    return assignments, centroids
+
+
+def _sql_dist2(qvd_expr: str, c_expr: str) -> str:
+    return (f"list_reduce(list_transform({qvd_expr}, "
+            f"(x, i) -> (x - ({c_expr})[i]) * (x - ({c_expr})[i])), "
+            f"(a, b) -> a + b)")
+
+
+def kmeans_cte_sql(table: str, k: int, n_iter: int,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   scale: int = 1000) -> str:
+    """DuckDB CTE prefix computing the identical k-means assignment.
+
+    Emits CTEs: ``q`` (quantized vectors), ``c0..c{n_iter}`` (centroid
+    lists per round, ``(cid, cv)``), and ``assign`` — the final
+    ``(id, cluster_id)``. Iterations are unrolled (no RECURSIVE needed;
+    n_iter is a small constant). Used only by the sf<=0.1 oracle — the
+    Spark path is the scale path."""
+    parts = [f"""q AS (
+  SELECT {id_col} AS _id,
+         list_transform(CAST({vec_col} AS DOUBLE[]),
+                        x -> CAST(round(x * {scale}, 0) AS BIGINT)) AS _qv
+  FROM {table})""", f"""qd AS (
+  SELECT _id, _qv, list_transform(_qv, x -> CAST(x AS DOUBLE)) AS _qvd
+  FROM q)""", f"""c0 AS (
+  SELECT (row_number() OVER (ORDER BY _id)) - 1 AS cid,
+         list_transform(_qv, x -> CAST(x AS DOUBLE)) AS cv
+  FROM qd ORDER BY _id LIMIT {k})"""]
+    for it in range(n_iter):
+        prev, cur = f"c{it}", f"c{it + 1}"
+        parts.append(f"""a{it} AS (
+  SELECT _id, _qv,
+         list(cid ORDER BY {_sql_dist2('_qvd', 'cv')}, cid)[1] AS cell
+  FROM qd CROSS JOIN {prev}
+  GROUP BY _id, _qv)""")
+        parts.append(f"""s{it} AS (
+  SELECT cell, i, sum(x) AS s, count(*) AS n
+  FROM (SELECT cell, unnest(_qv) AS x,
+               generate_subscripts(_qv, 1) AS i FROM a{it})
+  GROUP BY cell, i)""")
+        parts.append(f"""{cur} AS (
+  SELECT p.cid,
+         coalesce(list(CAST(s.s AS DOUBLE) / s.n ORDER BY s.i), p.cv) AS cv
+  FROM {prev} p LEFT JOIN s{it} s ON s.cell = p.cid
+  GROUP BY p.cid, p.cv)""")
+    parts.append(f"""assign AS (
+  SELECT _id, list(cid ORDER BY {_sql_dist2('_qvd', 'cv')}, cid)[1] AS cluster_id
+  FROM qd CROSS JOIN c{n_iter}
+  GROUP BY _id)""")
+    return ",\n".join(parts)
+
+
+def semantic_dedup_pairs(df: DataFrame, centroids: list[list[float]],
+                         threshold: float,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         scale: int = 1000) -> DataFrame:
+    """SemDeDup candidate pairs: cosine >= threshold, but only *within*
+    a k-means cell — the cluster replaces an O(N^2) corpus cross join
+    with per-cell joins (sum of squared cell sizes), the published recipe
+    for semantic dedup at dataset scale (Abbas et al. 2023, SemDeDup).
+
+    Delegates pair generation to the blocked cosine join in
+    ``operators.dedup`` with the learned cell as the block column, so the
+    equi-join-on-block plan shape (no CartesianProduct) is shared and
+    already plan-asserted."""
+    from go_simple_embedding_database_spark.operators.dedup import (
+        cosine_neardup_pairs)
+    cells = kmeans_assign(df, centroids, vec_col=vec_col, scale=scale)
+    return cosine_neardup_pairs(cells, vec_col=vec_col, id_col=id_col,
+                                threshold=threshold, block_col="cluster_id")

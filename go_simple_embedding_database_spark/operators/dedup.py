@@ -841,3 +841,90 @@ SELECT id_a, id_b, CAST(_n_common AS DOUBLE) / _n_rare AS containment
 FROM inter JOIN sizes ON inter.id_a = sizes._id
 WHERE CAST(_n_common AS DOUBLE) / _n_rare >= {threshold}
 """
+
+
+# -- duplicated token-span statistics -----------------------------------------
+
+def positional_spans(text: Column, n: int = 5) -> Column:
+    """All word n-gram spans of a document IN POSITION ORDER, duplicates
+    kept — the unit of exact-substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": repeated
+    >=50-token spans across a corpus are memorization fuel). Same
+    let-binding trick as ``functions.text.shingles`` (the words array is
+    evaluated once per row, not once per span); documents shorter than
+    ``n`` words yield their full word sequence as one span."""
+    def per_words(ws: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
+        return F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
+
+    from go_simple_embedding_database_spark.functions.text import words
+    return F.element_at(
+        F.transform(F.array(words(F.lower(text))), per_words), 1)
+
+
+def positional_spans_sql(expr: str, n: int = 5) -> str:
+    from go_simple_embedding_database_spark.functions.text import words_sql
+    w = words_sql(f"lower({expr})")
+    return (f"[array_to_string(list_slice({w}, i + 1, i + {n}), ' ') "
+            f"for i in range(greatest(len({w}) - {n}, 0) + 1)]")
+
+
+def duplicated_span_stats(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 5) -> DataFrame:
+    """Per-document contamination by CROSS-DOCUMENT duplicated spans:
+    how many of a document's word n-gram spans also occur in at least one
+    OTHER document. The per-doc fraction is the curation signal — docs
+    dominated by spans seen elsewhere are templates, mirrors or spam, and
+    exact-substring dedup (Lee et al. 2021) would cut those spans.
+
+    Scale shape: explode positional spans once; collapse to distinct
+    (span, doc) pairs with the per-doc occurrence count in ONE hash agg;
+    a count-over-span window on that collapsed relation (rows = distinct
+    docs) yields each span's document frequency without a second explode
+    or a self-join; one final per-doc agg. Shuffles carry span hashes and
+    counts — never the text twice. Intra-doc repeats count toward
+    ``n_spans`` but only cross-doc presence marks a span duplicated.
+
+    Returns (id_col, n_spans, n_dup_spans, dup_frac) for every input doc
+    (0/0 -> 0.0 cannot occur: every doc yields >= 1 span).
+    """
+    from pyspark.sql import Window
+
+    spans = df.select(F.col(id_col).alias("_id"),
+                      F.explode(positional_spans(F.col(text_col), n))
+                      .alias("_g"))
+    per_doc_gram = spans.groupBy("_id", "_g").agg(F.count("*").alias("_m"))
+    marked = per_doc_gram.withColumn(
+        "_ndocs", F.count("*").over(Window.partitionBy("_g")))
+    out = (marked.groupBy("_id")
+           .agg(F.sum("_m").alias("n_spans"),
+                F.sum(F.when(F.col("_ndocs") >= 2, F.col("_m"))
+                      .otherwise(F.lit(0))).alias("n_dup_spans")))
+    return out.select(
+        F.col("_id").alias(id_col), "n_spans", "n_dup_spans",
+        F.round(F.col("n_dup_spans").cast("double") /
+                F.col("n_spans").cast("double"), 6).alias("dup_frac"))
+
+
+def duplicated_span_stats_sql(table: str = "documents",
+                              text_expr: str = "text",
+                              id_expr: str = "doc_id", n: int = 5) -> str:
+    """DuckDB twin of ``duplicated_span_stats`` — identical span recipe,
+    identical cross-doc rule, identical rounding."""
+    sp = positional_spans_sql(text_expr, n)
+    return f"""
+WITH spans AS (
+  SELECT {id_expr} AS _id, unnest({sp}) AS _g FROM {table}),
+pdg AS (
+  SELECT _id, _g, count(*) AS _m FROM spans GROUP BY _id, _g),
+marked AS (
+  SELECT _id, _m, count(*) OVER (PARTITION BY _g) AS _ndocs FROM pdg),
+agg AS (
+  SELECT _id, sum(_m) AS n_spans,
+         sum(CASE WHEN _ndocs >= 2 THEN _m ELSE 0 END) AS n_dup_spans
+  FROM marked GROUP BY _id)
+SELECT _id AS {id_expr}, n_spans, n_dup_spans,
+       round(CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE), 6)
+         AS dup_frac
+FROM agg
+"""

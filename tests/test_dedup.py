@@ -318,3 +318,53 @@ def test_containment_max_df_drops_boilerplate_grams(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     # boilerplate grams appear in all 10 docs > max_df=5 → no rare overlap
     assert dd.containment_pairs(df, threshold=0.5, max_df=5).count() == 0
+
+
+# -- duplicated span statistics -----------------------------------------------
+
+class TestDuplicatedSpans:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cross_doc_spans_flagged(self, spark):
+        from go_simple_embedding_database_spark.operators.dedup import (
+            duplicated_span_stats)
+        df = self._df(spark, [
+            (1, "a b c d e f"),          # spans: abcde, bcdef
+            (2, "a b c d e x"),          # spans: abcde, bcdex
+            (3, "q r s t u v"),          # unique spans
+        ])
+        got = {r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_frac)
+               for r in duplicated_span_stats(df, n=5).collect()}
+        assert got[1] == (2, 1, 0.5)
+        assert got[2] == (2, 1, 0.5)
+        assert got[3] == (2, 0, 0.0)
+
+    def test_intra_doc_repeat_not_cross_doc(self, spark):
+        from go_simple_embedding_database_spark.operators.dedup import (
+            duplicated_span_stats)
+        # "a b a b a b" repeats spans internally but no other doc has them:
+        # repeats count toward n_spans, not n_dup_spans.
+        df = self._df(spark, [(1, "a b a b a b a"), (2, "z z z z z")])
+        got = {r.doc_id: (r.n_spans, r.n_dup_spans)
+               for r in duplicated_span_stats(df, n=2).collect()}
+        assert got[1] == (6, 0)
+        assert got[2] == (4, 0)
+
+    def test_short_doc_one_span(self, spark):
+        from go_simple_embedding_database_spark.operators.dedup import (
+            duplicated_span_stats)
+        df = self._df(spark, [(1, "hi there"), (2, "hi there")])
+        got = {r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_frac)
+               for r in duplicated_span_stats(df, n=5).collect()}
+        assert got[1] == (1, 1, 1.0) and got[2] == (1, 1, 1.0)
+
+    def test_every_doc_has_row_and_no_python(self, spark, documents):
+        from go_simple_embedding_database_spark.operators.dedup import (
+            duplicated_span_stats)
+        from go_simple_embedding_database_spark.plans.explain_utils import (
+            assert_not_in_plan)
+        out = duplicated_span_stats(documents, n=5)
+        assert out.count() == documents.count()
+        assert_not_in_plan(out, "BatchEvalPython", "ArrowEvalPython",
+                           "CartesianProduct")
