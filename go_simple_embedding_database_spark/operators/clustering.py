@@ -52,22 +52,34 @@ def quantize_vectors(vec: Column, scale: int) -> Column:
                        .cast("long"))
 
 
-def _dist2(qv_double: Column, centroid: list[float]) -> Column:
-    """Strict left fold of (x_i - c_i)^2 in array order (see module doc)."""
-    carr = F.array(*[F.lit(float(v)) for v in centroid])
-    return F.aggregate(
-        F.zip_with(qv_double, carr, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
+def _sql_double(v: float) -> str:
+    """Exact double literal: repr() is round-trip shortest-decimal and
+    string->double parsing is correctly rounded, so the parsed constant
+    is bit-identical to the Python float."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
 
 
-def _argmin_cell(qv_double: Column, centroids: list[list[float]]) -> Column:
+def _dist2_sql(qvd_expr: str, centroid: list[float]) -> str:
+    """Strict left fold of (x_i - c_i)^2 in array order (see module doc),
+    as Spark SQL text. Built as ONE parsed expression instead of nested
+    pyspark HOF builders: each Python-side lambda costs dozens of py4j
+    round trips, and k x 2 lambdas per Lloyd round made expression
+    CONSTRUCTION (driver Python, no job running) the dominant cost —
+    measured ~0.6 s/round at k=8, dim=64 vs ~30 ms for the parsed text."""
+    carr = "array(" + ",".join(_sql_double(v) for v in centroid) + ")"
+    return (f"aggregate(zip_with({qvd_expr}, {carr}, "
+            f"(a, b) -> (a - b) * (a - b)), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+
+def _argmin_cell(qvd_expr: str, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid; ties -> smallest index (struct min
-    is lexicographic on (distance, cluster_id))."""
-    pairs = F.array(*[
-        F.struct(_dist2(qv_double, c).alias("d"),
-                 F.lit(j).alias("c"))
-        for j, c in enumerate(centroids)])
-    return F.array_min(pairs)["c"]
+    is lexicographic on (distance, cluster_id)). ``qvd_expr`` is a SQL
+    expression string for the double-array column."""
+    structs = ", ".join(
+        f"struct({_dist2_sql(qvd_expr, c)} AS d, {j} AS c)"
+        for j, c in enumerate(centroids))
+    return F.expr(f"array_min(array({structs})).c")
 
 
 def kmeans_assign(df: DataFrame, centroids: list[list[float]],
@@ -79,7 +91,9 @@ def kmeans_assign(df: DataFrame, centroids: list[list[float]],
     exchange; at 100 TB it parallelizes embarrassingly."""
     qvd = F.transform(quantize_vectors(F.col(vec_col), scale),
                       lambda x: x.cast("double"))
-    return df.withColumn(cell_col, _argmin_cell(qvd, centroids))
+    return (df.withColumn("_kmeans_qvd", qvd)
+            .withColumn(cell_col, _argmin_cell("_kmeans_qvd", centroids))
+            .drop("_kmeans_qvd"))
 
 
 def kmeans_fit(df: DataFrame, k: int, n_iter: int,
@@ -101,34 +115,48 @@ def kmeans_fit(df: DataFrame, k: int, n_iter: int,
         raise ValueError("k >= 1 and n_iter >= 0 required")
     q = df.select(F.col(id_col).alias("_id"),
                   quantize_vectors(F.col(vec_col), scale).alias("_qv"))
-    # Deterministic init: the k smallest ids. k rows — driver-side is fine.
-    seed_rows = (q.orderBy("_id").limit(k).collect())
-    if len(seed_rows) < k:
-        raise ValueError(f"need at least k={k} rows, got {len(seed_rows)}")
-    centroids = [[float(v) for v in r._qv] for r in sorted(
-        seed_rows, key=lambda r: r._id)]
-    dim = len(centroids[0])
+    # Lloyd's re-reads the data n_iter+1 times; persist the quantized
+    # projection so every round after the first reads cached columnar
+    # batches instead of re-scanning (and re-quantizing) the source — the
+    # standard iterative-ML caching contract. Unpersisted before return;
+    # the returned assignment plan re-derives from the source.
+    qd = (q.withColumn("_qvd", F.transform("_qv", lambda x: x.cast("double")))
+          .persist())
+    try:
+        # Deterministic init: the k smallest ids. k rows — driver-side is
+        # fine (TakeOrderedAndProject, not a sort).
+        seed_rows = qd.orderBy("_id").limit(k).collect()
+        if len(seed_rows) < k:
+            raise ValueError(f"need at least k={k} rows, got {len(seed_rows)}")
+        centroids = [[float(v) for v in r._qv] for r in sorted(
+            seed_rows, key=lambda r: r._id)]
+        dim = len(centroids[0])
 
-    qd = q.withColumn("_qvd", F.transform("_qv", lambda x: x.cast("double")))
-    for _ in range(n_iter):
-        assigned = qd.withColumn("_cell", _argmin_cell(F.col("_qvd"), centroids))
-        # Exact integer sufficient statistics: per-cell component sums.
-        sums = (assigned
-                .select("_cell", F.posexplode("_qv").alias("_i", "_x"))
-                .groupBy("_cell", "_i").agg(F.sum("_x").alias("_s"),
-                                            F.count("*").alias("_n"))
-                .collect())
-        by_cell: dict[int, list[int]] = {}
-        counts: dict[int, int] = {}
-        for r in sums:
-            by_cell.setdefault(r._cell, [0] * dim)[r._i] = r._s
-            counts[r._cell] = r._n
-        centroids = [
-            [s / counts[j] for s in by_cell[j]] if j in by_cell else centroids[j]
-            for j in range(k)]
-    assignments = (qd.withColumn("_cell", _argmin_cell(F.col("_qvd"), centroids))
-                   .select(F.col("_id").alias(id_col),
-                           F.col("_cell").alias("cluster_id")))
+        sum_cols = [F.expr(f"sum(element_at(_qv, {i + 1})) AS _s{i}")
+                    for i in range(dim)]
+        for _ in range(n_iter):
+            assigned = qd.withColumn(
+                "_cell", _argmin_cell("_qvd", centroids))
+            # Exact integer sufficient statistics: per-cell component sums
+            # as dim COLUMN aggregates (not posexplode): partial aggregation
+            # emits k rows per task either way, but explode would first
+            # multiply rows by dim and shuffle (cell, i) keys — the column
+            # form keeps the exchange at k rows x dim columns.
+            sums = (assigned.groupBy("_cell")
+                    .agg(F.count("*").alias("_n"), *sum_cols)
+                    .collect())
+            by_cell = {r._cell: r for r in sums}
+            centroids = [
+                [by_cell[j][f"_s{i}"] / by_cell[j]._n for i in range(dim)]
+                if j in by_cell else centroids[j]
+                for j in range(k)]
+    finally:
+        qd.unpersist()
+    assignments = (q.withColumn(
+        "_qvd", F.transform("_qv", lambda x: x.cast("double")))
+        .withColumn("_cell", _argmin_cell("_qvd", centroids))
+        .select(F.col("_id").alias(id_col),
+                F.col("_cell").alias("cluster_id")))
     return assignments, centroids
 
 
