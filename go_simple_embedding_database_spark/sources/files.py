@@ -102,3 +102,61 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     if "collection_id" in df.columns:
         w = w.partitionBy("collection_id")
     w.orc(path)
+
+
+# -- raw media files (binaryFile source) --------------------------------------
+
+_MEDIA_EXT = {
+    "jpg": ("image", "image/jpeg"), "jpeg": ("image", "image/jpeg"),
+    "png": ("image", "image/png"), "gif": ("image", "image/gif"),
+    "wav": ("audio", "audio/wav"), "mp3": ("audio", "audio/mpeg"),
+    "flac": ("audio", "audio/flac"),
+    "mp4": ("video", "video/mp4"), "mkv": ("video", "video/x-matroska"),
+    "webm": ("video", "video/webm"),
+}
+
+
+def read_media_dir(spark: SparkSession, path: str,
+                   glob: str | None = None) -> DataFrame:
+    """Raw media files -> the MEDIA_SCHEMA shape (schema.py) consumed by
+    operators.multimodal, via Spark's built-in ``binaryFile`` source.
+
+    Why binaryFile and not a Python loop: the LISTING is driver-side but
+    the READS are executor-side, one task per file (capped by
+    ``spark.sql.files.maxPartitionBytes`` bin-packing for small files),
+    and the source pushes filters on the metadata columns — a
+    ``length < X`` predicate skips oversized payloads WITHOUT reading
+    their bytes. Modality/mime are derived from the extension (a pure
+    Catalyst map lookup); unknown extensions become ('binary',
+    'application/octet-stream'), never a dropped row.
+
+    At 100 TB the small-file problem is the operative risk: millions of
+    tiny files bound throughput on listing + open() calls, so a real
+    pipeline runs this ONCE and lands the payloads in Parquet
+    (payload binary + typed metadata columns) — the layout every
+    downstream decode/dedup pass should scan instead."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    pairs = [x for k, (m, t) in sorted(_MEDIA_EXT.items()) for x in (k, m)]
+    mimes = [x for k, (m, t) in sorted(_MEDIA_EXT.items()) for x in (k, t)]
+    modality = F.coalesce(
+        F.element_at(F.create_map(*[F.lit(x) for x in pairs]), ext),
+        F.lit("binary"))
+    mime = F.coalesce(
+        F.element_at(F.create_map(*[F.lit(x) for x in mimes]), ext),
+        F.lit("application/octet-stream"))
+    return raw.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("media_id"),
+        modality.alias("modality"),
+        F.col("content").alias("payload"),
+        mime.alias("mime_type"),
+        F.map_from_arrays(
+            F.array(F.lit("path"), F.lit("n_bytes"), F.lit("mtime")),
+            F.array(F.col("path"), F.col("length").cast("string"),
+                    F.col("modificationTime").cast("string"))).alias("meta"),
+    )

@@ -2,6 +2,8 @@
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from go_simple_embedding_database_spark.sources import files
@@ -120,3 +122,48 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(id), EqualTo(id,r2)]" in plan
     assert [r.blob for r in q.collect()] == ["world"]
+
+
+# -- binaryFile media connector -----------------------------------------------
+
+class TestReadMediaDir:
+    @pytest.fixture()
+    def media_dir(self, tmp_path):
+        (tmp_path / "a.jpg").write_bytes(b"\xff\xd8fakejpeg")
+        (tmp_path / "b.wav").write_bytes(b"RIFFfakewav")
+        (tmp_path / "c.xyz").write_bytes(b"mystery")
+        return tmp_path
+
+    def test_maps_to_media_schema(self, spark, media_dir):
+        from go_simple_embedding_database_spark.sources.files import (
+            read_media_dir)
+        df = read_media_dir(spark, str(media_dir))
+        assert df.columns == ["media_id", "modality", "payload",
+                              "mime_type", "meta"]
+        rows = {r.media_id: r for r in df.collect()}
+        assert rows["a.jpg"].modality == "image"
+        assert rows["a.jpg"].mime_type == "image/jpeg"
+        assert bytes(rows["a.jpg"].payload) == b"\xff\xd8fakejpeg"
+        assert rows["b.wav"].modality == "audio"
+        assert rows["c.xyz"].modality == "binary"  # unknown ext kept
+        assert rows["c.xyz"].mime_type == "application/octet-stream"
+        assert rows["a.jpg"].meta["n_bytes"] == "10"
+
+    def test_glob_filter_and_metadata_compose(self, spark, media_dir):
+        from go_simple_embedding_database_spark.operators.multimodal import (
+            media_metadata)
+        from go_simple_embedding_database_spark.sources.files import (
+            read_media_dir)
+        df = read_media_dir(spark, str(media_dir), glob="*.jpg")
+        assert df.count() == 1
+        meta = media_metadata(df).collect()[0]
+        assert meta.n_bytes == 10 and meta.modality == "image"
+
+    def test_length_filter_pushed_to_source(self, spark, media_dir):
+        from go_simple_embedding_database_spark.plans.explain_utils import (
+            formatted_plan)
+        raw = (spark.read.format("binaryFile").load(str(media_dir))
+               .filter("length < 5"))
+        plan = formatted_plan(raw)
+        assert "PushedFilters" in plan and "length" in plan
+        assert raw.count() == 0  # every fixture payload is larger
