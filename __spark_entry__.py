@@ -2539,6 +2539,54 @@ def _oracle_span_dedup() -> str:
     return duplicated_span_stats_sql("documents", n=5)
 
 
+def _q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier importance by PageRank over the customer-supplier order
+    graph (operators/graph.py): nodes are customers (2k) and suppliers
+    (2k+1), symmetric edges from distinct (custkey, suppkey) order
+    relationships. Fixed-point integer arithmetic end to end, so the
+    iterative result is bit-exact across engines — no float drift, no
+    rounding convention. Top 20 suppliers, ties by key."""
+    from go_simple_embedding_database_spark.operators.graph import pagerank
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_suppkey")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_custkey")
+    pairs = (li.join(od, li.l_orderkey == od.o_orderkey)
+             .select("o_custkey", "l_suppkey").distinct())
+    fwd = pairs.select((F.col("o_custkey") * 2).alias("src"),
+                       (F.col("l_suppkey") * 2 + 1).alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    ranks = pagerank(edges, n_iter=5)
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet") \
+        .select("s_suppkey", "s_name")
+    out = (ranks.filter(F.col("node") % 2 == 1)
+           .select(F.expr("(node - 1) div 2").alias("s_suppkey"), "rank")
+           .join(F.broadcast(supp), "s_suppkey"))
+    return (out.select("s_suppkey", "s_name", "rank")
+            .orderBy(F.desc("rank"), F.asc("s_suppkey")).limit(20))
+
+
+def _oracle_pagerank_suppliers() -> str:
+    from go_simple_embedding_database_spark.operators.graph import (
+        pagerank_cte_sql)
+    cte = pagerank_cte_sql("edges", n_iter=5)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+edges AS (
+  SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT sk * 2 + 1, ck * 2 FROM pairs),
+{cte}
+SELECT (r.node - 1) // 2 AS s_suppkey, s.s_name, r.rank
+FROM _r5 r JOIN supplier s ON s.s_suppkey = (r.node - 1) // 2
+WHERE r.node % 2 = 1
+ORDER BY r.rank DESC, s_suppkey LIMIT 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER CONTRACT: the driver's correctness gate checks the first 50
     entries (round 1 stopped there, leaving 16 queries without official
@@ -2597,6 +2645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "quality_unigram": _q_quality_unigram,
         "span_dedup": _q_span_dedup,
+        "pagerank_suppliers": _q_pagerank_suppliers,
         # (c) previously checked, kept in the window
         "topk_cosine": _q_topk_cosine,
         "batch_topk": _q_batch_topk,
@@ -2723,6 +2772,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _oracle_bm25_search(),
         "quality_unigram": _oracle_quality_unigram(),
         "span_dedup": _oracle_span_dedup(),
+        "pagerank_suppliers": _oracle_pagerank_suppliers(),
         "user_event_pivot": _ORACLE_USER_EVENT_PIVOT,
         "bucketed_join_revenue": _ORACLE_BUCKETED_JOIN_REVENUE,
         "big_orders_customers": _ORACLE_BIG_ORDERS_CUSTOMERS,

@@ -1,0 +1,120 @@
+"""Iterative graph analytics: PageRank in exact fixed-point arithmetic.
+
+Reference scope: the reference has no graph operators; this extends the
+engine the same way connected components (operators/dedup.py) does —
+dedup clustering walks the similarity graph, PageRank ranks entities in
+a relationship graph (supplier importance from order flows, document
+authority from a citation/link table, user influence from interactions).
+
+Spark-first physical strategy (the Pregel shape):
+
+- edges are computed once and PERSISTED; every superstep is
+  join(ranks, edges, on=src) -> groupBy(dst).sum — shuffles carry
+  (node, rank) longs only;
+- out-degrees are folded into the edge relation up front so the loop
+  joins one relation, not two;
+- the rank relation stays (node bigint, rank bigint): at 100 TB the loop
+  state is two longs per node, hash-partitioned on the node key, and the
+  join keys on both sides can share one partitioning across supersteps.
+
+Exact cross-engine determinism — the same discipline as
+operators/clustering.py, but here even the ITERATION stays in integers:
+ranks are fixed-point bigints (``init`` micro-units), a node's
+contribution is ``rank div outdeg`` (integer floor division — positive
+operands, so Spark's ``div`` and DuckDB's ``//`` agree), and the update
+is ``(damping_num * sum) div damping_den + base``. Integer sums are
+order-independent, so the result is bit-identical on any engine and any
+partitioning — no rounding conventions needed at all. (Floating-point
+PageRank would make cross-engine hashes diverge: aggregation order is
+nondeterministic and float addition is not associative.)
+
+Sink nodes (no out-edges) simply leak their mass — the standard
+simplification; ranks remain a deterministic relative ordering, which is
+what the operator is for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank", "pagerank_cte_sql"]
+
+
+def pagerank(edges: DataFrame, n_iter: int = 5,
+             src: str = "src", dst: str = "dst",
+             init: int = 1_000_000,
+             damping_num: int = 85, damping_den: int = 100) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list; returns
+    (node, rank) with rank in integer ``init`` micro-units.
+
+    rank_0(v)   = init
+    rank_i+1(v) = (damping_num * sum_{u->v} (rank_i(u) div outdeg(u)))
+                  div damping_den  +  base
+    with base = (damping_den - damping_num) * init div damping_den.
+
+    ``n_iter`` is a small constant; the plan is n_iter chained
+    join+aggregate rounds (no driver-side data movement at any point).
+    """
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    base = (damping_den - damping_num) * init // damping_den
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    deg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
+    # One relation for the loop: (src, dst, src outdegree), persisted —
+    # every superstep re-reads it; without the persist each round re-runs
+    # the edge build AND the degree aggregation.
+    ed = e.join(deg, "_src").persist()
+    # nodes is referenced by EVERY superstep's left join (and transitively
+    # by each previous round's rank relation), so unpersisted it would be
+    # re-distinct-ed O(n_iter) times. Both caches are session-scoped,
+    # same contract as dedup.containment_pairs: callers running many
+    # graphs in one session clearCache() between them.
+    nodes = (e.select(F.col("_src").alias("node"))
+             .union(e.select(F.col("_dst").alias("node")))
+             .distinct().persist())
+    ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
+    for _ in range(n_iter):
+        contribs = (ed.join(ranks.withColumnRenamed("node", "_src"), "_src")
+                    .select(F.col("_dst").alias("node"),
+                            F.expr("rank div _deg").alias("_c"))
+                    .groupBy("node").agg(F.sum("_c").alias("_s")))
+        ranks = (nodes.join(contribs, "node", "left")
+                 .select("node",
+                         (F.expr(f"({damping_num} * coalesce(_s, 0)) "
+                                 f"div {damping_den}")
+                          + F.lit(base)).cast("long").alias("rank")))
+    return ranks
+
+
+def pagerank_cte_sql(edges_cte: str, n_iter: int = 5,
+                     init: int = 1_000_000,
+                     damping_num: int = 85, damping_den: int = 100) -> str:
+    """DuckDB CTE prefix computing the identical fixed-point PageRank.
+
+    ``edges_cte`` must be the NAME of an in-scope CTE/view with columns
+    (src, dst). Emits CTEs ``_deg``, ``_nodes``, ``_r0`` .. ``_r{n_iter}``;
+    the final ranks are ``SELECT node, rank FROM _r{n_iter}``. Unrolled
+    (n_iter is a small constant) — the oracle path for sf<=0.1; the Spark
+    loop is the scale path."""
+    base = (damping_den - damping_num) * init // damping_den
+    parts = [f"""_deg AS (
+  SELECT src AS _src, count(*) AS _deg FROM {edges_cte} GROUP BY src)""",
+             f"""_nodes AS (
+  SELECT src AS node FROM {edges_cte}
+  UNION
+  SELECT dst FROM {edges_cte})""",
+             f"""_r0 AS (
+  SELECT node, CAST({init} AS BIGINT) AS rank FROM _nodes)"""]
+    for i in range(n_iter):
+        parts.append(f"""_r{i + 1} AS (
+  SELECT n.node,
+         CAST({damping_num} * coalesce(c._s, 0) // {damping_den}
+              + {base} AS BIGINT) AS rank
+  FROM _nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank // d._deg) AS _s
+    FROM {edges_cte} e
+    JOIN _r{i} r ON r.node = e.src
+    JOIN _deg d ON d._src = e.src
+    GROUP BY e.dst) c ON c.node = n.node)""")
+    return ",\n".join(parts)
