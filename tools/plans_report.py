@@ -152,6 +152,43 @@ COMMENTARY: dict[str, tuple[str, str]] = {
         "files out so min/max footer stats bound BOTH interleaved "
         "columns (measured against a single-column sort in "
         "tests/test_layout.py)."),
+    "kmeans_cells": (
+        "Distributed k-means (final assignment + cell audit)",
+        "The assignment is a pure projection — centroids live in the "
+        "expression (broadcast-the-model), so NO exchange precedes it and "
+        "the only shuffle is the k-group audit aggregation, partial-"
+        "aggregated map-side. Inside the fit loop (driver-side, not in "
+        "this plan) each Lloyd round is the same shape: scan + project + "
+        "one k x dim partial-sum exchange."),
+    "semantic_dedup": (
+        "SemDeDup semantic near-duplicate pairs",
+        "Candidate pairs come from an equi-join on the LEARNED k-means "
+        "cell (no CartesianProduct anywhere): pair volume is the sum of "
+        "squared cell sizes, never corpus². The per-cell scoring is one "
+        "Arrow-batched GEMM per cell (`FlatMapGroupsInPandas`), the only "
+        "Python in the plan, with the cell shuffle in front of it."),
+    "bm25_search": (
+        "BM25 keyword retrieval",
+        "Candidate pruning is scan-side (`arrays_overlap` filter before "
+        "any explode), the corpus stats and per-term document frequencies "
+        "attach by BROADCAST join, and the final k is "
+        "`TakeOrderedAndProject` — per-partition heaps, no global sort. "
+        "The corpus relation itself is never shuffled."),
+    "span_dedup": (
+        "Cross-document duplicated-span statistics",
+        "One positional-span explode, collapsed immediately to distinct "
+        "(span, doc) rows with the per-doc multiplicity in the SAME hash "
+        "aggregation; the span document-frequency is a count-over-span "
+        "window on that collapsed relation (shuffle carries span hashes "
+        "and counts, never the text twice), then one per-doc aggregate."),
+    "pagerank_suppliers": (
+        "PageRank supplier importance (fixed-point Pregel loop)",
+        "Each superstep is join(ranks, edges on src) -> groupBy(dst) sum; "
+        "the persisted edge+degree relation is scanned per round, shuffles "
+        "carry (node, rank) longs only, and the supplier dimension "
+        "broadcasts at the end. Integer ranks make the whole loop "
+        "deterministic under any partitioning — no float drift to mask "
+        "a plan change."),
 }
 
 
