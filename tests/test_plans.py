@@ -344,3 +344,32 @@ def test_zorder_layout_is_pure_codegen_single_agg(plans):
     p = plans("zorder_layout")
     assert "EvalPython" not in p
     assert "HashAggregate" in p
+
+
+def test_runtime_bloom_filter_available_for_fact_fact_joins(spark, sf_dir):
+    """The 100 TB fact-fact join (both sides too big to broadcast) relies
+    on Spark's runtime bloom-filter semi-join: the selective side builds a
+    bloom_filter_agg, the probe side scans under might_contain, pruning
+    shuffle input at the scan. At local test sizes the planner correctly
+    prefers a broadcast join (so no injection by default — that is the
+    right plan here); this test pins that the injection path ENGAGES the
+    moment broadcast is off the table, i.e. the conf surface the cluster
+    deployment depends on actually works on this Spark build."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                  .filter("o_orderpriority = '1-URGENT'"))
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = formatted_plan(j)
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
