@@ -217,3 +217,69 @@ def test_snapshot_diff_upsert_roundtrip(spark, rows, new_rows):
         rebuilt = rebuilt.filter(~F.col("id").isin(deleted_ids))
     assert sorted((r.id, r.text) for r in rebuilt.collect()) == \
         sorted((r.id, r.text) for r in new.collect())
+
+
+@SETTINGS
+@given(vecs=st.lists(
+    st.lists(st.floats(min_value=-4, max_value=4,
+                       allow_nan=False, allow_infinity=False),
+             min_size=4, max_size=4),
+    min_size=3, max_size=24, unique_by=lambda v: tuple(v)))
+def test_kmeans_assignment_is_nearest_centroid(spark, vecs):
+    """Invariant of the quantized protocol: every point's assigned cell is
+    at least as close (in quantized space) as every other centroid, with
+    ties broken toward the smaller cell id."""
+    from go_simple_embedding_database_spark.operators.clustering import (
+        kmeans_fit)
+    k = min(3, len(vecs))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    assign, cents = kmeans_fit(df, k=k, n_iter=2)
+    got = {r.vec_id: r.cluster_id for r in assign.collect()}
+    for i, v in enumerate(vecs):
+        q = np.round(np.asarray(v) * 1000)
+        d = [float(((q - np.asarray(c)) ** 2).sum()) for c in cents]
+        best = min(range(k), key=lambda j: (d[j], j))
+        assert got[i] == best
+
+
+@SETTINGS
+@given(texts=st.lists(TEXTS, min_size=1, max_size=20))
+def test_span_stats_bounds_and_totals(spark, texts):
+    """dup_frac in [0,1]; n_dup_spans <= n_spans; every doc emits a row;
+    duplicating the whole corpus drives every span cross-doc-duplicated."""
+    from go_simple_embedding_database_spark.operators.dedup import (
+        duplicated_span_stats)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = duplicated_span_stats(df, n=3).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert 0 <= r.n_dup_spans <= r.n_spans
+        assert 0.0 <= r.dup_frac <= 1.0
+    # full-corpus copy: every span of every doc now exists in its twin
+    twin = spark.createDataFrame(
+        [(i + 10000, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    rows2 = duplicated_span_stats(df.unionByName(twin), n=3).collect()
+    assert all(r.dup_frac == 1.0 for r in rows2)
+
+
+@SETTINGS
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(
+        lambda e: e[0] != e[1]),
+    min_size=1, max_size=24, unique=True))
+def test_pagerank_mass_and_determinism(spark, edges):
+    """Integer PageRank invariants: every node gets a rank; ranks are
+    positive; re-running yields the identical bigints (bit-exact, no
+    float accumulation order to drift)."""
+    from go_simple_embedding_database_spark.operators.graph import pagerank
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r1 = {r.node: r.rank for r in pagerank(df, n_iter=3).collect()}
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    assert set(r1) == nodes
+    assert all(v > 0 for v in r1.values())
+    r2 = {r.node: r.rank for r in pagerank(df, n_iter=3).collect()}
+    assert r1 == r2
