@@ -2539,6 +2539,46 @@ def _oracle_span_dedup() -> str:
     return duplicated_span_stats_sql("documents", n=5)
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time near-dup: the new batch (doc_id % 5 == 0) probes the
+    CORPUS's band index (dedup.probe_band_index) — the corpus is never
+    re-shingled, candidates come from an equi-join on (band, key), and
+    exact-Jaccard verification touches only colliding documents."""
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    docs = _docs_par(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new_batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index = dd.lsh_bands(corpus)
+    out = dd.probe_band_index(new_batch, index, corpus, threshold=0.7)
+    return out.select("new_id", "corpus_id",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
+def _oracle_incremental_dedup() -> str:
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    sig = dd.minhash_signature_sql("text", 12)
+    jac = dd.jaccard_sql("da.text", "db.text")
+    return f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+newb AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+csig AS (SELECT doc_id, {sig} AS sig FROM corpus),
+nsig AS (SELECT doc_id, {sig} AS sig FROM newb),
+cb AS (
+  SELECT doc_id, b, md5(array_to_string(list_slice(sig, b*3+1, b*3+3), '-')) AS key
+  FROM csig, range(4) t(b)),
+nb AS (
+  SELECT doc_id, b, md5(array_to_string(list_slice(sig, b*3+1, b*3+3), '-')) AS key
+  FROM nsig, range(4) t(b)),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM nb n JOIN cb c ON n.b = c.b AND n.key = c.key)
+SELECT new_id, corpus_id, round({jac}, 6) AS jaccard
+FROM cand JOIN documents da ON cand.new_id = da.doc_id
+          JOIN documents db ON cand.corpus_id = db.doc_id
+WHERE {jac} >= 0.7
+"""
+
+
 def _q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier importance by PageRank over the customer-supplier order
     graph (operators/graph.py): nodes are customers (2k) and suppliers
@@ -2646,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_unigram": _q_quality_unigram,
         "span_dedup": _q_span_dedup,
         "pagerank_suppliers": _q_pagerank_suppliers,
+        "incremental_dedup": _q_incremental_dedup,
         # (c) previously checked, kept in the window
         "topk_cosine": _q_topk_cosine,
         "batch_topk": _q_batch_topk,
@@ -2773,6 +2814,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_unigram": _oracle_quality_unigram(),
         "span_dedup": _oracle_span_dedup(),
         "pagerank_suppliers": _oracle_pagerank_suppliers(),
+        "incremental_dedup": _oracle_incremental_dedup(),
         "user_event_pivot": _ORACLE_USER_EVENT_PIVOT,
         "bucketed_join_revenue": _ORACLE_BUCKETED_JOIN_REVENUE,
         "big_orders_customers": _ORACLE_BIG_ORDERS_CUSTOMERS,

@@ -368,3 +368,46 @@ class TestDuplicatedSpans:
         assert out.count() == documents.count()
         assert_not_in_plan(out, "BatchEvalPython", "ArrowEvalPython",
                            "CartesianProduct")
+
+
+# -- incremental (batch-vs-corpus) probe --------------------------------------
+
+class TestProbeBandIndex:
+    def _dfs(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today"),
+             (2, "completely unrelated text about spark shuffles and joins"),
+             (3, "another corpus document with its own unique words here")],
+            "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog today"),
+             (101, "nothing like anything stored before in any way at all")],
+            "doc_id long, text string")
+        return corpus, new
+
+    def test_finds_cross_corpus_duplicate_only(self, spark):
+        from go_simple_embedding_database_spark.operators.dedup import (
+            lsh_bands, probe_band_index)
+        corpus, new = self._dfs(spark)
+        idx = lsh_bands(corpus)
+        got = probe_band_index(new, idx, corpus, threshold=0.9).collect()
+        assert {(r.new_id, r.corpus_id) for r in got} == {(100, 1)}
+        assert got[0].jaccard == 1.0
+
+    def test_corpus_not_reshingle_needed_for_miss(self, spark):
+        from go_simple_embedding_database_spark.operators.dedup import (
+            lsh_bands, probe_band_index)
+        corpus, new = self._dfs(spark)
+        idx = lsh_bands(corpus)
+        none = probe_band_index(new.filter("doc_id = 101"), idx, corpus,
+                                threshold=0.5)
+        assert none.count() == 0
+
+    def test_no_cartesian_in_plan(self, spark):
+        from go_simple_embedding_database_spark.operators.dedup import (
+            lsh_bands, probe_band_index)
+        from go_simple_embedding_database_spark.plans.explain_utils import (
+            assert_not_in_plan)
+        corpus, new = self._dfs(spark)
+        out = probe_band_index(new, lsh_bands(corpus), corpus)
+        assert_not_in_plan(out, "CartesianProduct")
