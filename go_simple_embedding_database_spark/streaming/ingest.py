@@ -282,3 +282,67 @@ def streaming_upsert(spark, source_dir: str, table_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_dedup_ingest(spark, source_dir: str, corpus_dir: str,
+                           index_dir: str, checkpoint_dir: str,
+                           schema: str = "doc_id bigint, text string",
+                           threshold: float = 0.7,
+                           available_now: bool = True) -> StreamingQuery:
+    """Self-growing near-dup-free corpus ingest — the streaming twin of
+    ``dedup.probe_band_index``. Each micro-batch:
+
+    1. drops batch-internal near-dups (keep the smallest id per
+       near-dup pair, ``minhash_dedup`` pairs);
+    2. probes the PERSISTED band index of everything ingested so far —
+       the accumulated corpus is never re-shingled, exactly the
+       incremental batch contract;
+    3. appends the kept documents to the corpus and their bands to the
+       index, so batch N+1 dedups against batch N without any rebuild.
+
+    Delivery contract, stated honestly: the keep-set computation is
+    deterministic, but the two appends are not atomic — a crash between
+    them (or a replayed batch) can duplicate rows in corpus/index files.
+    Exactly-once needs the manifest layer (``sources.txn``), the same
+    upgrade ``streaming_upsert`` documents; this operator keeps the
+    plain-parquet shape because the dedup SEMANTICS are what it exists
+    to pin down.
+    """
+    from pyspark.sql import functions as F
+
+    from go_simple_embedding_database_spark.operators.dedup import (
+        lsh_bands, minhash_dedup, probe_band_index)
+
+    raw = spark.readStream.schema(schema).json(source_dir)
+
+    def _ingest(batch: DataFrame, _batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            # (1) intra-batch: a doc near-duplicating a SMALLER id loses.
+            losers = (minhash_dedup(batch, threshold=threshold)
+                      .select(F.col("id_b").alias("doc_id")).distinct())
+            kept = batch.join(losers, "doc_id", "left_anti")
+            # (2) cross-batch: probe the accumulated index (absent on the
+            # first batch — an empty index admits everything).
+            try:
+                idx = spark.read.parquet(index_dir)
+                corpus = spark.read.parquet(corpus_dir)
+                dup = (probe_band_index(kept, idx, corpus,
+                                        threshold=threshold)
+                       .select(F.col("new_id").alias("doc_id")).distinct())
+                kept = kept.join(dup, "doc_id", "left_anti")
+            except Exception:  # AnalysisException: first batch, no index yet
+                pass
+            kept = kept.persist()
+            # (3) grow corpus + index with what survived.
+            kept.write.mode("append").parquet(corpus_dir)
+            lsh_bands(kept).write.mode("append").parquet(index_dir)
+            kept.unpersist()
+        finally:
+            batch.unpersist()
+
+    writer = (raw.writeStream.foreachBatch(_ingest)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -368,3 +368,43 @@ def test_tws_running_stats_converges_to_batch(spark, sf_dir, tmp_path):
     want = {(r.user_id, r.n_events, round(r.sum_value, 6), r.last_ts)
             for r in batch_key_stats(stored).collect()}
     assert got == want
+
+
+def test_streaming_dedup_ingest_grows_dedup_free_corpus(spark, tmp_path):
+    """Batch 1 carries an intra-batch duplicate (one survives); batch 2
+    carries a cross-batch duplicate of batch 1 (dropped via the persisted
+    band index) plus a genuinely new doc (kept). maxFilesPerTrigger=1
+    forces the batches through separate index states."""
+    import json as _json
+
+    from go_simple_embedding_database_spark.streaming.ingest import (
+        streaming_dedup_ingest)
+    src = tmp_path / "src"; src.mkdir()
+    a = "the quick brown fox jumps over the lazy dog in the morning sun"
+    b = "spark shuffles partition data across executors during wide joins"
+    c = "duckdb runs the oracle side of every correctness comparison here"
+    f1 = src / "b1.json"
+    f1.write_text("\n".join([
+        _json.dumps({"doc_id": 1, "text": a}),
+        _json.dumps({"doc_id": 2, "text": a}),      # intra-batch dup of 1
+        _json.dumps({"doc_id": 3, "text": b}),
+    ]))
+    import time as _time
+    _time.sleep(1.1)  # distinct mtimes => deterministic file order
+    f2 = src / "b2.json"
+    f2.write_text("\n".join([
+        _json.dumps({"doc_id": 10, "text": a}),     # cross-batch dup of 1
+        _json.dumps({"doc_id": 11, "text": c}),
+    ]))
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    q = streaming_dedup_ingest(
+        spark, str(src), corpus_dir, index_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"), threshold=0.9)
+    # availableNow drains both files; with the default source ordering the
+    # older file forms the earlier micro-batch.
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.read.parquet(corpus_dir).collect()}
+    assert got == {1, 3, 11}
+    idx_ids = {r.doc_id for r in spark.read.parquet(index_dir).collect()}
+    assert idx_ids == {1, 3, 11}  # index grew with exactly the kept docs
