@@ -129,7 +129,8 @@ ORDER BY score DESC, {id_col} LIMIT {k}
 
 
 def unigram_quality(docs: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    broadcast_vocab: bool = True) -> DataFrame:
     """Mean corpus frequency of a document's tokens — a unigram-LM
     fluency proxy that needs no model: natural text is built from common
     words, while serial numbers, hashes and mojibake score near 1.
@@ -138,18 +139,25 @@ def unigram_quality(docs: DataFrame, text_col: str = "text",
     count. Exact integers until one final division, so cross-engine
     byte-equality is structural, not luck.
 
-    Scale shape: one explode + hash agg builds the vocabulary (Zipf-small
-    relative to the corpus), broadcast back onto the exploded tokens, one
-    per-doc agg. The token explode happens once; no shuffle carries text.
-    Empty documents score 0 (not NULL) so downstream filters can treat
-    the column as total.
+    Scale shape: one explode + hash agg builds the vocabulary, attached
+    back onto the exploded tokens, one per-doc agg. The token explode
+    happens once; no shuffle carries text. Empty documents score 0 (not
+    NULL) so downstream filters can treat the column as total.
+
+    ``broadcast_vocab``: the vocabulary is Zipf-small relative to the
+    corpus but its ABSOLUTE distinct-token count at 100 TB (serial
+    numbers, hashes — the very garbage this score exists to flag) can
+    blow the broadcast limit; pass ``False`` there to use a shuffle hash
+    join on the token key instead (one extra exchange of the token
+    stream, no driver/executor memory ceiling).
 
     Returns (id_col, n_tokens, mean_tok_freq).
     """
     toks = docs.select(F.col(id_col),
                        F.explode(words(F.lower(F.col(text_col)))).alias("_t"))
     vocab = toks.groupBy("_t").agg(F.count("*").alias("_c"))
-    per_doc = (toks.join(F.broadcast(vocab), "_t")
+    vrel = F.broadcast(vocab) if broadcast_vocab else vocab
+    per_doc = (toks.join(vrel, "_t")
                .groupBy(id_col)
                .agg(F.count("*").alias("n_tokens"),
                     F.sum("_c").alias("_sc")))

@@ -91,3 +91,11 @@ def test_unigram_quality_broadcasts_vocab(spark, documents):
     assert_in_plan(out, "BroadcastHashJoin")
     assert_not_in_plan(out, "BatchEvalPython", "ArrowEvalPython",
                        "CartesianProduct")
+
+
+def test_unigram_quality_shuffle_join_same_result(spark, tiny_docs, documents):
+    # The non-broadcast path (100 TB vocab) must agree exactly.
+    a = sorted(map(tuple, unigram_quality(tiny_docs).collect()))
+    b = sorted(map(tuple, unigram_quality(
+        tiny_docs, broadcast_vocab=False).collect()))
+    assert a == b
