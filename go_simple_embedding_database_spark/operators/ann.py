@@ -374,3 +374,28 @@ def hyperplanes_from_seed(num_planes: int, dim: int, seed: int = 42) -> list[lis
             vals.append(h / 4294967296.0 * 2.0 - 1.0)
         planes.append(vals)
     return planes
+
+
+def topk_recall(reference: DataFrame, candidate: DataFrame,
+                query_col: str = "query_id",
+                id_col: str = "vec_id") -> DataFrame:
+    """Recall of an approximate top-k against the exact answer, per query:
+    |candidate ∩ reference| / |reference| — the gauge every ANN deployment
+    tunes nprobe/bands against (recall up, scan cost up). Pure relational:
+    an equi-join on (query, id) counts hits, a second aggregate sizes the
+    reference set, so evaluating recall over a MILLION queries is the same
+    two-shuffle plan as ten. Returns (query_col, n_hit, n_ref, recall);
+    recall is exact-rational (integer division at the end) — queries
+    missing entirely from ``candidate`` score 0.0, not NULL.
+    """
+    r = reference.select(F.col(query_col), F.col(id_col))
+    c = candidate.select(F.col(query_col), F.col(id_col))
+    hits = (r.join(c, [query_col, id_col])
+            .groupBy(query_col).agg(F.count("*").alias("n_hit")))
+    denom = r.groupBy(query_col).agg(F.count("*").alias("n_ref"))
+    return (denom.join(hits, query_col, "left")
+            .select(F.col(query_col),
+                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+                    "n_ref",
+                    F.round(F.coalesce("n_hit", F.lit(0)).cast("double") /
+                            F.col("n_ref").cast("double"), 6).alias("recall")))

@@ -162,3 +162,52 @@ def test_quantized_topk_recall_vs_exact(spark, embeddings):
     quant = {r.vec_id for r in ann.quantized_topk(embeddings, qvec, 10).collect()}
     # int8 quantization at 64 dims: near-perfect recall expected
     assert len(exact & quant) >= 9
+
+
+def test_topk_recall_ivf_vs_exact(spark, embeddings):
+    """Recall harness: IVF with all cells probed is exhaustive (recall 1
+    for every query); fewer probes can only lose candidates, never gain."""
+    from pyspark.sql import functions as F
+
+    from go_simple_embedding_database_spark.operators import ann
+    from go_simple_embedding_database_spark.operators.topk import topk_by_similarity
+
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    cents = ann.kmeans_centroids(emb, k=4, max_iter=2)
+    qvecs = {r.vec_id: list(r.embedding)
+             for r in emb.filter(F.col("vec_id") < 3).collect()}
+
+    def run(fn):
+        parts = []
+        for qid, qv in qvecs.items():
+            parts.append(fn(qv).withColumn("query_id", F.lit(qid))
+                         .select("query_id", "vec_id"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    exact = run(lambda qv: topk_by_similarity(
+        emb, qv, 5, tie_break=["vec_id"]))
+    full = run(lambda qv: ann.ivf_topk(emb, cents, qv, 5, nprobe=4,
+                                       id_col="vec_id"))
+    rec_full = {r.query_id: r.recall
+                for r in ann.topk_recall(exact, full).collect()}
+    assert rec_full == {qid: 1.0 for qid in qvecs}
+
+    narrow = run(lambda qv: ann.ivf_topk(emb, cents, qv, 5, nprobe=1,
+                                         id_col="vec_id"))
+    rec_narrow = ann.topk_recall(exact, narrow).collect()
+    assert all(0.0 <= r.recall <= 1.0 and r.n_ref == 5 for r in rec_narrow)
+
+
+def test_topk_recall_missing_query_scores_zero(spark):
+    from go_simple_embedding_database_spark.operators.ann import topk_recall
+    ref = spark.createDataFrame([(1, 10), (1, 11), (2, 10)],
+                                "query_id long, vec_id long")
+    cand = spark.createDataFrame([(1, 10), (1, 99)],
+                                 "query_id long, vec_id long")
+    got = {r.query_id: (r.n_hit, r.n_ref, r.recall)
+           for r in topk_recall(ref, cand).collect()}
+    assert got == {1: (1, 2, 0.5), 2: (0, 1, 0.0)}
