@@ -348,10 +348,14 @@ def repetition_sql(expr: str) -> dict[str, str]:
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    # International-format phone: leading +, 8+ total digits with
-    # digit-ish separators. The mandatory '+' keeps it from eating ids,
-    # prices and version strings.
-    ("phone", r"\+\d[\d()\- ]{6,}\d", "<PHONE>"),
+    # International-format phone: leading + and country code, then 2-5
+    # digit groups of 2-4 digits with single separators. The mandatory
+    # '+' keeps it from eating ids, prices and version strings; the
+    # GROUP structure (each separator must be followed by 2-4 digits)
+    # keeps a trailing standalone digit out of the match — the earlier
+    # flat '[\d()\- ]{6,}\d' class ate the '4' of '+1 555 0100 4 GB'
+    # because its greedy tail could absorb any space-digit run.
+    ("phone", r"\+\d{1,3}(?:[- ]?\(?\d{2,4}\)?){2,5}", "<PHONE>"),
 ]
 
 

@@ -141,26 +141,20 @@ def ensure_quantized_copy(spark, src_path: str, index_path: str,
     (id, embedding_q array<tinyint>) parquet beside the table — the
     coarse-scan stage then reads 1 byte/component instead of 4/8 (the
     4-8x IO cut quantization promises; quantizing on the fly reads the
-    full-width column anyway and saves nothing). Same fingerprint marker
-    contract as ``ensure_ivf_index``."""
-    import os
-    import shutil
+    full-width column anyway and saves nothing). Fingerprint-marker
+    protocol shared with ``ensure_ivf_index`` via
+    ``sources.materialize.ensure_materialized``."""
+    from go_simple_embedding_database_spark.sources.materialize import (
+        ensure_materialized)
 
-    marker = os.path.join(index_path, "_source_fingerprint")
-    if fingerprint is not None and os.path.exists(marker):
-        with open(marker) as fh:
-            if fh.read() == fingerprint:
-                return
-    if os.path.exists(index_path):
-        shutil.rmtree(index_path)
-    df = spark.read.parquet(src_path)
-    (df.select(F.col(id_col),
-               scalar_quantize(F.col(vec_col)).cast("array<tinyint>")
-               .alias("embedding_q"))
-     .write.mode("overwrite").parquet(index_path))
-    if fingerprint is not None:
-        with open(marker, "w") as fh:
-            fh.write(fingerprint)
+    def _build() -> None:
+        df = spark.read.parquet(src_path)
+        (df.select(F.col(id_col),
+                   scalar_quantize(F.col(vec_col)).cast("array<tinyint>")
+                   .alias("embedding_q"))
+         .write.mode("overwrite").parquet(index_path))
+
+    ensure_materialized(index_path, fingerprint, _build)
 
 
 def quantized_candidates(spark, index_path: str, qvec: list[float], n: int,
@@ -269,22 +263,15 @@ def ensure_ivf_index(spark, src_path: str, index_path: str,
     one-time cost every subsequent query's pruned scan amortizes — the
     100 TB shape where "assign 100 TB per query" becomes "open the two
     probed cells' files"."""
-    import os
-    import shutil
+    from go_simple_embedding_database_spark.sources.materialize import (
+        ensure_materialized)
 
-    marker = os.path.join(index_path, "_source_fingerprint")
-    if fingerprint is not None and os.path.exists(marker):
-        with open(marker) as fh:
-            if fh.read() == fingerprint:
-                return
-    if os.path.exists(index_path):
-        shutil.rmtree(index_path)
-    df = spark.read.parquet(src_path)
-    centroids = deterministic_centroids(df, n_centroids, vec_col, id_col)
-    ivf_write_index(df, centroids, index_path, id_col, vec_col)
-    if fingerprint is not None:
-        with open(marker, "w") as fh:
-            fh.write(fingerprint)
+    def _build() -> None:
+        df = spark.read.parquet(src_path)
+        centroids = deterministic_centroids(df, n_centroids, vec_col, id_col)
+        ivf_write_index(df, centroids, index_path, id_col, vec_col)
+
+    ensure_materialized(index_path, fingerprint, _build)
 
 
 def ivf_query_index(spark, path: str, qvec: list[float], k: int,
@@ -387,9 +374,15 @@ def topk_recall(reference: DataFrame, candidate: DataFrame,
     two-shuffle plan as ten. Returns (query_col, n_hit, n_ref, recall);
     recall is exact-rational (integer division at the end) — queries
     missing entirely from ``candidate`` score 0.0, not NULL.
+
+    Both inputs are deduplicated on (query, id) first: an approximate
+    path that legitimately emits a candidate twice (multi-band LSH union,
+    two candidate sources) must not double-count hits into recall > 1.
     """
-    r = reference.select(F.col(query_col), F.col(id_col))
-    c = candidate.select(F.col(query_col), F.col(id_col))
+    r = reference.select(F.col(query_col), F.col(id_col)).dropDuplicates(
+        [query_col, id_col])
+    c = candidate.select(F.col(query_col), F.col(id_col)).dropDuplicates(
+        [query_col, id_col])
     hits = (r.join(c, [query_col, id_col])
             .groupBy(query_col).agg(F.count("*").alias("n_hit")))
     denom = r.groupBy(query_col).agg(F.count("*").alias("n_ref"))

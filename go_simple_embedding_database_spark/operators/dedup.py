@@ -849,24 +849,17 @@ def positional_spans(text: Column, n: int = 5) -> Column:
     """All word n-gram spans of a document IN POSITION ORDER, duplicates
     kept — the unit of exact-substring dedup (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better": repeated
-    >=50-token spans across a corpus are memorization fuel). Same
-    let-binding trick as ``functions.text.shingles`` (the words array is
-    evaluated once per row, not once per span); documents shorter than
-    ``n`` words yield their full word sequence as one span."""
-    def per_words(ws: Column) -> Column:
-        idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
-        return F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
-
-    from go_simple_embedding_database_spark.functions.text import words
-    return F.element_at(
-        F.transform(F.array(words(F.lower(text))), per_words), 1)
+    >=50-token spans across a corpus are memorization fuel). This IS
+    ``functions.text.ngrams_all`` (repetition scoring needs the same
+    with-multiplicity grams) — delegated so the tokenization and the
+    short-document rule have exactly one definition."""
+    from go_simple_embedding_database_spark.functions.text import ngrams_all
+    return ngrams_all(text, n)
 
 
 def positional_spans_sql(expr: str, n: int = 5) -> str:
-    from go_simple_embedding_database_spark.functions.text import words_sql
-    w = words_sql(f"lower({expr})")
-    return (f"[array_to_string(list_slice({w}, i + 1, i + {n}), ' ') "
-            f"for i in range(greatest(len({w}) - {n}, 0) + 1)]")
+    from go_simple_embedding_database_spark.functions.text import ngrams_all_sql
+    return ngrams_all_sql(expr, n)
 
 
 def duplicated_span_stats(df: DataFrame, text_col: str = "text",
@@ -959,14 +952,21 @@ def probe_band_index(new_docs: DataFrame, band_index: DataFrame,
     idx = band_index.select(F.col(id_col).alias("_corpus_id"),
                             "band", "key")
     # THREE consumers read the candidate relation (each verify side's
-    # semi-join and the final scoring join); unpersisted, each would
+    # semi-join and the final scoring join); unmaterialized, each would
     # re-run the whole band probe INCLUDING the new batch's signature
     # UDF (measured 3x the signature cost at sf0.1). Bounded by the
     # collision count, so it is the small relation of the query.
-    # Session-scoped cache, same contract as containment_pairs.
+    # localCheckpoint (lazy), NOT persist: persist() pins a CacheManager
+    # entry until an explicit unpersist, which leaks one cached relation
+    # per call for repeated callers (streaming_dedup_ingest probes every
+    # micro-batch) — checkpoint blocks are owned by the RDD and freed by
+    # the ContextCleaner when the result goes out of scope. Trade-off:
+    # lineage is truncated, so lost blocks recompute from the checkpoint
+    # only — acceptable for a relation consumed within one job.
     cand = (new_bands.withColumnRenamed(id_col, "_new_id")
             .join(idx, ["band", "key"])
-            .select("_new_id", "_corpus_id").distinct().persist())
+            .select("_new_id", "_corpus_id").distinct()
+            .localCheckpoint(eager=False))
 
     new_sh = (new_docs
               .join(cand.select("_new_id").distinct(),

@@ -86,6 +86,10 @@ def frequent_items(tokens: DataFrame, token_col: str = "token",
             f"threshold_frac {threshold_frac} below the Misra-Gries "
             f"guarantee 1/(capacity+1) = {1.0 / (capacity + 1):.6f}: "
             f"items above the threshold could be missed; raise capacity")
+    # NULL tokens are out of contract (the sentinel row uses NULL, and a
+    # null "token" is never a heavy hitter) — dropped here AND in the SQL
+    # twin so both paths count the same N.
+    tokens = tokens.filter(F.col(token_col).isNotNull())
     # One scan builds the sketches AND the exact total (sentinel rows);
     # persist so candidates and n_total don't re-run the token scan.
     partials = _mg_partial_sketches(tokens, token_col, capacity).persist()
@@ -111,7 +115,8 @@ def frequent_items_sql(tokens_subquery: str, token_col: str = "token",
     path is equivalent to (and exists to avoid). ``tokens_subquery``
     must produce one row per token occurrence with column ``token_col``."""
     return f"""
-WITH toks AS ({tokens_subquery}),
+WITH toks AS (
+  SELECT * FROM ({tokens_subquery}) _t0 WHERE {token_col} IS NOT NULL),
 n AS (SELECT count(*) AS _n FROM toks)
 SELECT {token_col}, count(*) AS n_occurrences
 FROM toks CROSS JOIN n

@@ -28,13 +28,6 @@ from pyspark.sql import DataFrame, SparkSession
 # contract anyway).
 _TABLE_NAME_RE = re.compile(r"^[A-Za-z0-9_]+$")
 
-# Layout/freshness validations already performed this process:
-# (table, buckets, cols, fingerprint) tuples. A repeated ensure_ call —
-# the per-query path of a long-lived service — skips the four catalog
-# round-trips; anything that invalidates the table mid-session (drop,
-# rewrite) changes the fingerprint or makes spark.table raise, both of
-# which fall back to the full validation path.
-_VALIDATED: set[tuple] = set()
 
 
 def save_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
@@ -87,12 +80,15 @@ def ensure_bucketed_copy(spark: SparkSession, src: DataFrame, table_name: str,
     if not _TABLE_NAME_RE.match(table_name):
         raise ValueError(
             f"invalid table name {table_name!r}: must match [A-Za-z0-9_]+")
-    memo_key = (table_name, num_buckets, tuple(bucket_cols), fingerprint)
-    if memo_key in _VALIDATED:
-        try:
-            return spark.table(table_name)
-        except Exception:
-            _VALIDATED.discard(memo_key)  # dropped mid-session: revalidate
+    # NO validation memo, deliberately: an earlier version cached
+    # (table, layout, fingerprint) tuples to skip the catalog round-trips
+    # on repeated calls, but the memo key is the CALLER's request — a
+    # table dropped and rebuilt mid-session with a different layout under
+    # the same name passed the memo unvalidated (the requested fingerprint
+    # doesn't change when the TABLE changes, only when the source does).
+    # The validations below are a few catalog-only queries (~100 ms),
+    # noise next to the join work this table exists to serve; correctness
+    # of the layout guarantee wins.
     if spark.catalog.tableExists(table_name):
         # Bucket COLUMNS come from the catalog API (listColumns' isBucket
         # flag), never from string-parsing DESCRIBE data rows; the bucket
@@ -120,10 +116,8 @@ def ensure_bucketed_copy(spark: SparkSession, src: DataFrame, table_name: str,
             if not stored or stored[0].value != fingerprint:
                 spark.sql(f"DROP TABLE {table_name}")
             else:
-                _VALIDATED.add(memo_key)
                 return spark.table(table_name)
         else:
-            _VALIDATED.add(memo_key)
             return spark.table(table_name)
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     jvm = spark.sparkContext._jvm
@@ -136,5 +130,4 @@ def ensure_bucketed_copy(spark: SparkSession, src: DataFrame, table_name: str,
         escaped = fingerprint.replace("'", "''")
         spark.sql(f"ALTER TABLE {table_name} "
                   f"SET TBLPROPERTIES ('source_fingerprint' = '{escaped}')")
-    _VALIDATED.add(memo_key)
     return spark.table(table_name)

@@ -121,16 +121,12 @@ def ensure_agg_snapshot(spark: SparkSession, path: str, fingerprint: str,
     into it). A fingerprint mismatch (source rewritten) commits a fresh
     version through the transactional layer, so readers mid-query keep
     their snapshot and time travel keeps the history."""
-    import os
-
     from . import txn
+    from .materialize import ensure_materialized
 
-    marker = os.path.join(path, "_source_fingerprint")
-    if os.path.exists(marker) and txn.latest_version(path) is not None:
-        with open(marker) as fh:
-            if fh.read() == fingerprint:
-                return txn.read_version(spark, path)
-    txn.commit_version(spark, build(), path)
-    with open(marker, "w") as fh:
-        fh.write(fingerprint)
+    ensure_materialized(
+        path, fingerprint,
+        lambda: txn.commit_version(spark, build(), path),
+        teardown=False,  # the txn store versions internally: keep history
+        ready=lambda: txn.latest_version(path) is not None)
     return txn.read_version(spark, path)

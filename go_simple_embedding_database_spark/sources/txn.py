@@ -79,28 +79,45 @@ def commit_version(spark: SparkSession, df: DataFrame, path: str,
     failed attempt is visible (its data dir carries no manifest and is
     vacuum-fodder).
     """
+    import uuid
+
     base = latest_version(path)
     if expected_base is not None and base != expected_base:
         raise CommitConflictError(
             f"table advanced to v{base} while this writer worked from "
             f"v{expected_base}; re-read and retry")
     version = (base if base is not None else 0) + 1
-    data_dir = os.path.join(path, f"data_v{version:06d}")
+    # Writer-unique data dir: two racers computing the same next version
+    # must not share a directory — with a deterministic name the loser's
+    # overwrite-mode write would delete the WINNER's already-committed
+    # files after the winner claimed the manifest naming them. With the
+    # suffix, the loser's whole dir simply goes unclaimed (vacuum-fodder),
+    # which is the 'nothing of the failed attempt is visible' contract.
+    data_dir = os.path.join(path, f"data_v{version:06d}_{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(data_dir)
     files = _data_files(data_dir)
     manifest = {"version": version, "files": files,
                 "base": base, "format": "parquet/manifest-v1"}
     os.makedirs(_manifest_dir(path), exist_ok=True)
     mpath = _manifest_path(path, version)
+    # Crash-safe claim: the manifest must never exist half-written — a
+    # claimed-but-empty v-file would read as a committed version and wedge
+    # every reader on JSONDecodeError. Write the FULL payload to a
+    # writer-unique temp file, fsync, then link(2) it to the version name:
+    # link is atomic and fails (EEXIST) if the version was claimed, giving
+    # O_EXCL semantics with the content already durable.
+    tmp = os.path.join(_manifest_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        # O_CREAT|O_EXCL: the atomic claim. Exactly one writer can
-        # create this version's manifest; everyone else conflicts.
-        fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, mpath)
     except FileExistsError:
         raise CommitConflictError(
             f"version {version} was committed concurrently") from None
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f)
+    finally:
+        os.unlink(tmp)
     return version
 
 
@@ -140,6 +157,11 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
             kept_files.update(json.load(f)["files"])
     for v in drop:
         os.remove(_manifest_path(path, v))
+    # Crashed writers can leave fully-written-but-never-linked manifest
+    # temp files; they are invisible to readers and safe to drop here.
+    for name in os.listdir(_manifest_dir(path)):
+        if name.startswith(".tmp-"):
+            os.remove(os.path.join(_manifest_dir(path), name))
     for name in os.listdir(path):
         full = os.path.join(path, name)
         if (name.startswith("data_v") and os.path.isdir(full)

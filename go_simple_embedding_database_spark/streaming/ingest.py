@@ -322,17 +322,20 @@ def streaming_dedup_ingest(spark, source_dir: str, corpus_dir: str,
             losers = (minhash_dedup(batch, threshold=threshold)
                       .select(F.col("id_b").alias("doc_id")).distinct())
             kept = batch.join(losers, "doc_id", "left_anti")
-            # (2) cross-batch: probe the accumulated index (absent on the
-            # first batch — an empty index admits everything).
-            try:
+            # (2) cross-batch: probe the accumulated index. Only the
+            # documented first-batch case (no index written yet) skips the
+            # probe — an explicit existence check, NOT a broad except: a
+            # corrupt index or failing read must kill the batch, because
+            # silently skipping the probe would admit duplicates into the
+            # "dedup-free" corpus with no signal.
+            import os
+            if os.path.exists(index_dir):
                 idx = spark.read.parquet(index_dir)
                 corpus = spark.read.parquet(corpus_dir)
                 dup = (probe_band_index(kept, idx, corpus,
                                         threshold=threshold)
                        .select(F.col("new_id").alias("doc_id")).distinct())
                 kept = kept.join(dup, "doc_id", "left_anti")
-            except Exception:  # AnalysisException: first batch, no index yet
-                pass
             kept = kept.persist()
             # (3) grow corpus + index with what survived.
             kept.write.mode("append").parquet(corpus_dir)

@@ -211,3 +211,14 @@ def test_topk_recall_missing_query_scores_zero(spark):
     got = {r.query_id: (r.n_hit, r.n_ref, r.recall)
            for r in topk_recall(ref, cand).collect()}
     assert got == {1: (1, 2, 0.5), 2: (0, 1, 0.0)}
+
+
+def test_topk_recall_ignores_duplicate_candidates(spark):
+    """Multi-source candidate unions can emit an id twice per query —
+    hits must not double-count into recall > 1."""
+    from go_simple_embedding_database_spark.operators.ann import topk_recall
+    ref = spark.createDataFrame([(1, 10), (1, 11)], "query_id long, vec_id long")
+    cand = spark.createDataFrame([(1, 10), (1, 10), (1, 10)],
+                                 "query_id long, vec_id long")
+    got = topk_recall(ref, cand).collect()[0]
+    assert (got.n_hit, got.n_ref, got.recall) == (1, 2, 0.5)

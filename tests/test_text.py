@@ -209,3 +209,17 @@ def test_pii_scrub_matches_duckdb(spark):
         f"SELECT {tx.pii_scrub_sql('t')} FROM (SELECT ? AS t)", [t]
     ).fetchone()[0] for t in texts]
     assert got == exp
+
+
+def test_phone_scrub_does_not_eat_trailing_numbers(spark):
+    from go_simple_embedding_database_spark.functions.text import pii_scrub
+    df = spark.createDataFrame(
+        [("call +1 555 0100 4 GB of RAM",),
+         ("+44 20 7946 0958 in 2024",),
+         ("reach me at +1 (555) 010-0100 now",),
+         ("price +3 dollars stays",)], "t string")
+    got = [r.s for r in df.select(pii_scrub(F.col("t")).alias("s")).collect()]
+    assert got == ["call <PHONE> 4 GB of RAM",
+                   "<PHONE> in 2024",
+                   "reach me at <PHONE> now",
+                   "price +3 dollars stays"]

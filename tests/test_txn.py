@@ -66,3 +66,54 @@ def test_vacuum_drops_old_versions_and_orphans(spark, tmp_path):
     assert txn.read_version(spark, path, version=3).count() == 1
     with pytest.raises(FileNotFoundError):
         txn.read_version(spark, path, version=1)
+
+
+def test_losing_racer_cannot_clobber_winner(spark, tmp_path, monkeypatch):
+    """The race the deterministic data dir made dangerous: a loser who
+    computed the same next version used to overwrite-write the WINNER's
+    data directory before failing its manifest claim. Data dirs are now
+    writer-unique, so the loser's write lands in its own dir and the
+    winner's committed files survive."""
+    from go_simple_embedding_database_spark.sources import txn
+    path = str(tmp_path / "t")
+    txn.commit_version(spark, spark.range(3).toDF("a"), path)
+    txn.commit_version(spark, spark.range(5).toDF("a"), path)  # winner's v2
+    winner = sorted(r.a for r in txn.read_version(spark, path, 2).collect())
+
+    # Loser: stale view of the log (read latest BEFORE the winner's
+    # commit), so it also computes version 2, writes its data, and must
+    # fail the claim WITHOUT touching the winner's files.
+    monkeypatch.setattr(txn, "latest_version", lambda p: 1)
+    with pytest.raises(txn.CommitConflictError):
+        txn.commit_version(spark, spark.range(99).toDF("a"), path)
+    monkeypatch.undo()
+    assert sorted(r.a for r in txn.read_version(spark, path, 2).collect()) \
+        == winner == [0, 1, 2, 3, 4]
+
+
+def test_crashed_manifest_writer_leaves_no_committed_garbage(
+        spark, tmp_path, monkeypatch):
+    """A writer dying between manifest payload write and the link(2)
+    claim must leave the table exactly as it was: no claimed-but-empty
+    manifest (the old O_EXCL-then-dump order could), latest version
+    unchanged, and vacuum sweeps the orphaned temp file."""
+    import os as _os
+
+    from go_simple_embedding_database_spark.sources import txn
+    path = str(tmp_path / "t")
+    txn.commit_version(spark, spark.range(3).toDF("a"), path)
+    txn.commit_version(spark, spark.range(4).toDF("a"), path)
+    txn.commit_version(spark, spark.range(5).toDF("a"), path)
+
+    real_link = _os.link
+    monkeypatch.setattr(_os, "link", lambda *a: (_ for _ in ()).throw(
+        OSError("simulated crash at claim time")))
+    with pytest.raises(OSError, match="simulated crash"):
+        txn.commit_version(spark, spark.range(9).toDF("a"), path)
+    monkeypatch.setattr(_os, "link", real_link)
+
+    assert txn.latest_version(path) == 3
+    assert txn.read_version(spark, path).count() == 5  # table intact
+    txn.vacuum(path, keep_last=2)
+    mdir = _os.path.join(path, "_manifests")
+    assert not [n for n in _os.listdir(mdir) if n.startswith(".tmp-")]
