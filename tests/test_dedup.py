@@ -411,3 +411,21 @@ class TestProbeBandIndex:
         corpus, new = self._dfs(spark)
         out = probe_band_index(new, lsh_bands(corpus), corpus)
         assert_not_in_plan(out, "CartesianProduct")
+
+    def test_probe_equals_full_minhash_cross_pairs(self, spark, sf_dir):
+        """Equivalence law: probing the corpus index with the new batch
+        finds exactly the cross-split subset of what full-corpus
+        minhash_dedup finds (same signatures, same bands, same verify) —
+        the incremental path loses nothing and invents nothing."""
+        from go_simple_embedding_database_spark.operators.dedup import (
+            lsh_bands, minhash_dedup, probe_band_index)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        corpus = docs.filter("doc_id % 4 != 0")
+        new = docs.filter("doc_id % 4 = 0")
+        got = {frozenset((r.new_id, r.corpus_id))
+               for r in probe_band_index(new, lsh_bands(corpus), corpus,
+                                         threshold=0.9).collect()}
+        full = minhash_dedup(docs, threshold=0.9).collect()
+        want = {frozenset((r.id_a, r.id_b)) for r in full
+                if (r.id_a % 4 == 0) != (r.id_b % 4 == 0)}
+        assert got == want and len(want) > 0
