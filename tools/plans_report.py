@@ -181,6 +181,13 @@ COMMENTARY: dict[str, tuple[str, str]] = {
         "aggregation; the span document-frequency is a count-over-span "
         "window on that collapsed relation (shuffle carries span hashes "
         "and counts, never the text twice), then one per-doc aggregate."),
+    "incremental_dedup": (
+        "Incremental batch-vs-corpus near-dup (band-index probe)",
+        "The corpus side enters as its PERSISTED band index — no corpus "
+        "shingling anywhere in this plan; candidates are an equi-join on "
+        "(band, key), and the exact-Jaccard verify joins are semi-join-"
+        "bounded to colliding documents. The candidate relation is a lazy "
+        "localCheckpoint (three consumers, no pinned cache entry)."),
     "pagerank_suppliers": (
         "PageRank supplier importance (fixed-point Pregel loop)",
         "Each superstep is join(ranks, edges on src) -> groupBy(dst) sum; "
