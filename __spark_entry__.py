@@ -2579,6 +2579,93 @@ WHERE {jac} >= 0.7
 """
 
 
+_RECALL_QUERY_IDS = [0, 1, 2]
+
+
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gauge in the checked surface: per-query recall@10 of
+    the materialized IVF index (nprobe=2 of 8 cells) against the exact
+    brute-force top-10 (operators/ann.topk_recall). The number every
+    nprobe/band knob is tuned against — and the check that the index
+    path and the exact path stay mutually consistent."""
+    from go_simple_embedding_database_spark.operators import ann
+    from go_simple_embedding_database_spark.operators.topk import (
+        topk_by_similarity)
+    from go_simple_embedding_database_spark.sources.bucketed import (
+        source_fingerprint)
+
+    idx = _index_path(spark, sf_dir, "ivf_embeddings")
+    ann.ensure_ivf_index(
+        spark, f"{sf_dir}/embeddings.parquet", idx, n_centroids=8,
+        fingerprint=source_fingerprint(f"{sf_dir}/embeddings.parquet"))
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    exact_parts, ivf_parts = [], []
+    for qid in _RECALL_QUERY_IDS:
+        qv = _query_vec(spark, sf_dir, qid)
+        exact_parts.append(
+            topk_by_similarity(emb, qv, 10, tie_break=["vec_id"])
+            .select(F.lit(qid).alias("query_id"), "vec_id"))
+        ivf_parts.append(
+            ann.ivf_query_index(spark, idx, qv, 10, nprobe=2)
+            .select(F.lit(qid).alias("query_id"), "vec_id"))
+    exact = exact_parts[0]
+    ivf = ivf_parts[0]
+    for p in exact_parts[1:]:
+        exact = exact.unionByName(p)
+    for p in ivf_parts[1:]:
+        ivf = ivf.unionByName(p)
+    return (ann.topk_recall(exact, ivf, query_col="query_id")
+            .orderBy("query_id"))
+
+
+def _oracle_ann_recall() -> str:
+    qids = ", ".join(str(q) for q in _RECALL_QUERY_IDS)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS c FROM e ORDER BY vec_id LIMIT 8),
+assign AS (
+  SELECT e.vec_id, cent.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, cent.c) DESC,
+                                     cent.centroid_id) rn
+  FROM e CROSS JOIN cent),
+cells AS (SELECT vec_id, centroid_id AS cell FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({qids})),
+probe AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(cent.c, q.qv)
+                                       DESC, cent.centroid_id) pr
+    FROM cent CROSS JOIN q) WHERE pr <= 2),
+ivf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT pb.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY pb.query_id
+                              ORDER BY list_cosine_similarity(e.v, q.qv)
+                                       DESC, e.vec_id) rn
+    FROM cells c JOIN e USING (vec_id)
+    JOIN probe pb ON pb.centroid_id = c.cell
+    JOIN q ON q.query_id = pb.query_id) WHERE rn <= 10),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(e.v, q.qv)
+                                       DESC, e.vec_id) rn
+    FROM e CROSS JOIN q) WHERE rn <= 10),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hit
+  FROM exact a JOIN ivf b USING (query_id, vec_id) GROUP BY a.query_id),
+denom AS (SELECT query_id, count(*) AS n_ref FROM exact GROUP BY query_id)
+SELECT d.query_id, coalesce(h.n_hit, 0) AS n_hit, d.n_ref,
+       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / d.n_ref, 6) AS recall
+FROM denom d LEFT JOIN hits h USING (query_id)
+ORDER BY d.query_id
+"""
+
+
 def _q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier importance by PageRank over the customer-supplier order
     graph (operators/graph.py): nodes are customers (2k) and suppliers
@@ -2687,6 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": _q_span_dedup,
         "pagerank_suppliers": _q_pagerank_suppliers,
         "incremental_dedup": _q_incremental_dedup,
+        "ann_recall": _q_ann_recall,
         # (c) previously checked, kept in the window
         "topk_cosine": _q_topk_cosine,
         "batch_topk": _q_batch_topk,
@@ -2815,6 +2903,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _oracle_span_dedup(),
         "pagerank_suppliers": _oracle_pagerank_suppliers(),
         "incremental_dedup": _oracle_incremental_dedup(),
+        "ann_recall": _oracle_ann_recall(),
         "user_event_pivot": _ORACLE_USER_EVENT_PIVOT,
         "bucketed_join_revenue": _ORACLE_BUCKETED_JOIN_REVENUE,
         "big_orders_customers": _ORACLE_BIG_ORDERS_CUSTOMERS,
