@@ -79,3 +79,21 @@ def test_sql_jaccard(spark, db):
         "jaccard_sim(array(), array()) AS e").collect()[0]
     assert row.j == 0.5
     assert row.e == 0.0
+
+
+def test_variant_json_path_equivalent(spark, sf_dir):
+    """Spark 4 VARIANT twin of the string-JSON extraction path: parse the
+    events props ONCE into a variant column and extract with
+    try_variant_get — same values as get_json_object, with the binary
+    variant encoding replacing a re-parse per extraction (the at-scale
+    win for multi-field extraction from the same payload)."""
+    from pyspark.sql import functions as F
+
+    from go_simple_embedding_database_spark.sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    a = ev.select("event_id",
+                  F.get_json_object("props", "$.k").cast("long").alias("k"))
+    b = (ev.select("event_id", F.parse_json("props").alias("v"))
+         .select("event_id",
+                 F.try_variant_get("v", "$.k", "long").alias("k")))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
