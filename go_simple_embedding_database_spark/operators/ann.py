@@ -39,7 +39,7 @@ def kmeans_centroids(df: DataFrame, k: int, vec_col: str = "embedding",
     """MLlib KMeans centroids (production path). Requires numeric stability
     but not SQL reproducibility."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feat = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
