@@ -169,3 +169,22 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
                             for fp in kept_files)):
             shutil.rmtree(full)
     return drop
+
+
+def compact_version(spark: SparkSession, path: str,
+                    target_files: int = 1) -> int:
+    """OPTIMIZE for the manifest layer: rewrite the LATEST version's rows
+    into ``target_files`` files and commit the result as a new version —
+    same rows, fewer files (the small-file problem is the chronic cost of
+    streaming/incremental appends; open-per-file dominates at 100 TB).
+
+    Runs through the normal optimistic-concurrency path: the read and the
+    commit pin the same base version, so a writer landing in between
+    raises CommitConflictError and nothing is lost — rerun against the
+    new tip. Old versions stay readable (time travel) until ``vacuum``.
+    """
+    base = latest_version(path)
+    if base is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    df = read_version(spark, path, base).coalesce(target_files)
+    return commit_version(spark, df, path, expected_base=base)

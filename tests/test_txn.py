@@ -117,3 +117,39 @@ def test_crashed_manifest_writer_leaves_no_committed_garbage(
     txn.vacuum(path, keep_last=2)
     mdir = _os.path.join(path, "_manifests")
     assert not [n for n in _os.listdir(mdir) if n.startswith(".tmp-")]
+
+
+def test_compact_version_same_rows_fewer_files(spark, tmp_path):
+    import os as _os
+
+    from go_simple_embedding_database_spark.sources import txn
+    path = str(tmp_path / "t")
+    txn.commit_version(spark, spark.range(100).repartition(8).toDF("a"), path)
+    before = sorted(r.a for r in txn.read_version(spark, path).collect())
+    with open(_os.path.join(path, "_manifests", "v000001.json")) as f:
+        import json as _json
+        n_before = len(_json.load(f)["files"])
+    assert n_before > 1
+    v = txn.compact_version(spark, path)
+    assert v == 2
+    after = sorted(r.a for r in txn.read_version(spark, path).collect())
+    assert after == before
+    with open(_os.path.join(path, "_manifests", "v000002.json")) as f:
+        import json as _json
+        assert len(_json.load(f)["files"]) == 1
+    # time travel still serves the pre-compaction layout
+    assert txn.read_version(spark, path, 1).count() == 100
+
+
+def test_compact_version_conflicts_like_any_writer(spark, tmp_path, monkeypatch):
+    from go_simple_embedding_database_spark.sources import txn
+    path = str(tmp_path / "t")
+    txn.commit_version(spark, spark.range(10).toDF("a"), path)
+    txn.commit_version(spark, spark.range(20).toDF("a"), path)
+    # a compactor with a stale view of the log must conflict, not clobber
+    real = txn.latest_version
+    monkeypatch.setattr(txn, "latest_version", lambda p: 1)
+    with pytest.raises(txn.CommitConflictError):
+        txn.compact_version(spark, path)
+    monkeypatch.undo()
+    assert txn.read_version(spark, path).count() == 20
