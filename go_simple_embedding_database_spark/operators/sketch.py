@@ -91,8 +91,13 @@ def frequent_items(tokens: DataFrame, token_col: str = "token",
     # twin so both paths count the same N.
     tokens = tokens.filter(F.col(token_col).isNotNull())
     # One scan builds the sketches AND the exact total (sentinel rows);
-    # persist so candidates and n_total don't re-run the token scan.
-    partials = _mg_partial_sketches(tokens, token_col, capacity).persist()
+    # materialized so candidates and n_total don't re-run the token scan.
+    # Lazy localCheckpoint, not persist: this is per-call scratch (not a
+    # reusable index), and a pinned cache entry per call would accumulate
+    # in repeated-caller sessions — checkpoint blocks free themselves with
+    # the reference (same reasoning as dedup.probe_band_index).
+    partials = _mg_partial_sketches(tokens, token_col, capacity) \
+        .localCheckpoint(eager=False)
     candidates = (partials.filter(F.col(token_col).isNotNull())
                   .groupBy(token_col)
                   .agg(F.sum("partial").alias("_lb")).select(token_col))
