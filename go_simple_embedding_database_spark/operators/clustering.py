@@ -27,7 +27,8 @@ Cross-engine determinism (what makes the DuckDB oracle byte-exact):
   of two exactly-represented integers is correctly rounded, so Spark,
   DuckDB and Python produce the identical bit pattern;
 - squared distances fold left-to-right over array order on both engines
-  (``F.aggregate`` here, ``list_reduce`` in SQL) — every basic double op
+  (Spark SQL ``aggregate`` here, ``list_reduce`` in DuckDB) — every
+  basic double op
   is correctly rounded, so identical inputs + identical association
   order = identical distance bits, and argmin (ties broken by smallest
   cluster id via lexicographic struct min) picks the identical cell.
