@@ -408,14 +408,27 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_dedup_jaccard() -> str:
-    from go_simple_embedding_database_spark.operators import dedup as dd
-    jac = dd.jaccard_sql("a.text", "b.text")
+    # Shingles are computed ONCE per document in a CTE, mirroring the
+    # Spark operator's shingle-before-join discipline — the inlined
+    # jaccard_sql form re-tokenized both docs per candidate pair, which
+    # made this oracle infeasible at sf0.1 (the VALUES are identical:
+    # for distinct sets inter/(len(union)) of the same integer counts).
+    from go_simple_embedding_database_spark.functions.text import shingles_sql
+    sh = shingles_sql("text")
+    jac = ("CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0.0 "
+           "ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+           "/ len(list_distinct(a.s || b.s)) END")
     return f"""
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, round({jac}, 6) AS jaccard
-FROM documents a JOIN documents b
-  ON a.source = b.source AND a.doc_id < b.doc_id
- AND CAST(floor(b.n_chars / 8) AS BIGINT) - CAST(floor(a.n_chars / 8) AS BIGINT) BETWEEN -1 AND 1
-WHERE {jac} >= 0.8
+WITH sh AS (
+  SELECT doc_id, source, CAST(floor(n_chars / 8) AS BIGINT) AS band,
+         {sh} AS s
+  FROM documents)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jac} AS j
+  FROM sh a JOIN sh b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+   AND b.band - a.band BETWEEN -1 AND 1) _p
+WHERE j >= 0.8
 """
 
 
