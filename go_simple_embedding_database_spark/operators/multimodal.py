@@ -144,3 +144,67 @@ def documents_as_media(docs: DataFrame, modality: str = "image") -> DataFrame:
         F.lit("application/octet-stream").alias("mime_type"),
         F.create_map(F.lit("source"), F.col("source")).alias("meta"),
     )
+
+
+RESIZED_SCHEMA = ("media_id string, modality string, payload binary, "
+                  "width int, height int")
+
+
+def _resize_payload(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """STUB RESIZER — deterministic fake. Replace with PIL
+    ``Image.resize`` (or an ffmpeg scale filter for video) in production.
+    Emits a payload that deterministically depends on (input bytes,
+    target dims) and whose size scales with the target area, so byte
+    budgets and partition sizing exercises are realistic; raises on empty
+    input like the decoder."""
+    if payload is None or len(payload) == 0:
+        raise ValueError("cannot resize empty payload")
+    seed = hashlib.sha256(payload + f"{target_w}x{target_h}".encode()).digest()
+    reps = max(1, (target_w * target_h) // (8 * len(seed)))
+    return (seed * reps)[: max(len(seed), target_w * target_h // 8)]
+
+
+def resize_media(df: DataFrame, target_w: int, target_h: int,
+                 on_error: str = "quarantine") -> DataFrame:
+    """Resize every image/video payload to (target_w, target_h) via
+    mapInPandas — the normalization pass a multimodal training pipeline
+    runs before packing tensors. Plumbing is real (Arrow batches,
+    repartition-before-CPU-heavy-stage, quarantine on failure — NULL
+    payload rows are the quarantine set); the pixel work is the one
+    clearly-marked stub function, swappable for PIL/ffmpeg without
+    touching the Spark side. Audio rows pass through unchanged (resizing
+    is meaningless for them) with their original payload and NULL dims.
+    """
+    if on_error not in ("quarantine", "raise"):
+        raise ValueError(f"on_error must be 'quarantine' or 'raise', got {on_error!r}")
+    if target_w < 1 or target_h < 1:
+        raise ValueError("target dimensions must be positive")
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "modality": [], "payload": [],
+                   "width": [], "height": []}
+            for mid, modality, payload in zip(pdf["media_id"], pdf["modality"],
+                                              pdf["payload"]):
+                if modality == "audio":
+                    p, w, h = payload, None, None
+                else:
+                    try:
+                        p = _resize_payload(payload, target_w, target_h)
+                        w, h = target_w, target_h
+                    except Exception:
+                        if on_error == "raise":
+                            raise
+                        p, w, h = None, None, None
+                out["media_id"].append(mid)
+                out["modality"].append(modality)
+                out["payload"].append(p)
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "modality", "payload").mapInPandas(
+        _resize, schema=RESIZED_SCHEMA)

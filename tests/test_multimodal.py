@@ -74,3 +74,48 @@ def test_decoded_features_feed_ann(spark, media):
     doubled = feats.union(feats.withColumn("media_id", F.concat(F.col("media_id"), F.lit("_copy"))))
     pairs = cosine_neardup_pairs(doubled, id_col="media_id", threshold=0.999999)
     assert pairs.count() >= 50
+
+
+class TestResizeMedia:
+    def test_resizes_images_passes_audio(self, spark, documents):
+        from go_simple_embedding_database_spark.operators.multimodal import (
+            documents_as_media, resize_media)
+        media = documents_as_media(documents.limit(20))
+        audio = documents_as_media(documents.limit(5), modality="audio") \
+            .withColumn("media_id", F.concat(F.lit("a"), F.col("media_id")))
+        out = resize_media(media.unionByName(audio), 64, 48).collect()
+        rows = {r.media_id: r for r in out}
+        assert len(rows) == 25
+        img = [r for r in out if r.modality == "image"]
+        assert all((r.width, r.height) == (64, 48) for r in img)
+        assert all(r.payload is not None for r in img)
+        aud = [r for r in out if r.modality == "audio"]
+        assert all(r.width is None and r.payload is not None for r in aud)
+
+    def test_deterministic_and_size_scales(self, spark, documents):
+        from go_simple_embedding_database_spark.operators.multimodal import (
+            documents_as_media, resize_media)
+        media = documents_as_media(documents.limit(5))
+        a = {r.media_id: bytes(r.payload)
+             for r in resize_media(media, 64, 48).collect()}
+        b = {r.media_id: bytes(r.payload)
+             for r in resize_media(media, 64, 48).collect()}
+        assert a == b  # deterministic across runs
+        big = {r.media_id: bytes(r.payload)
+               for r in resize_media(media, 256, 192).collect()}
+        assert all(len(big[k]) > len(a[k]) for k in a)  # area-scaled bytes
+
+    def test_quarantine_and_raise(self, spark):
+        from go_simple_embedding_database_spark.operators.multimodal import (
+            resize_media)
+        df = spark.createDataFrame(
+            [("m1", "image", b"ok-bytes"), ("m2", "image", b"")],
+            "media_id string, modality string, payload binary")
+        out = {r.media_id: r for r in resize_media(df, 32, 32).collect()}
+        assert out["m1"].payload is not None
+        assert out["m2"].payload is None  # quarantined
+        import pytest as _pytest
+        with _pytest.raises(Exception):
+            resize_media(df, 32, 32, on_error="raise").collect()
+        with _pytest.raises(ValueError):
+            resize_media(df, 0, 32)
