@@ -66,11 +66,11 @@ def decode_media(df: DataFrame, on_error: str = "quarantine") -> DataFrame:
     into NULL-feature rows (filter ``feature IS NULL`` for the quarantine
     set); ``'raise'`` propagates — a single corrupt file should not kill a
     100 TB decode unless you ask it to."""
+    from go_simple_embedding_database_spark.session import ensure_parallelism
+
     if on_error not in ("quarantine", "raise"):
         raise ValueError(f"on_error must be 'quarantine' or 'raise', got {on_error!r}")
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    df = ensure_parallelism(df)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -172,16 +172,18 @@ def resize_media(df: DataFrame, target_w: int, target_h: int,
     repartition-before-CPU-heavy-stage, quarantine on failure — NULL
     payload rows are the quarantine set); the pixel work is the one
     clearly-marked stub function, swappable for PIL/ffmpeg without
-    touching the Spark side. Audio rows pass through unchanged (resizing
-    is meaningless for them) with their original payload and NULL dims.
+    touching the Spark side. NON-EMPTY audio rows pass through unchanged
+    (resizing is meaningless for them) with their original payload and
+    NULL dims; empty/NULL payloads quarantine for every modality, same
+    contract as decode_media.
     """
+    from go_simple_embedding_database_spark.session import ensure_parallelism
+
     if on_error not in ("quarantine", "raise"):
         raise ValueError(f"on_error must be 'quarantine' or 'raise', got {on_error!r}")
     if target_w < 1 or target_h < 1:
         raise ValueError("target dimensions must be positive")
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    df = ensure_parallelism(df)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -189,16 +191,22 @@ def resize_media(df: DataFrame, target_w: int, target_h: int,
                    "width": [], "height": []}
             for mid, modality, payload in zip(pdf["media_id"], pdf["modality"],
                                               pdf["payload"]):
-                if modality == "audio":
-                    p, w, h = payload, None, None
-                else:
-                    try:
+                try:
+                    if payload is None or len(payload) == 0:
+                        # Same failure contract for EVERY modality
+                        # (decode_media's rule): an empty payload is
+                        # broken input, and audio passthrough must not
+                        # smuggle it past the quarantine filter.
+                        raise ValueError("cannot resize empty payload")
+                    if modality == "audio":
+                        p, w, h = payload, None, None
+                    else:
                         p = _resize_payload(payload, target_w, target_h)
                         w, h = target_w, target_h
-                    except Exception:
-                        if on_error == "raise":
-                            raise
-                        p, w, h = None, None, None
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    p, w, h = None, None, None
                 out["media_id"].append(mid)
                 out["modality"].append(modality)
                 out["payload"].append(p)

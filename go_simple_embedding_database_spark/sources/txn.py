@@ -183,8 +183,16 @@ def compact_version(spark: SparkSession, path: str,
     raises CommitConflictError and nothing is lost — rerun against the
     new tip. Old versions stay readable (time travel) until ``vacuum``.
     """
+    if target_files < 1:
+        raise ValueError("target_files must be >= 1")
     base = latest_version(path)
     if base is None:
         raise FileNotFoundError(f"no committed version at {path}")
+    with open(_manifest_path(path, base)) as f:
+        n_files = len(json.load(f)["files"])
+    if n_files <= target_files:
+        # Already compact: committing a redundant full copy every
+        # maintenance run would grow the store until vacuum for nothing.
+        return base
     df = read_version(spark, path, base).coalesce(target_files)
     return commit_version(spark, df, path, expected_base=base)

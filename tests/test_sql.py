@@ -90,7 +90,9 @@ def test_variant_json_path_equivalent(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from go_simple_embedding_database_spark.sources.tables import load_table
-    ev = load_table(spark, sf_dir, "events").limit(200)
+    # Deterministic subset: an unordered limit may materialize different
+    # rows per action once the source has multiple splits.
+    ev = load_table(spark, sf_dir, "events").orderBy("event_id").limit(200)
     a = ev.select("event_id",
                   F.get_json_object("props", "$.k").cast("long").alias("k"))
     b = (ev.select("event_id", F.parse_json("props").alias("v"))

@@ -153,3 +153,13 @@ def test_compact_version_conflicts_like_any_writer(spark, tmp_path, monkeypatch)
         txn.compact_version(spark, path)
     monkeypatch.undo()
     assert txn.read_version(spark, path).count() == 20
+
+
+def test_compact_version_noop_when_already_compact(spark, tmp_path):
+    from go_simple_embedding_database_spark.sources import txn
+    path = str(tmp_path / "t")
+    txn.commit_version(spark, spark.range(10).coalesce(1).toDF("a"), path)
+    assert txn.compact_version(spark, path) == 1  # no redundant version
+    assert txn.list_versions(path) == [1]
+    with pytest.raises(ValueError):
+        txn.compact_version(spark, path, target_files=0)

@@ -26,9 +26,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _norm(v):
+    # MUST stay in lockstep with tests/test_oracle_parity.py::_norm (the
+    # CI twin of this comparison): floats round to 6 / NaN-sentinel,
+    # ints/bools pass, and everything else (Decimal, date, timestamp)
+    # string-normalizes so cross-engine type skew can't flip the verdict
+    # between the two harnesses.
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else round(v, 6)
-    return v
+    if isinstance(v, (int, bool)):
+        return v
+    return str(v) if v is not None else None
 
 
 def main() -> None:
