@@ -2592,6 +2592,29 @@ WHERE {jac} >= 0.7
 """
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-10-per-source weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES, operators/sampling.py): inclusion odds
+    proportional to document length, deterministic priorities from the
+    doc id — reproducible across runs, partitionings, and engines. The
+    complement to the hash-threshold samplers, whose group sizes are
+    binomial rather than exact."""
+    from go_simple_embedding_database_spark.operators.sampling import (
+        weighted_sample)
+    out = weighted_sample(_docs(spark, sf_dir), k=10, weight_col="n_chars",
+                          group_cols=("source",))
+    return out.select("source", "doc_id", "n_chars", "_priority")
+
+
+def _oracle_weighted_sample() -> str:
+    from go_simple_embedding_database_spark.operators.sampling import (
+        weighted_sample_sql)
+    return weighted_sample_sql(
+        "documents", k=10, weight_expr="n_chars",
+        columns="source, doc_id, n_chars",
+        group_exprs=("source",))
+
+
 _RECALL_QUERY_IDS = [0, 1, 2]
 
 
@@ -2788,6 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_suppliers": _q_pagerank_suppliers,
         "incremental_dedup": _q_incremental_dedup,
         "ann_recall": _q_ann_recall,
+        "weighted_sample": _q_weighted_sample,
         # (c) previously checked, kept in the window
         "topk_cosine": _q_topk_cosine,
         "batch_topk": _q_batch_topk,
@@ -2917,6 +2941,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_suppliers": _oracle_pagerank_suppliers(),
         "incremental_dedup": _oracle_incremental_dedup(),
         "ann_recall": _oracle_ann_recall(),
+        "weighted_sample": _oracle_weighted_sample(),
         "user_event_pivot": _ORACLE_USER_EVENT_PIVOT,
         "bucketed_join_revenue": _ORACLE_BUCKETED_JOIN_REVENUE,
         "big_orders_customers": _ORACLE_BIG_ORDERS_CUSTOMERS,

@@ -23,7 +23,7 @@ Everything here is RELATIONAL and deterministic:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 HASH_MOD = 10000
@@ -227,3 +227,88 @@ SELECT r.{domain_col}, r.n_docs, r.target_n,
 FROM rates2 r LEFT JOIN sampled s ON r.{domain_col} = s.{domain_col}
 """
     return f"WITH {core} SELECT * FROM sampled"
+
+
+def _uniform01(col) -> Column:
+    """Deterministic uniform in (0, 1]: first 13 md5 hex chars (52 bits —
+    exactly representable in a double) of the value's string form, +1,
+    over 2^52. Pure function of the value: identical on Spark, DuckDB,
+    and across partitionings/retries."""
+    h = F.conv(F.substring(F.md5(col.cast("string").cast("binary")), 1, 13),
+               16, 10).cast("double")
+    return (h + F.lit(1.0)) / F.lit(float(1 << 52))
+
+
+def _uniform01_sql(expr: str) -> str:
+    return (f"(CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, 13))"
+            f" AS BIGINT) + 1.0) / {float(1 << 52)!r}")
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id",
+                    group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Exactly-k weighted sampling WITHOUT replacement, per group —
+    Efraimidis-Spirakis A-ES (2006): each row draws priority
+    ``-ln(u) / w`` (u = deterministic uniform from the id, w = weight);
+    the k SMALLEST priorities per group are a weighted sample without
+    replacement. The hash-threshold samplers (``temperature_sample``)
+    give each row an independent inclusion probability — binomial group
+    sizes; A-ES is the tool when the contract is an exact per-group k
+    with inclusion odds proportional to weight.
+
+    Deterministic end to end (the uniform is a pure function of the id),
+    so the sample is reproducible across runs, partitionings, and
+    engines — no seed plumbing, no ``rand()``.
+
+    Physical plan: priority is a scalar projection; per-group selection
+    is the TWO-stage bucketed window of ``operators.topk`` (stage 1
+    partitions by (group, bucket) so one group's rows never funnel
+    through a single task; stage 2 re-ranks the surviving buckets x k
+    rows), or TakeOrderedAndProject for the global case — never a full
+    sort of the corpus and no single-task group bottleneck.
+
+    Rows with weight <= 0 or NULL are excluded (zero weight means
+    "never sample"; the reference formula divides by w).
+    Returns the sampled rows with their ``_priority`` (rounded, for the
+    oracle hash) appended.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    pri = -F.log(_uniform01(F.col(id_col))) / w
+    base = (df.filter(w.isNotNull() & (w > 0))
+            .withColumn("_priority", pri))
+    order = [F.asc("_priority"), F.asc(id_col)]
+    if group_cols:
+        from pyspark.sql import Window
+        nb = df.sparkSession.sparkContext.defaultParallelism
+        w1 = Window.partitionBy(*group_cols, "_b").orderBy(*order)
+        w2 = Window.partitionBy(*group_cols).orderBy(*order)
+        out = (base.withColumn(
+                   "_b", F.crc32(F.col(id_col).cast("string")) % nb)
+               .withColumn("_rn", F.row_number().over(w1))
+               .filter(F.col("_rn") <= k).drop("_rn", "_b")
+               .withColumn("_rn", F.row_number().over(w2))
+               .filter(F.col("_rn") <= k).drop("_rn"))
+    else:
+        out = base.orderBy(*order).limit(k)
+    return out.withColumn("_priority", F.round("_priority", 6))
+
+
+def weighted_sample_sql(table: str, k: int, weight_expr: str,
+                        columns: str,
+                        id_expr: str = "doc_id",
+                        group_exprs: tuple[str, ...] = ()) -> str:
+    """DuckDB twin of :func:`weighted_sample` (identical priority
+    formula, identical tie-break, identical rounding)."""
+    u = _uniform01_sql(id_expr)
+    pri = f"(-ln({u}) / CAST({weight_expr} AS DOUBLE))"
+    part = (f"PARTITION BY {', '.join(group_exprs)} " if group_exprs else "")
+    return f"""
+SELECT {columns}, round(_priority, 6) AS _priority FROM (
+  SELECT *, {pri} AS _priority,
+         row_number() OVER ({part}ORDER BY {pri}, {id_expr}) AS _rn
+  FROM {table}
+  WHERE {weight_expr} IS NOT NULL AND CAST({weight_expr} AS DOUBLE) > 0) _s
+WHERE _rn <= {k}
+"""

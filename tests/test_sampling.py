@@ -135,3 +135,47 @@ def test_budget_select_keeps_payload_columns(spark):
     out = sp.budget_select(df, "id", "key", "cost", 10)
     assert set(out.columns) == {"id", "key", "cost", "payload"}
     assert {(r.id, r.payload) for r in out.collect()} == {(3, "z"), (2, "y")}
+
+
+class TestWeightedSample:
+    def test_exact_k_per_group_and_determinism(self, spark, documents):
+        from go_simple_embedding_database_spark.operators.sampling import (
+            weighted_sample)
+        out = weighted_sample(documents, k=5, weight_col="n_chars",
+                              group_cols=("source",))
+        counts = {r.source: r.n for r in
+                  out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert all(n == 5 for n in counts.values())
+        # deterministic under a different partitioning
+        again = weighted_sample(documents.repartition(7), k=5,
+                                weight_col="n_chars", group_cols=("source",))
+        assert (sorted(map(tuple, out.collect()))
+                == sorted(map(tuple, again.collect())))
+
+    def test_weight_dominance_and_exclusions(self, spark):
+        from go_simple_embedding_database_spark.operators.sampling import (
+            weighted_sample)
+        rows = [(i, 1.0) for i in range(50)] + [(100, 1e9), (101, 0.0),
+                                                (102, None)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        out = weighted_sample(df, k=3, weight_col="w", id_col="doc_id")
+        ids = {r.doc_id for r in out.collect()}
+        assert 100 in ids          # ~certain under -ln(u)/1e9
+        assert 101 not in ids and 102 not in ids  # zero/NULL excluded
+        assert len(ids) == 3
+
+    def test_global_case_is_heap_not_sort(self, spark, documents):
+        from go_simple_embedding_database_spark.operators.sampling import (
+            weighted_sample)
+        from go_simple_embedding_database_spark.plans.explain_utils import (
+            assert_in_plan)
+        out = weighted_sample(documents, k=7, weight_col="n_chars")
+        assert_in_plan(out, "TakeOrderedAndProject")
+        assert out.count() == 7
+
+    def test_validates_k(self, spark, documents):
+        from go_simple_embedding_database_spark.operators.sampling import (
+            weighted_sample)
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            weighted_sample(documents, k=0, weight_col="n_chars")
