@@ -181,6 +181,15 @@ COMMENTARY: dict[str, tuple[str, str]] = {
         "aggregation; the span document-frequency is a count-over-span "
         "window on that collapsed relation (shuffle carries span hashes "
         "and counts, never the text twice), then one per-doc aggregate."),
+    "weighted_sample": (
+        "Exactly-k weighted sampling without replacement (A-ES)",
+        "Priorities are a pure scalar projection (md5 uniform + ln — "
+        "whole-stage codegen, no rand()), and the per-group exact-k is "
+        "the two-stage bucketed window: stage 1 partitions by (group, "
+        "bucket) so a hot group's rows never funnel through one task, "
+        "stage 2 re-ranks buckets x k survivors. Deterministic under "
+        "any partitioning — the plan can be changed without changing "
+        "the sample."),
     "incremental_dedup": (
         "Incremental batch-vs-corpus near-dup (band-index probe)",
         "The corpus side enters as its PERSISTED band index — no corpus "
