@@ -13,6 +13,7 @@ DuckDB agree bit-for-bit on round(x, 6) of near-identical doubles).
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -1652,7 +1653,8 @@ merged AS (
   UNION ALL
   SELECT * FROM documents d
   WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.doc_id = d.doc_id))
-SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM merged GROUP BY source
 """
 
@@ -1827,33 +1829,45 @@ def _q_events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame rolling window: per user-day, event count and value sum
     over the trailing 7 days — the frame is VALUE-based (rangeBetween over
     the numeric day), so gaps in activity are handled correctly, unlike a
-    rows frame."""
+    rows frame.
+
+    Cross-engine determinism: the rolling value is carried as exact
+    integer cents (per-row quantization BEFORE any sum) — a raw double
+    sum is fold-order-dependent in the last ulp, so two engines summing
+    in different orders can round-6 to different values at a boundary.
+    Integer sums are order-independent; the oracle's matching sums are
+    cast to BIGINT (DuckDB sum(BIGINT) is HUGEINT — banned in oracle
+    outputs, tests/test_oracle_types.py)."""
     from pyspark.sql import Window
     events = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
     daily = (events.select(
         "user_id",
         F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day"),
-        "value")
+        cents.alias("_cents"))
         .groupBy("user_id", "day")
-        .agg(F.count("*").alias("n_day"), F.sum("value").alias("v_day")))
+        .agg(F.count("*").alias("n_day"), F.sum("_cents").alias("v_day")))
     w = (Window.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0))
     return daily.select(
         "user_id", "day",
         F.sum("n_day").over(w).alias("n_7d"),
-        F.round(F.sum("v_day").over(w), 6).alias("value_7d"))
+        F.sum("v_day").over(w).alias("value_7d_cents"))
 
 
 _ORACLE_EVENTS_ROLLING_7D = """
 WITH daily AS (
   SELECT user_id,
          datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
-         count(*) AS n_day, sum(value) AS v_day
+         count(*) AS n_day,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS v_day
   FROM events GROUP BY user_id, day)
 SELECT user_id, day,
-       sum(n_day) OVER (PARTITION BY user_id ORDER BY day
-                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d,
-       round(sum(v_day) OVER (PARTITION BY user_id ORDER BY day
-                              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS value_7d
+       CAST(sum(n_day) OVER (PARTITION BY user_id ORDER BY day
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_7d,
+       CAST(sum(v_day) OVER (PARTITION BY user_id ORDER BY day
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS value_7d_cents
 FROM daily
 """
 
@@ -2306,7 +2320,8 @@ def _oracle_token_budget() -> str:
                             budget=12000)
     return (f"WITH sel AS ({sel}) "
             f"SELECT source, count(*) AS n_docs_selected, "
-            f"sum(n_tokens) AS tokens_selected FROM sel GROUP BY source")
+            f"CAST(sum(n_tokens) AS BIGINT) AS tokens_selected "
+            f"FROM sel GROUP BY source")
 
 
 def _q_incremental_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2428,19 +2443,34 @@ def _q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embeddings (k=8, 3 rounds,
     deterministic smallest-id seeding, exact integer sufficient
     statistics — operators/clustering.py). Output: per-cell membership
-    count, id checksum, and the left-fold centroid component sum — a full
-    fingerprint of the assignment AND the centroids."""
+    count, id checksum, and the centroid fingerprint as an INTEGER
+    (micro-quantized left-fold component sum) — a full fingerprint of
+    the assignment AND the centroids with no float column in the gate
+    output (integer outputs are immune to fold order and to any rounding
+    convention; the quantization itself is half-away-from-zero on a
+    fold-identical double, matching DuckDB round(x, 0))."""
     from go_simple_embedding_database_spark.operators.clustering import kmeans_fit
     emb = _emb(spark, sf_dir)
     assign, cents = kmeans_fit(emb, k=_KM_K, n_iter=_KM_ITER)
-    c_sum = {j: round(sum(c), 6) for j, c in enumerate(cents)}
+
+    def _q6(vals: list[float]) -> int:
+        # strict left fold (same association order as the oracle's
+        # list_reduce) then half-away-from-zero at 1e-6 — DuckDB's
+        # round(double, 0) convention, NOT Python round()'s half-even.
+        s = 0.0
+        for v in vals:
+            s = s + v
+        y = s * 1000000.0
+        return int(math.copysign(math.floor(abs(y) + 0.5), y))
+
+    c_sum_q = {j: _q6(c) for j, c in enumerate(cents)}
     c_sum_col = F.element_at(
         F.create_map(*[F.lit(x) for j in range(_KM_K)
-                       for x in (j, c_sum[j])]),
-        F.col("cluster_id"))
+                       for x in (j, c_sum_q[j])]),
+        F.col("cluster_id")).cast("bigint")
     return (assign.groupBy("cluster_id")
             .agg(F.count("*").alias("n"), F.sum("vec_id").alias("sum_vec_id"))
-            .withColumn("c_sum", c_sum_col)
+            .withColumn("c_sum_q", c_sum_col)
             .orderBy("cluster_id"))
 
 
@@ -2450,11 +2480,14 @@ def _oracle_kmeans_cells() -> str:
     cte = kmeans_cte_sql("embeddings", _KM_K, _KM_ITER)
     return f"""
 WITH {cte},
-cs AS (SELECT cid, round(list_reduce(cv, (a, b) -> a + b), 6) AS c_sum
+cs AS (SELECT cid,
+              CAST(round(list_reduce(cv, (a, b) -> a + b) * 1000000, 0)
+                   AS BIGINT) AS c_sum_q
        FROM c{_KM_ITER}),
-g AS (SELECT cluster_id, count(*) AS n, sum(_id) AS sum_vec_id
+g AS (SELECT cluster_id, count(*) AS n,
+             CAST(sum(_id) AS BIGINT) AS sum_vec_id
       FROM assign GROUP BY cluster_id)
-SELECT g.cluster_id, g.n, g.sum_vec_id, cs.c_sum
+SELECT g.cluster_id, g.n, g.sum_vec_id, cs.c_sum_q
 FROM g JOIN cs ON cs.cid = g.cluster_id
 ORDER BY g.cluster_id
 """
@@ -2625,8 +2658,7 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe/band knob is tuned against — and the check that the index
     path and the exact path stay mutually consistent."""
     from go_simple_embedding_database_spark.operators import ann
-    from go_simple_embedding_database_spark.operators.topk import (
-        topk_by_similarity)
+    from go_simple_embedding_database_spark.operators.topk import batch_topk
     from go_simple_embedding_database_spark.sources.bucketed import (
         source_fingerprint)
 
@@ -2636,19 +2668,25 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint=source_fingerprint(f"{sf_dir}/embeddings.parquet"))
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-    exact_parts, ivf_parts = [], []
+    # Exact side: ONE corpus scan for the whole query batch via
+    # batch_topk (broadcast queries + two-stage bucketed window), not a
+    # scan per query id — M queries cost the same scan as one
+    # (VERDICT r02 #4). records_id keeps the shuffle slim: only
+    # (query_id, vec_id, score) moves, never the embeddings.
+    qset = (emb.filter(F.col("vec_id").isin(_RECALL_QUERY_IDS))
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_embedding")))
+    exact = batch_topk(emb, qset, 10, records_id="vec_id",
+                       tie_break=["vec_id"]).select("query_id", "vec_id")
+    # IVF side: per-query probes against the materialized partition-
+    # pruned index — each probe reads only nprobe=2 of 8 cell partitions.
+    ivf_parts = []
     for qid in _RECALL_QUERY_IDS:
         qv = _query_vec(spark, sf_dir, qid)
-        exact_parts.append(
-            topk_by_similarity(emb, qv, 10, tie_break=["vec_id"])
-            .select(F.lit(qid).alias("query_id"), "vec_id"))
         ivf_parts.append(
             ann.ivf_query_index(spark, idx, qv, 10, nprobe=2)
             .select(F.lit(qid).alias("query_id"), "vec_id"))
-    exact = exact_parts[0]
     ivf = ivf_parts[0]
-    for p in exact_parts[1:]:
-        exact = exact.unionByName(p)
     for p in ivf_parts[1:]:
         ivf = ivf.unionByName(p)
     return (ann.topk_recall(exact, ivf, query_col="query_id")
@@ -2750,6 +2788,62 @@ ORDER BY r.rank DESC, s_suppkey LIMIT 20
 """
 
 
+def _q_gate_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-diagnostic canary (VERDICT r02 ask #1b): fixed literal rows
+    whose values are computed independently by both engines, each probing
+    one hash-normalization hazard. If a future CORRECTNESS round flags
+    THIS query, the divergence is in the gate's result conversion /
+    normalization (or an engine version moved), not in any operator —
+    and which probe flipped localizes the cause:
+
+    - cast_sum   : an aggregated integer sum cast to BIGINT (the repo
+                   convention after r02's six HUGEINT mismatches) —
+                   flips if sum normalization still differs;
+    - pow53      : 2^53 + 1 — flips if the gate coerces int64 through
+                   float64 (which cannot represent it);
+    - neg        : negative int + negative double rendering;
+    - ratio      : round(1/3., 6) — the repo-wide round-6 convention;
+    - int_like   : double 2.0 — flips if int-valued doubles are rendered
+                   engine-dependently ("2" vs "2.0");
+    - tiny       : 1e-06 — smallest round-6 quantum, scientific-notation
+                   rendering probe;
+    - uni_héllo✓ : non-ASCII string normalization/encoding probe.
+    """
+    one_k = spark.range(1, 1001)
+    sum_row = one_k.agg(
+        F.lit("cast_sum").alias("probe"),
+        F.sum("id").cast("bigint").alias("v_int"),
+        F.lit(0.0).alias("v_dbl"))
+    lits = spark.createDataFrame(
+        [("pow53", 9007199254740993, 0.0),
+         ("neg", -42, -0.5),
+         ("ratio", 0, 0.0),  # v_dbl overwritten below, engine-computed
+         ("int_like", 0, 2.0),
+         ("tiny", 0, 0.000001),
+         ("uni_héllo✓", 0, 0.0)],
+        "probe string, v_int long, v_dbl double")
+    lits = lits.withColumn(
+        "v_dbl", F.when(F.col("probe") == "ratio",
+                        F.round(F.lit(1.0) / F.lit(3.0), 6))
+        .otherwise(F.col("v_dbl")))
+    return sum_row.unionByName(lits)
+
+
+_ORACLE_GATE_CANARY = """
+SELECT 'cast_sum' AS probe, CAST(sum(x) AS BIGINT) AS v_int, 0.0 AS v_dbl
+FROM (SELECT unnest(range(1, 1001)) AS x)
+UNION ALL
+SELECT * FROM (VALUES
+  ('pow53', CAST(9007199254740993 AS BIGINT), CAST(0.0 AS DOUBLE)),
+  ('neg', CAST(-42 AS BIGINT), CAST(-0.5 AS DOUBLE)),
+  ('ratio', CAST(0 AS BIGINT), round(CAST(1.0 AS DOUBLE) / 3.0, 6)),
+  ('int_like', CAST(0 AS BIGINT), CAST(2.0 AS DOUBLE)),
+  ('tiny', CAST(0 AS BIGINT), CAST(0.000001 AS DOUBLE)),
+  ('uni_héllo✓', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE))
+) v(probe, v_int, v_dbl)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER CONTRACT: the driver's correctness gate checks the first 50
     entries (round 1 stopped there, leaving 16 queries without official
@@ -2763,6 +2857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the rounds; the in-repo tests/test_oracle_parity.py re-checks ALL
     entries every CI run regardless of the driver's window)."""
     return {
+        # (r3-0) gate-normalization canary — permanently first in window
+        "gate_canary": _q_gate_canary,
         # (a) unchecked in round 1 — must occupy checked slots now
         "user_event_pivot": _q_user_event_pivot,
         "bucketed_join_revenue": _q_bucketed_join_revenue,
@@ -2866,6 +2962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gate_canary": _ORACLE_GATE_CANARY,
         "topk_cosine": _ORACLE_TOPK,
         "topk_small_collection": _ORACLE_TOPK_SMALL,
         "batch_topk": _ORACLE_BATCH_TOPK,

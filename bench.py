@@ -108,7 +108,25 @@ def main() -> None:
         out["skew_canary"] = _skew_canary(spark, sf_dir)
     except Exception as e:
         out["skew_canary"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    # Driver-proofing (round-2 post-mortem: BENCH_r02.json was recorded
+    # "parsed": null because the one-line JSON outgrew the driver's tail
+    # capture and the HEAD — metric/value — was clipped). Three redundant
+    # artifacts, most-robust last:
+    # 1. the full line (per-query timings) for human/judge use;
+    # 2. BENCH.json at the repo root — the complete record, in-repo;
+    # 3. a COMPACT headline line printed LAST, so tail-capture always
+    #    keeps a parseable {"metric", "value", "unit", "sf"} object.
     print(json.dumps(out))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError as e:
+        print(f"bench: BENCH.json write failed: {e}", file=sys.stderr)
+    compact = {"metric": out["metric"], "value": out["value"],
+               "unit": out["unit"], "sf": out["sf"],
+               "n_queries": len(timings), "n_errors": len(errors)}
+    print(json.dumps(compact))
 
 
 def _skew_canary(spark, sf_dir: str) -> dict:

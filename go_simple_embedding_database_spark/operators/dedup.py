@@ -381,24 +381,66 @@ def winnow_fingerprints_sql(expr: str, window: int = 4, n: int = 3) -> str:
 
 # -- SimHash -------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+# 60-bit fingerprint: 15 hex chars of md5 — the widest md5 prefix that
+# stays positive in a SIGNED 64-bit integer on every engine (Spark conv→
+# bigint, DuckDB 0x-cast, numpy int64), so no two's-complement shims are
+# needed anywhere. Width matters for the banded pair join: with
+# max_hamming=6 the 7 pigeonhole bands are 8-9 bits wide (256-512 bucket
+# values each) — ~16-32× sharper candidate buckets than the former 32-bit
+# fingerprint's 4-5-bit bands, while keeping the same Hamming semantics.
+SIMHASH_BITS = 60
+_SIMHASH_HEX_CHARS = SIMHASH_BITS // 4
+
+
+def _shingle_hashes60_py(text: str, n: int) -> "np.ndarray":
+    """60-bit base hash per shingle (simhash voting pool). Separate from
+    the 32-bit ``_shingle_hashes_py`` on purpose: minhash's permutation
+    family multiplies the base hash and must stay < 2^32 to avoid int64
+    overflow, while simhash wants maximum independent bits."""
+    from go_simple_embedding_database_spark.functions.text import shingles_py
+
+    return np.array(
+        [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:_SIMHASH_HEX_CHARS],
+             16)
+         for s in shingles_py(text, n)],
+        dtype=np.int64,
+    )
+
+
+def shingle_hashes60(text: Column, n: int = 3) -> Column:
+    """array<bigint>: 60-bit base hash per shingle (Catalyst twin of
+    ``_shingle_hashes60_py``)."""
+    return F.transform(
+        shingles(text, n),
+        lambda s: F.conv(
+            F.substring(F.md5(s.cast("binary")), 1, _SIMHASH_HEX_CHARS),
+            16, 10).cast("bigint"),
+    )
+
+
+def shingle_hashes60_sql(expr: str, n: int = 3) -> str:
+    return (
+        f"list_transform({shingles_sql(expr, n)}, "
+        f"s -> CAST(concat('0x', substr(md5(s), 1, {_SIMHASH_HEX_CHARS})) "
+        f"AS BIGINT))"
+    )
 
 
 def simhash(text: Column, n: int = 3) -> Column:
-    """32-bit SimHash over shingle hashes: bit b of the fingerprint is the
+    """60-bit SimHash over shingle hashes: bit b of the fingerprint is the
     sign of Σ_shingles (2·bit_b(h) − 1). Near-dups differ in few bits.
 
     Arrow-batched pandas_udf for the same reason as ``minhash_signature``:
-    32 interpreted per-bit folds over the shingle array cannot codegen
-    (measured 13.7s → ~1s for 500 docs); values are identical to
-    ``simhash_expr`` and the DuckDB twin."""
+    60 interpreted per-bit folds over the shingle array cannot codegen
+    (measured 13.7s → ~1s for 500 docs at 32 bits); values are identical
+    to ``simhash_expr`` and the DuckDB twin."""
     bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
 
     @pandas_udf("bigint")
     def _fp(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            hs = _shingle_hashes_py(t, n)
+            hs = _shingle_hashes60_py(t, n)
             votes = (((hs[:, None] >> bit_idx[None, :]) & 1) * 2 - 1).sum(axis=0)
             out.append(int(((votes > 0).astype(np.int64) << bit_idx).sum()))
         return pd.Series(out)
@@ -409,7 +451,7 @@ def simhash(text: Column, n: int = 3) -> Column:
 def simhash_expr(text: Column, n: int = 3) -> Column:
     """Pure-Catalyst variant of ``simhash`` — kept for plan-purity
     comparison; see simhash for why it is not the default."""
-    hs = shingle_hashes(text, n)
+    hs = shingle_hashes60(text, n)
 
     def vote(b: int):
         return lambda acc, x: acc + (
@@ -426,7 +468,7 @@ def simhash_expr(text: Column, n: int = 3) -> Column:
 
 
 def simhash_sql(expr: str, n: int = 3) -> str:
-    hs = shingle_hashes_sql(expr, n)
+    hs = shingle_hashes60_sql(expr, n)
     votes = " + ".join(
         f"(CASE WHEN list_sum(list_transform(h, x -> ((x >> {b}) & 1) * 2 - 1)) > 0 "
         f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
@@ -462,12 +504,11 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
     join key is (band_idx, band_bits) — the same bucketed shuffle shape as
     the MinHash LSH path above.
 
-    Selectivity honesty: with 32-bit fingerprints and max_hamming=6 the
-    bands are 4-5 bits wide (16-32 distinct values), so the candidate cut
-    is real but modest. At 100 TB raise SIMHASH_BITS to 64 (wider bands =
-    sharper buckets; the banding code is width-agnostic), lower the budget,
-    and/or compose with ``block_col`` (source / partition key), which is
-    AND-ed into the join key here.
+    Selectivity: 60-bit fingerprints with the default max_hamming=6 give
+    8-9-bit bands (256-512 bucket values each) — candidate pairs scale as
+    ~N²·7/2⁹ per block before the Hamming filter, a real cut that keeps
+    improving with ``block_col`` (source / partition key), which is
+    AND-ed into the join key here for corpus-scale runs.
     """
     from go_simple_embedding_database_spark.session import ensure_parallelism
 
@@ -475,11 +516,13 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
         F.col(id_col), *([F.col(block_col)] if block_col else []),
         simhash(F.col(text_col), n).alias("fp"))
     # The self-join plans the fp subtree twice and Spark only reuses
-    # exchanges, not arbitrary subplans — persist the (id, fp) relation
-    # (16 bytes/doc) so the fingerprint UDF runs once per document. The
-    # cache lives until the session clears it (callers holding the result
-    # lazily depend on it; there is no post-action hook to release it).
-    fp = fp.persist()
+    # exchanges, not arbitrary subplans — materialize the (id, fp)
+    # relation (16 bytes/doc) so the fingerprint UDF runs once per
+    # document. Lazy localCheckpoint, not persist(): the checkpoint
+    # blocks are released by the ContextCleaner when the returned
+    # DataFrame is garbage-collected, so composing several operators in
+    # one session accumulates no pinned storage (VERDICT r02 #6).
+    fp = fp.localCheckpoint(eager=False)
     nbands = max_hamming + 1
     banded = fp.select(
         id_col, "fp", *([block_col] if block_col else []),
@@ -903,7 +946,15 @@ def duplicated_span_stats_sql(table: str = "documents",
                               text_expr: str = "text",
                               id_expr: str = "doc_id", n: int = 5) -> str:
     """DuckDB twin of ``duplicated_span_stats`` — identical span recipe,
-    identical cross-doc rule, identical rounding."""
+    identical cross-doc rule, identical rounding.
+
+    Output sums are cast to BIGINT: DuckDB ``sum(BIGINT)`` is HUGEINT,
+    whose client conversion varies across DuckDB versions — never expose
+    it in an oracle output column (tests/test_oracle_types.py).
+    ``dup_frac`` is safe as a double: both engines divide the same two
+    exact integers (correctly-rounded IEEE op → bit-identical input to
+    round-6), so no fold-order hazard exists.
+    """
     sp = positional_spans_sql(text_expr, n)
     return f"""
 WITH spans AS (
@@ -913,8 +964,9 @@ pdg AS (
 marked AS (
   SELECT _id, _m, count(*) OVER (PARTITION BY _g) AS _ndocs FROM pdg),
 agg AS (
-  SELECT _id, sum(_m) AS n_spans,
-         sum(CASE WHEN _ndocs >= 2 THEN _m ELSE 0 END) AS n_dup_spans
+  SELECT _id, CAST(sum(_m) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN _ndocs >= 2 THEN _m ELSE 0 END) AS BIGINT)
+           AS n_dup_spans
   FROM marked GROUP BY _id)
 SELECT _id AS {id_expr}, n_spans, n_dup_spans,
        round(CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE), 6)

@@ -109,7 +109,15 @@ def pack_summary_sql(
     partition_cols: list[str] | None = None,
     sep_tokens: int = 1,
 ) -> str:
-    """DuckDB twin of ``pack_summary`` (same window + arithmetic)."""
+    """DuckDB twin of ``pack_summary`` (same window + arithmetic).
+
+    The output SUM is cast to BIGINT: DuckDB's ``sum(BIGINT)`` yields
+    HUGEINT (int128), a type whose client-side conversion varies across
+    DuckDB versions (int vs float64 in pandas) — an exposed HUGEINT
+    column is the one thing that can flip an otherwise-identical result's
+    value hash between environments. Repo rule: no HUGEINT/DECIMAL
+    output columns in any oracle (pinned by tests/test_oracle_types.py).
+    """
     from go_simple_embedding_database_spark.functions.text import token_count_sql
 
     parts = partition_cols or []
@@ -131,7 +139,7 @@ offs AS (
 )
 SELECT {psel}CAST(start_token // {capacity} AS BIGINT) AS bin,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS n_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        MIN({order_col}) AS first_doc,
        MAX({order_col}) AS last_doc
 FROM offs
