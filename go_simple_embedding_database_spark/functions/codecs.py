@@ -1,0 +1,229 @@
+"""Pure-python/numpy media codecs for the multimodal operators.
+
+The container ships no PIL/ffmpeg/torchaudio, so the codec layer is
+self-contained: real decoders for the UNCOMPRESSED container formats
+whose specs are a header plus raw samples — binary PPM/PGM (netpbm P6/P5),
+24/32-bit uncompressed BMP, and PCM WAV — all implementable exactly with
+numpy alone. Compressed formats (JPEG/PNG/MP3/MP4) still fall back to the
+clearly-marked deterministic fake in ``operators.multimodal`` — entropy
+coding is out of scope for a dependency-free container, and the fallback
+keeps every downstream operator exercisable on arbitrary bytes.
+
+All functions are pure bytes -> numpy (no Spark imports): they run inside
+``mapInPandas`` workers, one Arrow batch of payloads per call, and are
+unit-testable without a session.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "sniff_format",
+    "decode_image",
+    "encode_ppm",
+    "resize_nearest",
+    "decode_wav",
+    "image_feature",
+    "audio_feature",
+]
+
+
+def sniff_format(payload: bytes) -> str | None:
+    """Container format by magic bytes: 'ppm' | 'pgm' | 'bmp' | 'wav',
+    or None for anything this codec layer cannot really decode."""
+    if payload is None or len(payload) < 4:
+        return None
+    if payload[:2] == b"P6" and payload[2:3] in b" \t\n\r":
+        return "ppm"
+    if payload[:2] == b"P5" and payload[2:3] in b" \t\n\r":
+        return "pgm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def _pnm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a P5/P6 header: returns (width, height, maxval, data_offset).
+    Netpbm allows '#' comments and arbitrary whitespace between tokens."""
+    pos = 2
+    tokens: list[int] = []
+    n = len(payload)
+    while len(tokens) < 3:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and payload[pos : pos + 1] == b"#":
+            while pos < n and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        try:
+            tokens.append(int(payload[start:pos]))
+        except ValueError as e:
+            raise ValueError(f"bad PNM header token {payload[start:pos]!r}") from e
+    # exactly ONE whitespace byte separates the header from raster data
+    pos += 1
+    w, h, maxval = tokens
+    if w <= 0 or h <= 0 or not (0 < maxval < 65536):
+        raise ValueError(f"bad PNM dimensions {w}x{h} maxval={maxval}")
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    return w, h, maxval, pos
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """bytes -> HxWx3 uint8 RGB array. Supports binary PPM (P6), binary
+    PGM (P5, expanded to RGB), and uncompressed 24/32-bit BI_RGB BMP.
+    Raises ValueError on truncated/unsupported payloads — the quarantine
+    path of ``decode_media``."""
+    kind = sniff_format(payload)
+    if kind == "ppm":
+        w, h, _, off = _pnm_header(payload)
+        need = w * h * 3
+        raster = payload[off : off + need]
+        if len(raster) < need:
+            raise ValueError(f"truncated PPM raster: {len(raster)} < {need}")
+        return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).copy()
+    if kind == "pgm":
+        w, h, _, off = _pnm_header(payload)
+        need = w * h
+        raster = payload[off : off + need]
+        if len(raster) < need:
+            raise ValueError(f"truncated PGM raster: {len(raster)} < {need}")
+        gray = np.frombuffer(raster, dtype=np.uint8).reshape(h, w)
+        return np.repeat(gray[:, :, None], 3, axis=2).copy()
+    if kind == "bmp":
+        return _decode_bmp(payload)
+    raise ValueError("unsupported image format for the built-in codec")
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:  # BI_RGB only
+        raise ValueError(f"compressed BMP (method {compression}) not supported")
+    if bpp not in (24, 32):
+        raise ValueError(f"only 24/32-bit BMP supported, got {bpp}")
+    if w <= 0 or h_raw == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h_raw}")
+    h = abs(h_raw)
+    bytes_pp = bpp // 8
+    # rows are padded to 4-byte boundaries
+    stride = (w * bytes_pp + 3) & ~3
+    need = stride * h
+    raster = payload[data_offset : data_offset + need]
+    if len(raster) < need:
+        raise ValueError(f"truncated BMP raster: {len(raster)} < {need}")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    px = rows[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    rgb = px[:, :, [2, 1, 0]]  # BGR(A) -> RGB
+    if h_raw > 0:  # positive height = bottom-up row order
+        rgb = rgb[::-1]
+    return rgb.copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> binary PPM (P6) bytes — the codec's native output
+    format (what ``resize_media`` re-emits)."""
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 array, got shape {arr.shape}")
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def resize_nearest(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (the only interpolation that is exactly
+    reproducible with pure integer index math — no filter-kernel
+    implementation drift). Index i maps to floor((i + 0.5) * src/dst),
+    the standard pixel-center convention."""
+    h, w = arr.shape[:2]
+    rows = ((np.arange(target_h) + 0.5) * h / target_h).astype(np.int64)
+    cols = ((np.arange(target_w) + 0.5) * w / target_w).astype(np.int64)
+    return arr[np.clip(rows, 0, h - 1)][:, np.clip(cols, 0, w - 1)]
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """bytes -> (sample_rate, samples float64 in [-1, 1], shape (n, ch)).
+    PCM 8/16-bit only (format tag 1); raises ValueError otherwise."""
+    if sniff_format(payload) != "wav":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16) or channels < 1:
+        raise ValueError(
+            f"only 8/16-bit PCM supported (fmt={audio_fmt}, bits={bits})")
+    if bits == 16:
+        raw = np.frombuffer(data[: len(data) - len(data) % (2 * channels)],
+                            dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        raw = (np.frombuffer(data[: len(data) - len(data) % channels],
+                             dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    return rate, raw.reshape(-1, channels)
+
+
+def image_feature(rgb: np.ndarray, dim: int = 16) -> list[float]:
+    """Deterministic ``dim``-length descriptor of a decoded image: the
+    luma averaged over a 4x4 grid (dim=16), L2-normalized — the classic
+    tiny-thumbnail embedding that makes near-duplicate pixels land near
+    each other in cosine space (what the perceptual-dedup operators
+    consume). Pure integer-count averaging, so bit-stable everywhere."""
+    side = int(np.sqrt(dim))
+    if side * side != dim:
+        raise ValueError(f"dim must be a perfect square, got {dim}")
+    luma = (rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114]))
+    h, w = luma.shape
+    ys = np.linspace(0, h, side + 1).astype(np.int64)
+    xs = np.linspace(0, w, side + 1).astype(np.int64)
+    cells = [
+        luma[ys[i] : max(ys[i + 1], ys[i] + 1),
+             xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+        for i in range(side) for j in range(side)
+    ]
+    v = np.array(cells) / 255.0 * 2.0 - 1.0
+    norm = np.linalg.norm(v)
+    return (v / norm if norm else v).tolist()
+
+
+def audio_feature(samples: np.ndarray, dim: int = 16) -> list[float]:
+    """Deterministic ``dim``-length descriptor of decoded audio: RMS
+    energy over ``dim`` equal time windows (channel-averaged),
+    L2-normalized — the envelope signature used for near-dup grouping."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    n = len(mono)
+    if n == 0:
+        raise ValueError("empty audio stream")
+    edges = np.linspace(0, n, dim + 1).astype(np.int64)
+    v = np.array([
+        np.sqrt(np.mean(np.square(mono[edges[i] : max(edges[i + 1], edges[i] + 1)])))
+        for i in range(dim)
+    ])
+    norm = np.linalg.norm(v)
+    return (v / norm if norm else v).tolist()

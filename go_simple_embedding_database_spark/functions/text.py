@@ -348,14 +348,21 @@ def repetition_sql(expr: str) -> dict[str, str]:
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    # International-format phone: leading + and country code, then 2-5
+    # International-format phone: leading + and country code, then 3-5
     # digit groups of 2-4 digits with single separators. The mandatory
     # '+' keeps it from eating ids, prices and version strings; the
     # GROUP structure (each separator must be followed by 2-4 digits)
     # keeps a trailing standalone digit out of the match — the earlier
     # flat '[\d()\- ]{6,}\d' class ate the '4' of '+1 555 0100 4 GB'
-    # because its greedy tail could absorb any space-digit run.
-    ("phone", r"\+\d{1,3}(?:[- ]?\(?\d{2,4}\)?){2,5}", "<PHONE>"),
+    # because its greedy tail could absorb any space-digit run. The
+    # {3,5} repetition is the total-digit floor (>= 1 + 3*2 = 7): short
+    # numeric runs like '+1 23 45' are NOT phones and must survive the
+    # scrub. A floor lookahead is unavailable here — RE2 (the DuckDB
+    # side of the shared dialect) has no lookaround — but {3,5} gives
+    # the same guarantee structurally: consecutive digit runs still
+    # match because a run of 6+ digits always splits into valid 2-4
+    # digit groups ('+1 5550100' -> (55)(50)(100)).
+    ("phone", r"\+\d{1,3}(?:[- ]?\(?\d{2,4}\)?){3,5}", "<PHONE>"),
 ]
 
 

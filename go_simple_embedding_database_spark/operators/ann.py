@@ -378,9 +378,18 @@ def topk_recall(reference: DataFrame, candidate: DataFrame,
     Both inputs are deduplicated on (query, id) first: an approximate
     path that legitimately emits a candidate twice (multi-band LSH union,
     two candidate sources) must not double-count hits into recall > 1.
+
+    The reference relation is referenced TWICE in the returned plan (the
+    hit join and the denominator) and Spark reuses exchanges, not
+    arbitrary subplans — so it is materialized via lazy localCheckpoint:
+    the (usually expensive) exact top-k pipeline runs once, its k x
+    |queries| winners are tiny, and the checkpoint blocks self-release
+    with the result. Without it, the exact side's corpus scan runs once
+    PER REFERENCE (measured as 2x the embeddings scans in ann_recall's
+    plan).
     """
-    r = reference.select(F.col(query_col), F.col(id_col)).dropDuplicates(
-        [query_col, id_col])
+    r = (reference.select(F.col(query_col), F.col(id_col)).dropDuplicates(
+        [query_col, id_col]).localCheckpoint(eager=False))
     c = candidate.select(F.col(query_col), F.col(id_col)).dropDuplicates(
         [query_col, id_col])
     hits = (r.join(c, [query_col, id_col])

@@ -823,12 +823,14 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     also appear in b, for pairs meeting ``threshold``. Documents with zero
     rare grams (pure boilerplate) produce no rows — no 0/0 pairs.
 
-    Caching contract: the df-filtered inverted index is persisted (three
-    consumers read it — both join sides and the per-doc sizes; see the
-    inline note) and stays cached for the session, same as
-    ``simhash_neardup_pairs``'s fingerprint cache — callers running many
-    containment passes in one session should ``spark.catalog.clearCache()``
-    between corpora or materialize the index to a table instead.
+    Caching contract: the df-filtered inverted index is materialized via
+    a lazy localCheckpoint (three consumers read it — both join sides and
+    the per-doc sizes; see the inline note). Checkpoint blocks are
+    released by the ContextCleaner once the returned DataFrame is
+    garbage-collected, so repeated containment passes in one session
+    accumulate no pinned storage; at full scale materialize the index to
+    a table instead (it is the inverted-index table a production pipeline
+    writes anyway).
     """
     from pyspark.sql import Window
 
@@ -839,15 +841,15 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     # Document frequency as a count-over-gram window, not a separate
     # aggregate joined back: one shuffle on the gram produces the
     # df-filtered inverted index already PARTITIONED on the join key, so
-    # the self-join below adds no exchange. Persisted because three
+    # the self-join below adds no exchange. Materialized (lazy
+    # localCheckpoint — self-releasing, see docstring) because three
     # consumers read it (both join sides + the per-doc sizes) — without
-    # the cache the shingle explode re-runs per consumer (measured 3×
-    # the wall-clock at sf0.1). At full scale this materialization is
-    # the inverted-index table a production pipeline writes anyway.
+    # it the shingle explode re-runs per consumer (measured 3× the
+    # wall-clock at sf0.1).
     rg = (grams
           .withColumn("_df", F.count("*").over(Window.partitionBy("_g")))
           .filter(F.col("_df") <= max_df)
-          .select("_id", "_g").persist())
+          .select("_id", "_g").localCheckpoint(eager=False))
     sizes = rg.groupBy("_id").agg(F.count("*").alias("_n_rare"))
     a = rg.select(F.col("_id").alias("id_a"), "_g")
     b = rg.select(F.col("_id").alias("id_b"), "_g")

@@ -61,18 +61,20 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     base = (damping_den - damping_num) * init // damping_den
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
     deg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
-    # One relation for the loop: (src, dst, src outdegree), persisted —
-    # every superstep re-reads it; without the persist each round re-runs
-    # the edge build AND the degree aggregation.
-    ed = e.join(deg, "_src").persist()
+    # One relation for the loop: (src, dst, src outdegree), materialized —
+    # every superstep re-reads it; without the materialization each round
+    # re-runs the edge build AND the degree aggregation. Lazy
+    # localCheckpoint, not persist(): blocks are released by the
+    # ContextCleaner when the returned ranks DataFrame (whose lineage
+    # holds the only references) is garbage-collected, so running many
+    # graphs in one session accumulates no pinned storage.
+    ed = e.join(deg, "_src").localCheckpoint(eager=False)
     # nodes is referenced by EVERY superstep's left join (and transitively
-    # by each previous round's rank relation), so unpersisted it would be
-    # re-distinct-ed O(n_iter) times. Both caches are session-scoped,
-    # same contract as dedup.containment_pairs: callers running many
-    # graphs in one session clearCache() between them.
+    # by each previous round's rank relation), so unmaterialized it would
+    # be re-distinct-ed O(n_iter) times. Same self-releasing contract.
     nodes = (e.select(F.col("_src").alias("node"))
              .union(e.select(F.col("_dst").alias("node")))
-             .distinct().persist())
+             .distinct().localCheckpoint(eager=False))
     ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
     for _ in range(n_iter):
         contribs = (ed.join(ranks.withColumnRenamed("node", "_src"), "_src")

@@ -2,12 +2,15 @@
 
 The Spark-side plumbing is REAL and tested: schemas, Arrow batch shapes,
 ``mapInPandas`` signatures, partitioning for CPU-heavy decode. The codec
-step itself is STUBBED — this container ships no image/audio libraries —
-behind ``_decode_payload``, which produces a deterministic fake feature
-vector from the payload bytes (sha256-seeded) so every downstream operator
-(dedup by perceptual hash, ANN over media embeddings) is exercisable
-end-to-end. Swapping in a real decoder (PIL / torchaudio / pyav) changes
-ONE function; the distributed plan is already correct.
+step is REAL for uncompressed formats via the dependency-free
+``functions.codecs`` layer (binary PPM/PGM, 24/32-bit BMP, PCM WAV:
+actual pixel/sample decode, luma-grid / RMS-envelope features,
+nearest-neighbor resize). Compressed formats (JPEG/PNG/MP3/MP4) fall
+back to a deterministic sha256 fake — entropy coding needs PIL/ffmpeg,
+which this container does not ship — so every downstream operator (dedup
+by perceptual hash, ANN over media embeddings) stays exercisable on
+arbitrary bytes. Swapping the fallback for a real compressed-format
+decoder changes ONE function; the distributed plan is already correct.
 
 Design for 100 TB of media:
 - payloads stay ``binary`` columns in Parquet — no driver materialization;
@@ -37,14 +40,42 @@ DECODED_SCHEMA = (
 
 
 def _decode_payload(payload: bytes, modality: str) -> dict:
-    """STUB DECODER — deterministic fake. Replace with PIL/pyav/torchaudio
-    in production. Derives plausible metadata + a unit feature vector from
-    sha256(payload) so results are stable across runs and engines.
+    """Decode one payload.
 
-    Raises ValueError on empty payloads (the real decoder's failure mode),
-    exercising the quarantine path."""
+    REAL decode for the formats the dependency-free codec layer
+    (functions/codecs.py) covers — binary PPM/PGM, uncompressed 24/32-bit
+    BMP (pixel raster + 4x4 luma-grid feature), PCM WAV (sample stream +
+    RMS-envelope feature). Anything else (JPEG/PNG/MP3/MP4 — entropy
+    coded, needs PIL/ffmpeg) falls back to the deterministic sha256 fake
+    so arbitrary bytes stay exercisable end-to-end; swapping the fallback
+    for a real compressed-format decoder remains a one-function change.
+
+    Raises ValueError on empty payloads and on recognized-but-corrupt
+    payloads (truncated raster, compressed BMP, non-PCM WAV) — the
+    quarantine path."""
+    from go_simple_embedding_database_spark.functions import codecs
+
     if payload is None or len(payload) == 0:
         raise ValueError("cannot decode empty payload")
+    payload = bytes(payload)
+    kind = codecs.sniff_format(payload)
+    if kind in ("ppm", "pgm", "bmp"):
+        rgb = codecs.decode_image(payload)
+        return {
+            "width": int(rgb.shape[1]),
+            "height": int(rgb.shape[0]),
+            "n_frames": 1,
+            "feature": codecs.image_feature(rgb, FEATURE_DIM),
+        }
+    if kind == "wav":
+        rate, samples = codecs.decode_wav(payload)
+        return {
+            "width": None,
+            "height": None,
+            # frame ~= centisecond granule: sample count over rate/100
+            "n_frames": int(max(1, samples.shape[0] * 100 // max(rate, 1))),
+            "feature": codecs.audio_feature(samples, FEATURE_DIM),
+        }
     digest = hashlib.sha256(payload).digest()
     width = 16 + digest[0] % 240        # fake 16..255 px
     height = 16 + digest[1] % 240
@@ -151,14 +182,24 @@ RESIZED_SCHEMA = ("media_id string, modality string, payload binary, "
 
 
 def _resize_payload(payload: bytes, target_w: int, target_h: int) -> bytes:
-    """STUB RESIZER — deterministic fake. Replace with PIL
-    ``Image.resize`` (or an ffmpeg scale filter for video) in production.
-    Emits a payload that deterministically depends on (input bytes,
-    target dims) and whose size scales with the target area, so byte
-    budgets and partition sizing exercises are realistic; raises on empty
-    input like the decoder."""
+    """Resize one image payload.
+
+    REAL pixel work for the codec layer's formats (PPM/PGM/BMP):
+    nearest-neighbor resample of the decoded raster, re-encoded as binary
+    PPM (the codec's native output). Unrecognized formats fall back to a
+    deterministic fake whose size scales with the target area (byte
+    budgets and partition sizing stay realistic) — the compressed-format
+    slot for a future PIL/ffmpeg swap. Raises on empty input like the
+    decoder."""
+    from go_simple_embedding_database_spark.functions import codecs
+
     if payload is None or len(payload) == 0:
         raise ValueError("cannot resize empty payload")
+    payload = bytes(payload)
+    if codecs.sniff_format(payload) in ("ppm", "pgm", "bmp"):
+        rgb = codecs.decode_image(payload)
+        return codecs.encode_ppm(
+            codecs.resize_nearest(rgb, target_w, target_h))
     seed = hashlib.sha256(payload + f"{target_w}x{target_h}".encode()).digest()
     reps = max(1, (target_w * target_h) // (8 * len(seed)))
     return (seed * reps)[: max(len(seed), target_w * target_h // 8)]

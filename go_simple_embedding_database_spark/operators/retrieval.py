@@ -59,7 +59,9 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int,
     At 100 TB the repeated-query path is a persisted inverted index (the
     containment operator's build, dedup.py); this is the ad-hoc path.
 
-    Returns (id_col, score) — exactly k rows, ties broken by id.
+    Returns (id_col, score) — up to k rows (fewer when fewer than k
+    documents contain any query term; only matching docs are scored),
+    ties broken by id.
     """
     tlist = _norm_terms(terms)
     terms_lit = F.array(*[F.lit(t) for t in tlist])

@@ -16,6 +16,8 @@ actually arrive in, with the 100 TB ground rules baked in:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 RECORDS_DDL = (
@@ -137,7 +139,11 @@ def read_media_dir(spark: SparkSession, path: str,
     downstream decode/dedup pass should scan instead."""
     from pyspark.sql import functions as F
 
-    reader = spark.read.format("binaryFile")
+    # recursiveFileLookup: media corpora are routinely sharded into
+    # subdirectories (date=.../camera=...); without it the listing stops
+    # at the top level and a glob silently matches nothing one level down.
+    reader = (spark.read.format("binaryFile")
+              .option("recursiveFileLookup", "true"))
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     raw = reader.load(path)
@@ -150,8 +156,19 @@ def read_media_dir(spark: SparkSession, path: str,
     mime = F.coalesce(
         F.element_at(F.create_map(*[F.lit(x) for x in mimes]), ext),
         F.lit("application/octet-stream"))
+    # media_id = path RELATIVE to the load root, not the basename: two
+    # files with the same name in different subdirectories must not
+    # collide on the downstream join/dedup key (the full URI stays in
+    # meta for provenance). Falls back to the basename if the resolved
+    # root is not found in the URI (e.g. a glob root rewritten by the
+    # filesystem layer).
+    root_abs = os.path.abspath(path).rstrip("/")
+    pos = F.locate(root_abs + "/", F.col("path"))
+    rel = F.col("path").substr(pos + len(root_abs) + 1, F.length("path"))
+    media_id = F.when(pos > 0, rel).otherwise(
+        F.element_at(F.split(F.col("path"), "/"), -1))
     return raw.select(
-        F.element_at(F.split(F.col("path"), "/"), -1).alias("media_id"),
+        media_id.alias("media_id"),
         modality.alias("modality"),
         F.col("content").alias("payload"),
         mime.alias("mime_type"),

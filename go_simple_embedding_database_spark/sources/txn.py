@@ -30,12 +30,20 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 class CommitConflictError(RuntimeError):
     """Another writer committed this version first — re-read and retry."""
+
+
+# vacuum() only removes crashed-writer manifest temp files older than
+# this: a live writer is between fsync and the link(2) claim for
+# milliseconds, so one hour cannot race an in-flight commit while still
+# sweeping real crash leftovers on the next maintenance run.
+_TMP_MANIFEST_TTL_SEC = 3600.0
 
 
 def _manifest_dir(path: str) -> str:
@@ -158,10 +166,21 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     for v in drop:
         os.remove(_manifest_path(path, v))
     # Crashed writers can leave fully-written-but-never-linked manifest
-    # temp files; they are invisible to readers and safe to drop here.
+    # temp files; they are invisible to readers and safe to drop once
+    # stale. Age-gate the removal: a LIVE writer sits between fsync and
+    # os.link for milliseconds, so deleting only temp files older than
+    # the safety window can never yank a manifest out from under an
+    # in-flight commit (which would surface as FileNotFoundError instead
+    # of a clean commit/CommitConflictError).
+    now = time.time()
     for name in os.listdir(_manifest_dir(path)):
         if name.startswith(".tmp-"):
-            os.remove(os.path.join(_manifest_dir(path), name))
+            full = os.path.join(_manifest_dir(path), name)
+            try:
+                if now - os.path.getmtime(full) > _TMP_MANIFEST_TTL_SEC:
+                    os.remove(full)
+            except FileNotFoundError:
+                pass  # another vacuum / the writer's own cleanup won
     for name in os.listdir(path):
         full = os.path.join(path, name)
         if (name.startswith("data_v") and os.path.isdir(full)

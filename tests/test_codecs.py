@@ -1,0 +1,162 @@
+"""Dependency-free media codec layer (functions/codecs.py): real decode /
+resize / feature extraction for PPM, PGM, BMP and PCM WAV, plus the
+integration with decode_media / resize_media (real path vs sha-fallback
+vs quarantine)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from go_simple_embedding_database_spark.functions import codecs
+
+
+def _ppm(w, h, fill=None):
+    arr = (np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+           if fill is None else np.full((h, w, 3), fill, dtype=np.uint8))
+    return codecs.encode_ppm(arr), arr
+
+
+def _bmp24(arr):
+    """Minimal bottom-up 24-bit BI_RGB BMP encoder (test-only)."""
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in arr[::-1]:  # bottom-up
+        line = row[:, [2, 1, 0]].astype(np.uint8).tobytes()  # RGB->BGR
+        raster += line + b"\x00" * (stride - len(line))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                       2835, 2835, 0, 0)
+    return header + info + bytes(raster)
+
+
+def _wav16(samples, rate=8000, channels=1):
+    data = (np.asarray(samples) * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+class TestImageCodec:
+    def test_ppm_round_trip(self):
+        payload, arr = _ppm(5, 3)
+        out = codecs.decode_image(payload)
+        assert out.shape == (3, 5, 3)
+        assert np.array_equal(out, arr)
+
+    def test_ppm_header_comments_and_whitespace(self):
+        _, arr = _ppm(2, 2)
+        payload = b"P6 # a comment\n# another\n 2\t2\n255\n" + arr.tobytes()
+        assert np.array_equal(codecs.decode_image(payload), arr)
+
+    def test_pgm_expands_to_rgb(self):
+        gray = np.arange(6, dtype=np.uint8).reshape(2, 3)
+        payload = b"P5\n3 2\n255\n" + gray.tobytes()
+        out = codecs.decode_image(payload)
+        assert out.shape == (2, 3, 3)
+        assert np.array_equal(out[:, :, 0], gray)
+        assert np.array_equal(out[:, :, 1], gray)
+
+    def test_bmp_round_trip_with_row_padding(self):
+        # width 3 -> 9-byte rows padded to 12: exercises the stride path
+        arr = np.arange(3 * 3 * 3, dtype=np.uint8).reshape(3, 3, 3)
+        assert np.array_equal(codecs.decode_image(_bmp24(arr)), arr)
+
+    def test_truncated_raster_raises(self):
+        payload, _ = _ppm(4, 4)
+        with pytest.raises(ValueError, match="truncated"):
+            codecs.decode_image(payload[:-5])
+
+    def test_compressed_bmp_raises(self):
+        arr = np.zeros((2, 2, 3), dtype=np.uint8)
+        p = bytearray(_bmp24(arr))
+        struct.pack_into("<I", p, 30, 1)  # BI_RLE8
+        with pytest.raises(ValueError, match="compressed BMP"):
+            codecs.decode_image(bytes(p))
+
+    def test_resize_nearest_exact_indices(self):
+        _, arr = _ppm(4, 2)
+        small = codecs.resize_nearest(arr, 2, 1)
+        # pixel centers: rows [1], cols [1, 3]
+        assert np.array_equal(small, arr[[1]][:, [1, 3]])
+        big = codecs.resize_nearest(arr, 8, 4)
+        assert big.shape == (4, 8, 3)
+
+    def test_image_feature_is_unit_and_locality_sensitive(self):
+        p1, _ = _ppm(16, 16, fill=10)
+        p2, _ = _ppm(16, 16, fill=12)
+        p3, _ = _ppm(16, 16, fill=245)
+        f1 = np.array(codecs.image_feature(codecs.decode_image(p1)))
+        f2 = np.array(codecs.image_feature(codecs.decode_image(p2)))
+        f3 = np.array(codecs.image_feature(codecs.decode_image(p3)))
+        assert abs(np.linalg.norm(f1) - 1.0) < 1e-9
+        # near-identical images -> near-identical features; a bright image
+        # points the other way along the luma axis
+        assert f1 @ f2 > 0.999
+        assert f1 @ f3 < 0
+
+
+class TestWavCodec:
+    def test_pcm16_round_trip(self):
+        t = np.linspace(0, 1, 800, endpoint=False)
+        wave = 0.5 * np.sin(2 * np.pi * 5 * t)
+        rate, samples = codecs.decode_wav(_wav16(wave))
+        assert rate == 8000 and samples.shape == (800, 1)
+        assert np.allclose(samples[:, 0], wave, atol=1e-3)
+
+    def test_stereo_shape(self):
+        stereo = np.stack([np.ones(100) * 0.1, np.ones(100) * -0.1], axis=1)
+        _, samples = codecs.decode_wav(
+            _wav16(stereo.reshape(-1), channels=2))
+        assert samples.shape == (100, 2)
+
+    def test_non_pcm_raises(self):
+        p = bytearray(_wav16(np.zeros(10)))
+        struct.pack_into("<H", p, 20, 3)  # IEEE float tag
+        with pytest.raises(ValueError, match="PCM"):
+            codecs.decode_wav(bytes(p))
+
+    def test_audio_feature_tracks_envelope(self):
+        loud_then_quiet = np.concatenate(
+            [np.ones(400) * 0.9, np.ones(400) * 0.01])
+        f = codecs.audio_feature(loud_then_quiet.reshape(-1, 1), dim=16)
+        assert abs(np.linalg.norm(f) - 1.0) < 1e-9
+        assert min(f[:8]) > max(f[8:])
+
+
+class TestDecodeMediaIntegration:
+    def _media_df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "media_id string, modality string, payload binary")
+
+    def test_real_formats_decode_with_true_dimensions(self, spark):
+        from go_simple_embedding_database_spark.operators.multimodal import (
+            decode_media)
+        ppm, _ = _ppm(7, 5)
+        wav = _wav16(np.zeros(1600))  # 0.2 s at 8 kHz
+        df = self._media_df(spark, [
+            ("img", "image", bytearray(ppm)),
+            ("aud", "audio", bytearray(wav)),
+            ("other", "image", bytearray(b"\xff\xd8not-really-jpeg")),
+            ("broken", "image", bytearray(ppm[:-20])),  # truncated raster
+        ])
+        rows = {r.media_id: r for r in decode_media(df).collect()}
+        assert (rows["img"].width, rows["img"].height) == (7, 5)
+        assert rows["img"].n_frames == 1
+        assert rows["aud"].width is None
+        assert rows["aud"].n_frames == 20  # centisecond granules
+        assert rows["other"].feature is not None  # sha fallback still works
+        assert rows["broken"].feature is None  # quarantined
+
+    def test_resize_reencodes_real_images_as_ppm(self, spark):
+        from go_simple_embedding_database_spark.operators.multimodal import (
+            resize_media)
+        ppm, arr = _ppm(8, 8)
+        df = self._media_df(spark, [("img", "image", bytearray(ppm))])
+        out = resize_media(df, 4, 4).collect()[0]
+        assert (out.width, out.height) == (4, 4)
+        resized = codecs.decode_image(bytes(out.payload))
+        assert np.array_equal(resized, codecs.resize_nearest(arr, 4, 4))

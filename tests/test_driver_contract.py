@@ -3,8 +3,9 @@
 The correctness gate only checks what the surface declares — these tests
 pin the declarations: every query has an oracle unless explicitly
 rows-only-by-design, oracles never reference queries that don't exist,
-and the verification-need ordering keeps every query that lacks an
-official driver correctness row inside the gate's 50-entry window."""
+and the verification-need ordering keeps (a) every query changed this
+round and (b) every query without an official driver correctness row
+inside the gate's 50-entry window."""
 
 import __spark_entry__ as em
 
@@ -15,14 +16,33 @@ ROWS_ONLY_BY_DESIGN = {
                               # error bound pinned in test_oracle_parity
 }
 
-# Queries with a green CORRECTNESS_r01 row whose implementation has not
-# changed since — the only entries allowed outside the round-2 window.
-ROUND1_OFFICIALLY_GREEN = {
-    "topk_cosine", "topk_small_collection", "batch_topk",
-    "cosine_kernel_pairs", "point_lookup", "collections_catalog",
-    "ingest_embed", "dedup_exact", "crud_query", "text_language_id",
-    "text_stats", "text_quality", "dedup_minhash", "dedup_simhash",
-    "dedup_winnow", "dedup_jaccard", "dedup_cosine",
+# Queries whose implementation / oracle / library dependency changed in
+# round 3 (or are new in round 3) — every one MUST sit inside the gate
+# window so this round's CORRECTNESS file records it.
+CHANGED_ROUND3 = {
+    "gate_canary",            # new: gate-normalization canary
+    # the six round-2 hash mismatches, fixed (HUGEINT casts + integer
+    # hardening):
+    "corpus_upsert", "events_rolling_7d", "pack_sequences",
+    "token_budget", "kmeans_cells", "span_dedup",
+    # implementation changes:
+    "dedup_simhash_pairs", "dedup_simhash",   # 60-bit fingerprint
+    "ann_recall",                             # batch_topk reroute
+    "split_contamination",                    # pre-explode checkpoint
+    "pii_scrub",                              # phone-pattern digit floor
+    "pagerank_suppliers", "dedup_containment",
+    "frequent_tokens",                        # localCheckpoint discipline
+    "multimodal_decode",                      # real PPM/BMP/WAV codecs
+}
+
+# Queries with a green official CORRECTNESS row (r01 or r02 — r02 wins
+# where both exist) whose implementation is byte-identical since that
+# row. Only these may sit outside the round-3 window.
+OFFICIALLY_GREEN_UNCHANGED = {
+    # r01 green, unchanged since (rotated to the tail in round 2 already)
+    "topk_small_collection", "point_lookup", "collections_catalog",
+    "crud_query", "text_language_id", "text_stats", "text_quality",
+    "dedup_minhash", "dedup_winnow", "dedup_jaccard", "dedup_cosine",
     "embedding_centroids", "shipping_priority", "events_asof",
     "events_range_join", "revenue_rollup", "top_orders_per_customer",
     "pipeline_clean_corpus", "source_length_stats", "ann_lsh_join",
@@ -33,6 +53,20 @@ ROUND1_OFFICIALLY_GREEN = {
     "user_moving_avg", "order_percentiles", "cube_revenue",
     "train_split_counts", "promo_revenue", "events_json_props",
     "monthly_revenue_growth",
+    # r02 green, unchanged in round 3
+    "user_event_pivot", "bucketed_join_revenue", "big_orders_customers",
+    "nation_acctbal_outliers", "ngram_vocab", "udtf_chunks",
+    "balanced_sample", "local_supplier_revenue", "dedup_clusters",
+    "tfidf_top_terms", "user_activity_streaks", "order_value_histogram",
+    "similarity_join_knn", "ann_ivf", "ann_quantized", "text_repetition",
+    "event_funnel", "events_retention", "mixture_sample", "snapshot_diff",
+    "events_pmi", "split_leakage_safe", "zorder_layout",
+    "user_spend_trend", "incremental_revenue", "semantic_dedup",
+    "bm25_search", "quality_unigram", "incremental_dedup",
+    "weighted_sample", "topk_cosine", "batch_topk", "cosine_kernel_pairs",
+    "ingest_embed", "dedup_exact",
+    # r02 row recorded as rows-only by design
+    "approx_distinct_users",
 }
 
 
@@ -44,17 +78,34 @@ def test_every_query_has_an_oracle_or_documented_exemption():
         f"queries silently missing oracles: {(q - o) - ROWS_ONLY_BY_DESIGN}")
 
 
-def test_unverified_queries_sit_inside_the_gate_window():
-    """The driver checks the FIRST 50 entries (observed cap, round 1).
-    Anything without an official green row must therefore be ordered
-    before anything that has one."""
+def test_declared_sets_cover_the_surface_exactly():
+    q = set(em.queries())
+    assert CHANGED_ROUND3 | OFFICIALLY_GREEN_UNCHANGED == q, (
+        f"undeclared queries: "
+        f"{q - CHANGED_ROUND3 - OFFICIALLY_GREEN_UNCHANGED} / stale "
+        f"declarations: {(CHANGED_ROUND3 | OFFICIALLY_GREEN_UNCHANGED) - q}")
+    assert not (CHANGED_ROUND3 & OFFICIALLY_GREEN_UNCHANGED), (
+        "a query cannot be both changed and green-unchanged")
+
+
+def test_changed_queries_sit_inside_the_gate_window():
+    """The driver checks the FIRST 50 entries (observed cap, rounds 1-2).
+    Every query changed this round must land an official row."""
     names = list(em.queries().keys())
     window = set(names[:50])
-    needs_check = set(names) - ROUND1_OFFICIALLY_GREEN
-    outside = needs_check - window
+    outside = CHANGED_ROUND3 - window
     assert not outside, (
-        f"queries needing an official correctness row fall outside the "
-        f"50-entry window: {sorted(outside)}")
+        f"changed queries fall outside the 50-entry window: "
+        f"{sorted(outside)}")
+
+
+def test_tail_queries_all_have_official_rows():
+    names = list(em.queries().keys())
+    tail = set(names[50:])
+    unofficial = tail - OFFICIALLY_GREEN_UNCHANGED
+    assert not unofficial, (
+        f"queries without an official correctness row fall outside the "
+        f"50-entry window: {sorted(unofficial)}")
 
 
 def test_callables_and_sql_are_well_formed():

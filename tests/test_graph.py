@@ -72,3 +72,47 @@ def test_hub_outranks_leaf_on_star(spark):
     got = {r.node: r.rank for r in pagerank(edf, n_iter=5).collect()}
     assert all(got[1] > got[leaf] for leaf in leaves)
     assert got == _py_pagerank(data, 5)
+
+
+def test_no_pinned_storage_after_release(spark, chain_edges):
+    """VERDICT r02 #6: the cache-backed operators (pagerank, simhash
+    pairs, containment) must not pin storage for the session — their
+    materializations are lazy localCheckpoints whose blocks the
+    ContextCleaner frees once the result DataFrames are unreferenced."""
+    import gc
+    import time
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from go_simple_embedding_database_spark.operators import dedup as dd
+
+    def persistent_ids():
+        it = (spark.sparkContext._jsc.getPersistentRDDs()
+              .keySet().iterator())
+        out = set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
+
+    baseline = persistent_ids()
+    _, edf = chain_edges
+    results = [pagerank(edf, n_iter=2)]
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " * 3 + str(i))
+         for i in range(20)], "doc_id long, text string")
+    results.append(dd.simhash_neardup_pairs(docs, max_hamming=10))
+    results.append(dd.containment_pairs(docs, threshold=0.5, max_df=25))
+    for r in results:
+        r.collect()
+    assert persistent_ids() - baseline, (
+        "expected live checkpoint blocks while results are referenced")
+    del results, r  # the loop variable holds the last result too
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        gc.collect()
+        spark._jvm.System.gc()
+        if not (persistent_ids() - baseline):
+            break
+        time.sleep(0.5)
+    leaked = persistent_ids() - baseline
+    assert not leaked, f"pinned storage leaked after release: {leaked}"

@@ -149,6 +149,17 @@ class TestReadMediaDir:
         assert rows["c.xyz"].mime_type == "application/octet-stream"
         assert rows["a.jpg"].meta["n_bytes"] == "10"
 
+    def test_subdir_same_basename_does_not_collide(self, spark, tmp_path):
+        from go_simple_embedding_database_spark.sources.files import (
+            read_media_dir)
+        (tmp_path / "x").mkdir()
+        (tmp_path / "y").mkdir()
+        (tmp_path / "x" / "a.jpg").write_bytes(b"\xff\xd8one")
+        (tmp_path / "y" / "a.jpg").write_bytes(b"\xff\xd8two")
+        df = read_media_dir(spark, str(tmp_path), glob="*.jpg")
+        ids = sorted(r.media_id for r in df.collect())
+        assert ids == ["x/a.jpg", "y/a.jpg"]  # relative path, no collision
+
     def test_glob_filter_and_metadata_compose(self, spark, media_dir):
         from go_simple_embedding_database_spark.operators.multimodal import (
             media_metadata)

@@ -217,9 +217,14 @@ def test_phone_scrub_does_not_eat_trailing_numbers(spark):
         [("call +1 555 0100 4 GB of RAM",),
          ("+44 20 7946 0958 in 2024",),
          ("reach me at +1 (555) 010-0100 now",),
-         ("price +3 dollars stays",)], "t string")
+         ("price +3 dollars stays",),
+         # total-digit floor: short numeric runs after '+' are not phones
+         ("scores +1 23 45 stay put",),
+         ("+1 5550100 compact form",)], "t string")
     got = [r.s for r in df.select(pii_scrub(F.col("t")).alias("s")).collect()]
     assert got == ["call <PHONE> 4 GB of RAM",
                    "<PHONE> in 2024",
                    "reach me at <PHONE> now",
-                   "price +3 dollars stays"]
+                   "price +3 dollars stays",
+                   "scores +1 23 45 stay put",
+                   "<PHONE> compact form"]

@@ -114,8 +114,23 @@ def test_crashed_manifest_writer_leaves_no_committed_garbage(
 
     assert txn.latest_version(path) == 3
     assert txn.read_version(spark, path).count() == 5  # table intact
-    txn.vacuum(path, keep_last=2)
     mdir = _os.path.join(path, "_manifests")
+    # The aborted commit cleans its own temp file (finally-unlink) — only
+    # a REAL process death leaves one. Plant one to exercise vacuum.
+    planted = _os.path.join(mdir, ".tmp-planted.json")
+    with open(planted, "w") as f:
+        f.write("{}")
+    # A FRESH temp file is indistinguishable from a live writer mid-claim
+    # — vacuum must leave it alone (age gate), else it could yank a
+    # manifest out from under an in-flight commit.
+    txn.vacuum(path, keep_last=2)
+    assert _os.path.exists(planted), (
+        "age-gated vacuum must not sweep a fresh temp manifest")
+    # Once stale past the TTL it is crash garbage and gets swept.
+    _os.utime(planted, (_os.path.getatime(planted),
+                        _os.path.getmtime(planted)
+                        - txn._TMP_MANIFEST_TTL_SEC - 1))
+    txn.vacuum(path, keep_last=2)
     assert not [n for n in _os.listdir(mdir) if n.startswith(".tmp-")]
 
 

@@ -53,11 +53,23 @@ COMMENTARY: dict[str, tuple[str, str]] = {
         "O(N^2)."),
     "dedup_simhash_pairs": (
         "SimHash near-dup pairs (pigeonhole banding)",
-        "The 32-bit fingerprint splits into max_hamming+1 bit-bands; any "
+        "The 60-bit fingerprint splits into max_hamming+1 bit-bands "
+        "(8-9 bits each at the default budget — 256-512 bucket values "
+        "per band, ~16-32x sharper than the former 32-bit layout); any "
         "pair within the Hamming budget agrees exactly on >=1 band, so "
         "candidates come from an equi-join on (band_idx, band_bits) — "
         "same bucketed shuffle shape as MinHash LSH. No cross join in "
-        "the plan (round 1 ran all-pairs; fixed this round)."),
+        "the plan (round 1 ran all-pairs; banded in round 2; widened to "
+        "60-bit in round 3)."),
+    "ann_recall": (
+        "ANN recall evaluation (exact side batched)",
+        "The exact reference side runs ONE corpus scan for the whole "
+        "query batch via batch_topk (broadcast query set + two-stage "
+        "bucketed window, slim id+score shuffle) — the plan shows a "
+        "single `Scan parquet` of the embeddings table on the exact "
+        "side regardless of how many query ids are evaluated (round 2 "
+        "scanned once per query). The IVF side stays partition-pruned "
+        "per probe."),
     "ann_ivf": (
         "IVF ANN query via the materialized index",
         "The per-query scan must show `PartitionFilters: [cell IN (..)]` "
