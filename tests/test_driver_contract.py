@@ -113,3 +113,20 @@ def test_callables_and_sql_are_well_formed():
         assert callable(fn), name
     for name, sql in em.oracle_sql().items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_gate_canary_values_are_pinned(spark):
+    """The canary only localizes gate-side divergence if its OWN values
+    never drift — pin them absolutely (the oracle-parity test only pins
+    Spark == DuckDB, which both drifting together would satisfy)."""
+    rows = {r.probe: (r.v_int, r.v_dbl)
+            for r in em.queries()["gate_canary"](spark, "unused").collect()}
+    assert rows == {
+        "cast_sum": (500500, 0.0),
+        "pow53": (9007199254740993, 0.0),
+        "neg": (-42, -0.5),
+        "ratio": (0, 0.333333),
+        "int_like": (0, 2.0),
+        "tiny": (0, 0.000001),
+        "uni_héllo✓": (0, 0.0),
+    }
