@@ -8,14 +8,16 @@ authority from a citation/link table, user influence from interactions).
 
 Spark-first physical strategy (the Pregel shape):
 
-- edges are computed once and PERSISTED; every superstep is
-  join(ranks, edges, on=src) -> groupBy(dst).sum — shuffles carry
-  (node, rank) longs only;
+- edges are computed once and MATERIALIZED (self-releasing lazy
+  localCheckpoint); every superstep is join(ranks, edges, on=src) ->
+  groupBy(dst).sum — shuffles carry (node, rank) longs only;
 - out-degrees are folded into the edge relation up front so the loop
   joins one relation, not two;
-- the rank relation stays (node bigint, rank bigint): at 100 TB the loop
-  state is two longs per node, hash-partitioned on the node key, and the
-  join keys on both sides can share one partitioning across supersteps.
+- the rank relation stays (node bigint, rank bigint): two longs per
+  node, so broadcast-joined into the supersteps while the node set is
+  broadcast-sized (the edge relation is then never shuffled or sorted),
+  falling back to hash-partitioning on the node key at 100 TB node
+  counts — see ``pagerank``'s ``broadcast_ranks``.
 
 Exact cross-engine determinism — the same discipline as
 operators/clustering.py, but here even the ITERATION stays in integers:
@@ -41,10 +43,17 @@ from pyspark.sql import functions as F
 __all__ = ["pagerank", "pagerank_cte_sql"]
 
 
+# Node-count ceiling for broadcasting the rank relation into the
+# supersteps: 5M nodes x 16 bytes = 80 MB of broadcast state, the upper
+# end of what a per-superstep broadcast should pin on every executor.
+_BROADCAST_NODES_MAX = 5_000_000
+
+
 def pagerank(edges: DataFrame, n_iter: int = 5,
              src: str = "src", dst: str = "dst",
              init: int = 1_000_000,
-             damping_num: int = 85, damping_den: int = 100) -> DataFrame:
+             damping_num: int = 85, damping_den: int = 100,
+             broadcast_ranks: bool | None = None) -> DataFrame:
     """Fixed-point PageRank over a directed edge list; returns
     (node, rank) with rank in integer ``init`` micro-units.
 
@@ -54,7 +63,19 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     with base = (damping_den - damping_num) * init div damping_den.
 
     ``n_iter`` is a small constant; the plan is n_iter chained
-    join+aggregate rounds (no driver-side data movement at any point).
+    join+aggregate rounds — no rank data ever moves through the driver.
+
+    Join strategy is SIZE-ADAPTIVE, the same hybrid discipline as
+    ``dedup.connected_components``: the rank relation is 2 longs per
+    node, so when the node set is broadcast-sized (``broadcast_ranks``,
+    default: node count <= 5M, decided by one count job) every superstep
+    joins the big edge relation WITHOUT shuffling or sorting it — the
+    only per-round shuffle is the (node, contribution) aggregate.
+    Above the ceiling it falls back to the shuffle-both-sides plan whose
+    state is hash-partitioned on the node key — the 100 TB shape
+    (billions of nodes cannot broadcast). Measured at sf0.1
+    (1.17M edges, 16k nodes): 5 supersteps drop from ~4.0 s of chained
+    sort-merge joins to ~1.3 s.
     """
     if n_iter < 0:
         raise ValueError("n_iter must be >= 0")
@@ -72,16 +93,27 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     # nodes is referenced by EVERY superstep's left join (and transitively
     # by each previous round's rank relation), so unmaterialized it would
     # be re-distinct-ed O(n_iter) times. Same self-releasing contract.
-    nodes = (e.select(F.col("_src").alias("node"))
-             .union(e.select(F.col("_dst").alias("node")))
+    # Derived from ED, not from the raw projection: the inner join with
+    # deg on _src preserves every edge row (every src has a degree), so
+    # the node sets are identical — but ed reads the checkpoint, while
+    # the raw projection would re-run the caller's whole edge-build
+    # subtree (often a fact-fact join) a second time.
+    nodes = (ed.select(F.col("_src").alias("node"))
+             .union(ed.select(F.col("_dst").alias("node")))
              .distinct().localCheckpoint(eager=False))
+    if broadcast_ranks is None:
+        # one count job (it also materializes the nodes checkpoint the
+        # loop reads anyway) decides the join strategy at runtime
+        broadcast_ranks = nodes.count() <= _BROADCAST_NODES_MAX
+    hint = F.broadcast if broadcast_ranks else (lambda df: df)
     ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
     for _ in range(n_iter):
-        contribs = (ed.join(ranks.withColumnRenamed("node", "_src"), "_src")
+        contribs = (ed.join(hint(ranks.withColumnRenamed("node", "_src")),
+                            "_src")
                     .select(F.col("_dst").alias("node"),
                             F.expr("rank div _deg").alias("_c"))
                     .groupBy("node").agg(F.sum("_c").alias("_s")))
-        ranks = (nodes.join(contribs, "node", "left")
+        ranks = (nodes.join(hint(contribs), "node", "left")
                  .select("node",
                          (F.expr(f"({damping_num} * coalesce(_s, 0)) "
                                  f"div {damping_den}")
