@@ -66,6 +66,10 @@ def _flagships():
         "bm25_search": q["bm25_search"],
         "kmeans_cells": q["kmeans_cells"],
         "embedding_centroids": q["embedding_centroids"],
+        # round 3 additions — all linear-output:
+        "dedup_simhash": q["dedup_simhash"],      # 60-bit fp, 1 row/doc
+        "token_budget": q["token_budget"],        # histogram refinement
+        "frequent_tokens": q["frequent_tokens"],  # MG sketch + recount
     }
 
 

@@ -80,8 +80,24 @@ def main() -> None:
                          "err": f"{type(e).__name__}: {e}"[:200]}
     dest = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SELFCHECK.json")
+    import platform
+
+    import pandas
+    import pyarrow
+    import pyspark
+    # Engine/conversion-layer provenance: the round-2 gate divergence was
+    # a DuckDB HUGEINT client-conversion difference between environments,
+    # invisible without version stamps on the record.
+    versions = {
+        "python": platform.python_version(),
+        "pyspark": pyspark.__version__,
+        "duckdb": duckdb.__version__,
+        "pyarrow": pyarrow.__version__,
+        "pandas": pandas.__version__,
+    }
     with open(dest, "w") as f:
-        json.dump({"sf_dir": SF_DIR, "n_queries": len(out),
+        json.dump({"sf_dir": SF_DIR, "versions": versions,
+                   "n_queries": len(out),
                    "n_hash_match": sum(1 for r in out.values()
                                        if r["hash_match"]),
                    "n_rows_only": sum(1 for r in out.values()
