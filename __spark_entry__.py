@@ -639,11 +639,16 @@ FROM documents
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode of binary payloads (stub codec — deterministic
-    sha256-derived features; real decoder is a one-function swap). The
-    stub is pure sha256 arithmetic, so it admits a full DuckDB twin —
-    the decode plumbing gets the same hash-matched gate as every other
-    operator (a REAL codec would drop back to a rows-only check)."""
+    """mapInPandas decode of binary payloads. The payloads here are
+    document text wrapped as media, which the strict sniff
+    (functions/codecs.sniff_format) classifies as no known container, so
+    every row takes the deterministic sha256 fallback branch — pure hash
+    arithmetic that admits a full DuckDB twin, giving the decode
+    plumbing the same hash-matched gate as every other operator. The
+    REAL codec paths (PPM/PGM/BMP/WAV decode) are exercised by
+    tests/test_codecs.py instead (no SQL engine can decode pixels);
+    tests/test_multimodal.py pins that no document text in the corpus
+    sniffs as a media container, so this oracle stays faithful."""
     from go_simple_embedding_database_spark.operators.multimodal import (
         decode_media, documents_as_media)
     media = documents_as_media(_docs(spark, sf_dir))
@@ -2934,9 +2939,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_topk": _q_batch_topk,
         "cosine_kernel_pairs": _q_cosine_kernel_pairs,
         "ingest_embed": _q_ingest_embed,
-        "dedup_exact": _q_dedup_exact,
-        # ---- gate window ends here (50 entries above) ----
+        # ---- gate window ends here (50 entries above; pinned by
+        # tests/test_driver_contract.py::test_window_marker_is_exact) ----
         # (tail) official green row on a byte-identical implementation
+        "dedup_exact": _q_dedup_exact,
         "approx_distinct_users": _q_approx_distinct_users,  # rows-only by
         # design (r02 row recorded); error bound pinned in test_oracle_parity
         "crud_query": _q_crud_query,

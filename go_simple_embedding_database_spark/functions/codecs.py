@@ -31,17 +31,36 @@ __all__ = [
 ]
 
 
+# Known DIB header sizes (BITMAPCOREHEADER excluded — 24-bit core BMPs
+# are extinct; decode_image requires >= 40 anyway).
+_BMP_DIB_SIZES = frozenset({40, 52, 56, 108, 124})
+
+
 def sniff_format(payload: bytes) -> str | None:
-    """Container format by magic bytes: 'ppm' | 'pgm' | 'bmp' | 'wav',
-    or None for anything this codec layer cannot really decode."""
-    if payload is None or len(payload) < 4:
+    """Container format sniff: 'ppm' | 'pgm' | 'bmp' | 'wav', or None
+    for anything this codec layer cannot really decode.
+
+    Deliberately STRICTER than the bare magic bytes: a media column can
+    legitimately carry arbitrary bytes (text wrapped as payloads in
+    tests/benches, unknown formats in a real corpus), and a sniff that
+    claims such bytes are media routes them into the real decoder where
+    they quarantine as "corrupt" instead of falling back to the hash
+    feature. So BMP additionally requires a known DIB header size at
+    offset 14 (ASCII text can never satisfy it), PNM requires a digit or
+    comment after the whitespace (a prose word starting 'P6 ' does not),
+    and WAV requires the full 12-byte RIFF/WAVE sandwich."""
+    if payload is None or len(payload) < 12:
         return None
-    if payload[:2] == b"P6" and payload[2:3] in b" \t\n\r":
-        return "ppm"
-    if payload[:2] == b"P5" and payload[2:3] in b" \t\n\r":
-        return "pgm"
-    if payload[:2] == b"BM":
-        return "bmp"
+    if payload[:2] in (b"P6", b"P5") and payload[2:3] in b" \t\n\r":
+        rest = payload[3:].lstrip(b" \t\n\r")
+        if rest[:1].isdigit() or rest[:1] == b"#":
+            return "ppm" if payload[:2] == b"P6" else "pgm"
+        return None
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        dib = struct.unpack_from("<I", payload, 14)[0]
+        if dib in _BMP_DIB_SIZES:
+            return "bmp"
+        return None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return None

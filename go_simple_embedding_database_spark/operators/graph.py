@@ -63,19 +63,30 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     with base = (damping_den - damping_num) * init div damping_den.
 
     ``n_iter`` is a small constant; the plan is n_iter chained
-    join+aggregate rounds — no rank data ever moves through the driver.
+    join+aggregate rounds.
 
     Join strategy is SIZE-ADAPTIVE, the same hybrid discipline as
     ``dedup.connected_components``: the rank relation is 2 longs per
     node, so when the node set is broadcast-sized (``broadcast_ranks``,
     default: node count <= 5M, decided by one count job) every superstep
     joins the big edge relation WITHOUT shuffling or sorting it — the
-    only per-round shuffle is the (node, contribution) aggregate.
-    Above the ceiling it falls back to the shuffle-both-sides plan whose
-    state is hash-partitioned on the node key — the 100 TB shape
-    (billions of nodes cannot broadcast). Measured at sf0.1
-    (1.17M edges, 16k nodes): 5 supersteps drop from ~4.0 s of chained
-    sort-merge joins to ~1.3 s.
+    only per-round shuffle is the (node, contribution) aggregate. The
+    broadcast path does route the rank relation through the driver each
+    round (that is what a Spark broadcast is — <= ~80 MB at the
+    ceiling); above the ceiling it falls back to the shuffle-both-sides
+    plan whose state is hash-partitioned on the node key and never
+    touches the driver — the 100 TB shape (billions of nodes cannot
+    broadcast). Measured at sf0.1 (1.17M edges, 16k nodes): 5
+    supersteps drop from ~4.0 s of chained sort-merge joins to ~1.3 s.
+
+    Fault-tolerance note (applies to every lazy-localCheckpoint
+    materialization in this repo): checkpoint blocks are executor-local
+    and unreplicated, so on a real cluster an executor loss mid-job
+    fails the query instead of recomputing from lineage the way
+    persist() would. The trade is deliberate — self-releasing storage
+    and truncated plans for the common case; rerun-on-loss (these are
+    batch jobs) or a durable materialized table (sources/materialize.py)
+    where loss is expensive.
     """
     if n_iter < 0:
         raise ValueError("n_iter must be >= 0")

@@ -211,12 +211,16 @@ def resize_media(df: DataFrame, target_w: int, target_h: int,
     mapInPandas — the normalization pass a multimodal training pipeline
     runs before packing tensors. Plumbing is real (Arrow batches,
     repartition-before-CPU-heavy-stage, quarantine on failure — NULL
-    payload rows are the quarantine set); the pixel work is the one
-    clearly-marked stub function, swappable for PIL/ffmpeg without
-    touching the Spark side. NON-EMPTY audio rows pass through unchanged
-    (resizing is meaningless for them) with their original payload and
-    NULL dims; empty/NULL payloads quarantine for every modality, same
-    contract as decode_media.
+    payload rows are the quarantine set). Pixel work is REAL for the
+    codec layer's formats (PPM/PGM/BMP: nearest-neighbor resample,
+    re-encoded as binary PPM — recognized-but-corrupt payloads
+    quarantine); unrecognized (compressed) formats get a deterministic
+    size-scaled fake from the one clearly-marked fallback in
+    ``_resize_payload``, swappable for PIL/ffmpeg without touching the
+    Spark side. NON-EMPTY audio rows pass through unchanged (resizing
+    is meaningless for them) with their original payload and NULL dims;
+    empty/NULL payloads quarantine for every modality, same contract as
+    decode_media.
     """
     from go_simple_embedding_database_spark.session import ensure_parallelism
 

@@ -17,6 +17,7 @@ actually arrive in, with the 100 TB ground rules baked in:
 from __future__ import annotations
 
 import os
+from urllib.parse import quote
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -159,13 +160,24 @@ def read_media_dir(spark: SparkSession, path: str,
     # media_id = path RELATIVE to the load root, not the basename: two
     # files with the same name in different subdirectories must not
     # collide on the downstream join/dedup key (the full URI stays in
-    # meta for provenance). Falls back to the basename if the resolved
-    # root is not found in the URI (e.g. a glob root rewritten by the
-    # filesystem layer).
-    root_abs = os.path.abspath(path).rstrip("/")
-    pos = F.locate(root_abs + "/", F.col("path"))
-    rel = F.col("path").substr(pos + len(root_abs) + 1, F.length("path"))
-    media_id = F.when(pos > 0, rel).otherwise(
+    # meta for provenance). The listed `path` column is a URI, so the
+    # root is matched in several spellings — the raw argument (covers
+    # s3a://bucket/dir and friends verbatim), the local absolute path
+    # (covers relative local args), and its URI-encoded form (Spark
+    # percent-encodes e.g. spaces in local URIs). First match wins;
+    # if none matches, fall back to the basename rather than guessing.
+    candidates = [path.rstrip("/")]
+    if "://" not in path:  # os.path.abspath would mangle a remote URI
+        local = os.path.abspath(path).rstrip("/")
+        candidates.append(local)
+        candidates.append(quote(local))
+    media_id = None
+    for root in dict.fromkeys(candidates):
+        pos = F.locate(root + "/", F.col("path"))
+        rel = F.col("path").substr(pos + len(root) + 1, F.length("path"))
+        media_id = (F.when(pos > 0, rel) if media_id is None
+                    else media_id.when(pos > 0, rel))
+    media_id = media_id.otherwise(
         F.element_at(F.split(F.col("path"), "/"), -1))
     return raw.select(
         media_id.alias("media_id"),

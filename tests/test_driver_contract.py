@@ -130,3 +130,18 @@ def test_gate_canary_values_are_pinned(spark):
         "tiny": (0, 0.000001),
         "uni_héllo✓": (0, 0.0),
     }
+
+
+def test_window_marker_is_exact():
+    """Round 3's review caught an off-by-one: 51 entries sat above the
+    'gate window ends here' comment, silently pushing entry 51 out of the
+    official gate. Pin the window composition directly: entry 50 (the
+    first OUTSIDE the window) must be an officially-green query, and
+    every changed query must be at index < 50 (re-asserted here against
+    the exact boundary rather than via set membership)."""
+    names = list(em.queries().keys())
+    assert names[0] == "gate_canary"
+    for i, n in enumerate(names):
+        if n in CHANGED_ROUND3:
+            assert i < 50, f"{n} (changed) at index {i} — outside the gate"
+    assert names[50] in OFFICIALLY_GREEN_UNCHANGED

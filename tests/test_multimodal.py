@@ -119,3 +119,20 @@ class TestResizeMedia:
             resize_media(df, 32, 32, on_error="raise").collect()
         with _pytest.raises(ValueError):
             resize_media(df, 0, 32)
+
+
+def test_no_corpus_text_sniffs_as_media(documents):
+    """multimodal_decode's DuckDB oracle models ONLY the sha256 fallback
+    branch; if any document text sniffed as a real container it would be
+    routed to the real codec (quarantine on parse failure) and the gate
+    would diverge. The strict sniff (BMP needs a valid DIB header size,
+    PNM a digit after the magic, WAV the 12-byte RIFF/WAVE sandwich)
+    makes ASCII prose effectively unsniffable — assert it holds for the
+    whole test corpus."""
+    from go_simple_embedding_database_spark.functions.codecs import (
+        sniff_format)
+
+    texts = [r.text for r in documents.select("text").collect()]
+    sniffed = [t[:20] for t in texts
+               if sniff_format(t.encode("utf-8")) is not None]
+    assert not sniffed, f"corpus text sniffed as media: {sniffed[:3]}"

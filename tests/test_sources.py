@@ -178,3 +178,19 @@ class TestReadMediaDir:
         plan = formatted_plan(raw)
         assert "PushedFilters" in plan and "length" in plan
         assert raw.count() == 0  # every fixture payload is larger
+
+
+class TestMediaIdRoots:
+    def test_dir_with_space_still_gets_relative_id(self, spark, tmp_path):
+        from go_simple_embedding_database_spark.sources.files import (
+            read_media_dir)
+        root = tmp_path / "my media"
+        (root / "x").mkdir(parents=True)
+        (root / "y").mkdir()
+        (root / "x" / "a.jpg").write_bytes(b"\xff\xd8one")
+        (root / "y" / "a.jpg").write_bytes(b"\xff\xd8two")
+        df = read_media_dir(spark, str(root), glob="*.jpg")
+        ids = sorted(r.media_id for r in df.collect())
+        # Spark percent-encodes the space in the listed URI; the
+        # URI-encoded root candidate must still strip it
+        assert ids == ["x/a.jpg", "y/a.jpg"]

@@ -65,11 +65,15 @@ COMMENTARY: dict[str, tuple[str, str]] = {
         "ANN recall evaluation (exact side batched)",
         "The exact reference side runs ONE corpus scan for the whole "
         "query batch via batch_topk (broadcast query set + two-stage "
-        "bucketed window, slim id+score shuffle) — the plan shows a "
-        "single `Scan parquet` of the embeddings table on the exact "
-        "side regardless of how many query ids are evaluated (round 2 "
-        "scanned once per query). The IVF side stays partition-pruned "
-        "per probe."),
+        "bucketed window, slim id+score shuffle; round 2 scanned once "
+        "per query). In THIS plan the exact side appears as `Scan "
+        "ExistingRDD` — topk_recall materializes its reference via "
+        "lazy localCheckpoint so the hit join and the denominator read "
+        "the tiny winners once instead of re-running the exact "
+        "pipeline; the single-corpus-scan property of the pre-"
+        "checkpoint construction is pinned by tests/test_plans.py::"
+        "test_ann_recall_exact_side_single_corpus_scan. The IVF side "
+        "stays partition-pruned per probe."),
     "ann_ivf": (
         "IVF ANN query via the materialized index",
         "The per-query scan must show `PartitionFilters: [cell IN (..)]` "
