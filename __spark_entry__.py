@@ -2693,17 +2693,14 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("embedding").alias("query_embedding")))
     exact = batch_topk(emb, qset, 10, records_id="vec_id",
                        tie_break=["vec_id"]).select("query_id", "vec_id")
-    # IVF side: per-query probes against the materialized partition-
-    # pruned index — each probe reads only nprobe=2 of 8 cell partitions.
-    ivf_parts = []
-    for qid in _RECALL_QUERY_IDS:
-        qv = _query_vec(spark, sf_dir, qid)
-        ivf_parts.append(
-            ann.ivf_query_index(spark, idx, qv, 10, nprobe=2)
-            .select(F.lit(qid).alias("query_id"), "vec_id"))
-    ivf = ivf_parts[0]
-    for p in ivf_parts[1:]:
-        ivf = ivf.unionByName(p)
+    # IVF side, batched too: one tiny centroid-ranking job for all
+    # queries, ONE pruned read of the union of probed cells (partition
+    # pruning still applies), per-query candidates restricted via a
+    # broadcast (query, cell) relation — M queries cost one index read
+    # instead of M (equivalence with the per-query path pinned in
+    # tests/test_ann.py).
+    ivf = ann.ivf_query_index_batch(spark, idx, qset, 10, nprobe=2) \
+        .select("query_id", "vec_id")
     return (ann.topk_recall(exact, ivf, query_col="query_id")
             .orderBy("query_id"))
 

@@ -292,6 +292,58 @@ def ivf_query_index(spark, path: str, qvec: list[float], k: int,
                               score_col=score_col, tie_break=[id_col])
 
 
+def ivf_query_index_batch(spark, path: str, queries: DataFrame, k: int,
+                          nprobe: int = 2, vec_col: str = "embedding",
+                          id_col: str = "vec_id", score_col: str = "score",
+                          query_id: str = "query_id",
+                          queries_vec: str = "query_embedding") -> DataFrame:
+    """Query a materialized IVF index for a WHOLE batch of queries with
+    ONE pruned read of the cells table.
+
+    The per-query ``ivf_query_index`` opens its nprobe cell partitions
+    per call — M queries cost M reads. Here: (1) one tiny job ranks the
+    centroids against every query at once (``batch_topk`` — the same
+    cosine kernel and tie order as the per-query path, so probe sets are
+    identical); (2) the cells table is read ONCE filtered to the UNION
+    of probed cells (still partition pruning — `cell IN (...)` at the
+    file-listing level); (3) a broadcast (query, cell) pair relation
+    restricts each query's candidates to ITS probed cells; (4) the
+    two-stage bucketed window takes the exact per-query top-k, so one
+    query's candidates never funnel through a single task.
+
+    Returns (query columns, index row columns, score_col) — exactly the
+    rows the per-query path returns for each query, one plan.
+    """
+    from go_simple_embedding_database_spark.operators.topk import batch_topk
+
+    cent = (spark.read.parquet(f"{path}/centroids")
+            .select("centroid_id", F.col("centroid").alias(vec_col)))
+    probes = batch_topk(cent, queries, nprobe, records_vec=vec_col,
+                        queries_vec=queries_vec, query_id=query_id,
+                        tie_break=["centroid_id"])
+    pairs = [(r[query_id], r["centroid_id"])
+             for r in probes.select(query_id, "centroid_id").collect()]
+    probed_cells = sorted({c for _, c in pairs})
+    cells = (spark.read.parquet(f"{path}/cells")
+             .filter(F.col("cell").isin(probed_cells)))
+    pair_df = spark.createDataFrame(pairs, [query_id, "cell"]) \
+        .withColumn("cell", F.col("cell").cast(dict(cells.dtypes)["cell"]))
+    scored = (cells.join(F.broadcast(pair_df), "cell")
+              .join(F.broadcast(queries), query_id)
+              .withColumn(score_col, cosine_similarity(F.col(vec_col),
+                                                       F.col(queries_vec))))
+    nb = spark.sparkContext.defaultParallelism
+    order = [F.desc(score_col), F.asc(id_col)]
+    w1 = Window.partitionBy(query_id, "_b").orderBy(*order)
+    w2 = Window.partitionBy(query_id).orderBy(*order)
+    pre = (scored.withColumn("_b", F.crc32(F.col(id_col).cast("string")) % nb)
+           .withColumn("_rn", F.row_number().over(w1))
+           .filter(F.col("_rn") <= k).drop("_rn", "_b"))
+    return (pre.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn", queries_vec))
+
+
 def signlsh_buckets(df: DataFrame, hyperplanes: list[list[float]],
                     vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane sign bucket per row: bit i = (v·h_i >= 0). Equal

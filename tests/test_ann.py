@@ -222,3 +222,40 @@ def test_topk_recall_ignores_duplicate_candidates(spark):
                                  "query_id long, vec_id long")
     got = topk_recall(ref, cand).collect()[0]
     assert (got.n_hit, got.n_ref, got.recall) == (1, 2, 0.5)
+
+
+def test_ivf_query_index_batch_equals_per_query(spark, embeddings,
+                                                centroids, tmp_path):
+    """The batched IVF probe must return EXACTLY the per-query path's
+    rows for every query in the batch (same probe cells, same top-k,
+    same tie order) while reading the cells table once; its plan still
+    partition-prunes on the probed-cell union."""
+    from go_simple_embedding_database_spark.plans.explain_utils import (
+        formatted_plan)
+
+    path = str(tmp_path / "ivfb")
+    ann.ivf_write_index(embeddings, centroids, path)
+    qids = [3, 7, 11, 19]
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    qset = (emb.filter(F.col("vec_id").isin(qids))
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_embedding")))
+    batched = ann.ivf_query_index_batch(spark, path, qset, 10, nprobe=2)
+    got = {(r.query_id, r.vec_id) for r in batched.collect()}
+    want = set()
+    for qid in qids:
+        qv = [float(v) for v in
+              emb.filter(F.col("vec_id") == qid).collect()[0].embedding]
+        for r in ann.ivf_query_index(spark, path, qv, 10, nprobe=2).collect():
+            want.add((qid, r.vec_id))
+    assert got == want
+
+    plan = formatted_plan(batched)
+    assert "PartitionFilters" in plan
+    assert plan.count("cells") >= 1
+    # one cells read for the whole batch, not one per query: a single
+    # scan node mentions its path at most twice in formatted output
+    # (tree line + detail Location); the 4-query per-query shape would
+    # mention it 8 times
+    assert plan.count("ivfb/cells") <= 2
