@@ -621,9 +621,12 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     already happened upstream. Above the threshold the distributed loop
     runs unchanged.
 
-    Caching contract: the returned labels DataFrame is persisted (it was
-    the loop's working set); callers done with it should ``.unpersist()``
-    it. Intermediate rounds and the edge relation are released here.
+    Caching contract: the returned labels DataFrame is an EAGER
+    localCheckpoint (materialized before the loop's working set is
+    released); its blocks free themselves once the caller drops the
+    result — no session-pinned cache, same discipline as the other
+    materializing operators. Intermediate rounds and the edge relation
+    are released here.
 
     Raises RuntimeError if labels are still changing after ``max_iter``
     rounds — partial labels would silently mis-cluster downstream dedup."""
@@ -711,8 +714,11 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
             f"({changed} labels still changing) — returning partial labels "
             f"would mis-cluster; raise max_iter (rounds needed is "
             f"O(log diameter) with pointer jumping)")
-    out = labels.select("node", "comp").persist()
-    out.count()
+    # Eager: materializes NOW (one job, same cost as the former
+    # persist+count), truncates lineage so the loop relations can be
+    # released below, and the blocks self-free when the caller drops
+    # the result.
+    out = labels.select("node", "comp").localCheckpoint(eager=True)
     if labels.is_cached:
         labels.unpersist()
     return out

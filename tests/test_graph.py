@@ -102,6 +102,11 @@ def test_no_pinned_storage_after_release(spark, chain_edges):
          for i in range(20)], "doc_id long, text string")
     results.append(dd.simhash_neardup_pairs(docs, max_hamming=10))
     results.append(dd.containment_pairs(docs, threshold=0.5, max_df=25))
+    # force the DISTRIBUTED connected-components loop (its result is an
+    # eager localCheckpoint — must release like the rest)
+    results.append(dd.connected_components(
+        spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"),
+        small_graph_edges=0))
     for r in results:
         r.collect()
     assert persistent_ids() - baseline, (
