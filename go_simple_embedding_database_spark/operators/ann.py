@@ -314,7 +314,10 @@ def ivf_query_index_batch(spark, path: str, queries: DataFrame, k: int,
     Returns (query columns, index row columns, score_col) — exactly the
     rows the per-query path returns for each query, one plan.
     """
-    from go_simple_embedding_database_spark.operators.topk import batch_topk
+    from pyspark.sql.types import StructField, StructType
+
+    from go_simple_embedding_database_spark.operators.topk import (
+        batch_topk, bucketed_topk)
 
     cent = (spark.read.parquet(f"{path}/centroids")
             .select("centroid_id", F.col("centroid").alias(vec_col)))
@@ -326,22 +329,20 @@ def ivf_query_index_batch(spark, path: str, queries: DataFrame, k: int,
     probed_cells = sorted({c for _, c in pairs})
     cells = (spark.read.parquet(f"{path}/cells")
              .filter(F.col("cell").isin(probed_cells)))
-    pair_df = spark.createDataFrame(pairs, [query_id, "cell"]) \
-        .withColumn("cell", F.col("cell").cast(dict(cells.dtypes)["cell"]))
+    # Explicit schema (not inference): an EMPTY query batch must yield an
+    # empty result, and schema inference raises on an empty row list.
+    pair_schema = StructType([
+        StructField(query_id, queries.schema[query_id].dataType),
+        StructField("cell", cells.schema["cell"].dataType),
+    ])
+    pair_df = spark.createDataFrame(pairs, pair_schema)
     scored = (cells.join(F.broadcast(pair_df), "cell")
               .join(F.broadcast(queries), query_id)
               .withColumn(score_col, cosine_similarity(F.col(vec_col),
                                                        F.col(queries_vec))))
-    nb = spark.sparkContext.defaultParallelism
-    order = [F.desc(score_col), F.asc(id_col)]
-    w1 = Window.partitionBy(query_id, "_b").orderBy(*order)
-    w2 = Window.partitionBy(query_id).orderBy(*order)
-    pre = (scored.withColumn("_b", F.crc32(F.col(id_col).cast("string")) % nb)
-           .withColumn("_rn", F.row_number().over(w1))
-           .filter(F.col("_rn") <= k).drop("_rn", "_b"))
-    return (pre.withColumn("_rn", F.row_number().over(w2))
-            .filter(F.col("_rn") <= k)
-            .drop("_rn", queries_vec))
+    return bucketed_topk(scored, query_id,
+                         [F.desc(score_col), F.asc(id_col)], k,
+                         id_col).drop(queries_vec)
 
 
 def signlsh_buckets(df: DataFrame, hyperplanes: list[list[float]],

@@ -35,6 +35,35 @@ def _vec_literal(qvec: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in qvec])
 
 
+def bucketed_topk(scored: DataFrame, group_col: str, order: list[Column],
+                  k: int, bucket_key: str,
+                  buckets: int | None = None) -> DataFrame:
+    """Exact per-group top-k as a TWO-stage bucketed window — THE shared
+    primitive under ``batch_topk``, ``similarity_join`` and the ANN batch
+    probe. Stage 1 partitions by (group, bucket) so one group's candidate
+    rows never funnel through a single task (a plain
+    ``partitionBy(group)`` window is the canonical straggler/OOM at the
+    100 TB design point — AQE cannot split a window partition); stage 2
+    re-ranks the surviving ``buckets × k`` rows per group. Global top-k ⊆
+    union of per-bucket top-k, and callers pass a TOTAL ``order``
+    (score desc + unique tie-break asc), so the result is identical to
+    the single-window formulation.
+
+    ``bucket_key`` is a unique-ish column hashed (crc32) into the stage-1
+    bucket — deterministic, so reruns bucket identically."""
+    nb = buckets or scored.sparkSession.sparkContext.defaultParallelism
+    w1 = Window.partitionBy(group_col, "_b").orderBy(*order)
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        scored.withColumn("_b", F.crc32(F.col(bucket_key).cast("string")) % nb)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k).drop("_rn", "_b")
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def topk_by_similarity(
     records: DataFrame,
     qvec: list[float],
@@ -109,11 +138,7 @@ def batch_topk(
     slim_cols = list(dict.fromkeys(
         [query_id, records_id, score_col] + (tie_break or [])))
     slim = scored.select(*slim_cols)
-    pre = (slim.withColumn("_b", F.crc32(F.col(records_id).cast("string")) % nb)
-           .withColumn("_rn", F.row_number().over(w1))
-           .filter(F.col("_rn") <= k).drop("_rn", "_b"))
-    winners = (pre.withColumn("_rn", F.row_number().over(w2))
-               .filter(F.col("_rn") <= k).drop("_rn"))
+    winners = bucketed_topk(slim, query_id, order, k, records_id, nb)
     out = records.join(
         F.broadcast(winners.select(*dict.fromkeys([records_id, query_id, score_col]))),
         records_id)
@@ -180,16 +205,7 @@ def similarity_join(
     if threshold is not None:
         scored = scored.filter(F.col(score_col) >= threshold)
     if k is not None:
-        nb = buckets or left.sparkSession.sparkContext.defaultParallelism
-        order = [F.desc(score_col), F.asc("right_id")]
-        w1 = Window.partitionBy("left_id", "_b").orderBy(*order)
-        w2 = Window.partitionBy("left_id").orderBy(*order)
-        scored = (
-            scored.withColumn("_b", F.crc32(F.col("right_id").cast("string")) % nb)
-            .withColumn("_rn", F.row_number().over(w1))
-            .filter(F.col("_rn") <= k).drop("_rn", "_b")
-            .withColumn("_rn", F.row_number().over(w2))
-            .filter(F.col("_rn") <= k)
-            .drop("_rn")
-        )
+        scored = bucketed_topk(
+            scored, "left_id", [F.desc(score_col), F.asc("right_id")], k,
+            "right_id", buckets)
     return scored

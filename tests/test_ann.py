@@ -259,3 +259,19 @@ def test_ivf_query_index_batch_equals_per_query(spark, embeddings,
     # (tree line + detail Location); the 4-query per-query shape would
     # mention it 8 times
     assert plan.count("ivfb/cells") <= 2
+
+
+def test_ivf_query_index_batch_empty_queries(spark, embeddings, centroids,
+                                             tmp_path):
+    """An empty query batch returns an empty result with the output
+    schema — not a schema-inference crash (review finding: inference
+    raises CANNOT_INFER_EMPTY_SCHEMA on an empty pair list)."""
+    path = str(tmp_path / "ivfe")
+    ann.ivf_write_index(embeddings, centroids, path)
+    qset = (embeddings.filter(F.col("vec_id") < 0)  # matches nothing
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").cast("array<double>")
+                    .alias("query_embedding")))
+    out = ann.ivf_query_index_batch(spark, path, qset, 10, nprobe=2)
+    assert out.count() == 0
+    assert "query_id" in out.columns and "vec_id" in out.columns
