@@ -100,6 +100,38 @@ COMMENTARY: dict[str, tuple[str, str]] = {
         "per-(source, bin) aggregation reuses that partitioning because "
         "its keys extend the window key. A global (unpartitioned) cumsum "
         "would be a one-task plan; this one scales with shard count."),
+    "events_rolling_7d": (
+        "RANGE-frame rolling 7-day window (gate-flagged r02, integer-"
+        "hardened r03)",
+        "One `Exchange hashpartitioning(user_id)` feeds both the daily "
+        "aggregate and the rangeBetween window (the window key extends "
+        "the groupBy key, so the partitioning is reused). The rolling "
+        "value is exact integer cents end-to-end — quantized per row "
+        "BEFORE any sum, so the result is fold-order-free on any engine "
+        "and any partitioning."),
+    "token_budget": (
+        "Global token-budget selection (gate-flagged r02, BIGINT-cast "
+        "r03)",
+        "Two-phase histogram refinement: a bands-sized aggregate finds "
+        "the boundary band, full bands pass via a broadcast status join "
+        "(no window at all), and ONLY boundary-band rows see a cumsum "
+        "window — the plan must show the window operating on the "
+        "band-filtered relation, never the corpus. The naive global "
+        "running sum (the DuckDB oracle) would be a one-task sort."),
+    "corpus_upsert": (
+        "MERGE-style upsert (gate-flagged r02, BIGINT-cast r03)",
+        "The revision batch replaces its keys via left-anti join on "
+        "doc_id + union — both sides hash-partition on the key, no "
+        "cross join, no full rewrite of unmatched rows' content. The "
+        "per-source audit aggregate partial-aggregates map-side."),
+    "split_contamination": (
+        "Train/test contamination scan (re-materialized r03)",
+        "The winnowing-fingerprint relation is materialized BEFORE the "
+        "explode (one compact array row per doc — the r02 version "
+        "cached the exploded relation and the many-row cache write "
+        "dominated, 2.27 s; now ~1.1 s at sf0.1). Both split sides "
+        "re-explode from the checkpoint in pure codegen and meet in an "
+        "equi-join on the fingerprint — never a text cross join."),
     "event_funnel": (
         "Ordered funnel over events",
         "All four chained stage windows share the user_id partitioning: "
