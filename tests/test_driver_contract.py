@@ -33,6 +33,7 @@ CHANGED_ROUND3 = {
     "pagerank_suppliers", "dedup_containment",
     "frequent_tokens",                        # localCheckpoint discipline
     "multimodal_decode",                      # real PPM/BMP/WAV codecs
+    "tfidf_top_terms",                        # tf materialization (2.7x)
 }
 
 # Queries with a green official CORRECTNESS row (r01 or r02 — r02 wins
@@ -57,7 +58,7 @@ OFFICIALLY_GREEN_UNCHANGED = {
     "user_event_pivot", "bucketed_join_revenue", "big_orders_customers",
     "nation_acctbal_outliers", "ngram_vocab", "udtf_chunks",
     "balanced_sample", "local_supplier_revenue", "dedup_clusters",
-    "tfidf_top_terms", "user_activity_streaks", "order_value_histogram",
+    "user_activity_streaks", "order_value_histogram",
     "similarity_join_knn", "ann_ivf", "ann_quantized", "text_repetition",
     "event_funnel", "events_retention", "mixture_sample", "snapshot_diff",
     "events_pmi", "split_leakage_safe", "zorder_layout",
