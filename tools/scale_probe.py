@@ -70,6 +70,7 @@ def _flagships():
         "dedup_simhash": q["dedup_simhash"],      # 60-bit fp, 1 row/doc
         "token_budget": q["token_budget"],        # histogram refinement
         "frequent_tokens": q["frequent_tokens"],  # MG sketch + recount
+        "tfidf_top_terms": q["tfidf_top_terms"],  # tf materialized, 3 rows/doc
     }
 
 
