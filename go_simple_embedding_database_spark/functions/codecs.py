@@ -1,13 +1,14 @@
 """Pure-python/numpy media codecs for the multimodal operators.
 
 The container ships no PIL/ffmpeg/torchaudio, so the codec layer is
-self-contained: real decoders for the UNCOMPRESSED container formats
-whose specs are a header plus raw samples — binary PPM/PGM (netpbm P6/P5),
-24/32-bit uncompressed BMP, and PCM WAV — all implementable exactly with
-numpy alone. Compressed formats (JPEG/PNG/MP3/MP4) still fall back to the
-clearly-marked deterministic fake in ``operators.multimodal`` — entropy
-coding is out of scope for a dependency-free container, and the fallback
-keeps every downstream operator exercisable on arbitrary bytes.
+self-contained: real decoders for the container formats implementable
+with the stdlib + numpy alone — binary PPM/PGM (netpbm P6/P5), 24/32-bit
+uncompressed BMP, PCM WAV, and non-interlaced 8-bit PNG (DEFLATE is
+stdlib ``zlib``; the scanline unfiltering is implemented here). Formats
+whose entropy coding has no stdlib implementation (JPEG/MP3/MP4) still
+fall back to the clearly-marked deterministic fake in
+``operators.multimodal``, keeping every downstream operator exercisable
+on arbitrary bytes.
 
 All functions are pure bytes -> numpy (no Spark imports): they run inside
 ``mapInPandas`` workers, one Arrow batch of payloads per call, and are
@@ -17,6 +18,7 @@ unit-testable without a session.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -30,6 +32,8 @@ __all__ = [
     "audio_feature",
 ]
 
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
 
 # Known DIB header sizes (BITMAPCOREHEADER excluded — 24-bit core BMPs
 # are extinct; decode_image requires >= 40 anyway).
@@ -37,8 +41,8 @@ _BMP_DIB_SIZES = frozenset({40, 52, 56, 108, 124})
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """Container format sniff: 'ppm' | 'pgm' | 'bmp' | 'wav', or None
-    for anything this codec layer cannot really decode.
+    """Container format sniff: 'ppm' | 'pgm' | 'bmp' | 'wav' | 'png', or
+    None for anything this codec layer cannot really decode.
 
     Deliberately STRICTER than the bare magic bytes: a media column can
     legitimately carry arbitrary bytes (text wrapped as payloads in
@@ -63,6 +67,10 @@ def sniff_format(payload: bytes) -> str | None:
         return None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:8] == _PNG_SIGNATURE:
+        # the 8-byte signature includes non-ASCII and CR/LF bytes by
+        # design (it cannot occur in text), so no extra strictness needed
+        return "png"
     return None
 
 
@@ -121,6 +129,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return np.repeat(gray[:, :, None], 3, axis=2).copy()
     if kind == "bmp":
         return _decode_bmp(payload)
+    if kind == "png":
+        return _decode_png(payload)
     raise ValueError("unsupported image format for the built-in codec")
 
 
@@ -154,6 +164,118 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     if h_raw > 0:  # positive height = bottom-up row order
         rgb = rgb[::-1]
     return rgb.copy()
+
+
+# PNG color types: value -> samples per pixel (8-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the PNG per-scanline filters (spec §9): each row is one
+    filter-type byte + ``stride`` filtered bytes. Up is fully vectorized;
+    Sub/Average/Paeth have a true byte-serial dependency within the row
+    (each byte needs the already-RECONSTRUCTED byte bpp to its left), so
+    those rows run a per-byte loop — exact, and cheap at the row widths a
+    feature-extraction pipeline resizes anyway."""
+    need = h * (1 + stride)
+    if len(raw) < need:
+        raise ValueError(f"truncated PNG pixel stream: {len(raw)} < {need}")
+    rows = np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int64)
+        if ftype == 0:                      # None
+            rec = cur
+        elif ftype == 2:                    # Up
+            rec = (cur + prev) & 0xFF
+        elif ftype in (1, 3, 4):            # Sub / Average / Paeth
+            rec = cur.copy()
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if ftype == 1:
+                    rec[i] = (rec[i] + a) & 0xFF
+                elif ftype == 3:
+                    rec[i] = (rec[i] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[i] = (rec[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Real PNG decode (no PIL): signature + chunk walk with CRC checks,
+    stdlib-zlib inflate of the IDAT stream, per-scanline unfiltering, and
+    color-type mapping to HxWx3 RGB. Supports the common training-corpus
+    shape — 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), non-interlaced. 16-bit, sub-byte depths and
+    Adam7 interlacing raise ValueError (the quarantine path), as do CRC
+    mismatches and truncated streams."""
+    pos, n = len(_PNG_SIGNATURE), len(payload)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > n:
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack_from(">I", payload, pos + 8 + length)[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, color_type, compression, filt, interlace = ihdr
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    if compression != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    channels = _PNG_CHANNELS[color_type]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG DEFLATE stream: {e}") from e
+    px = _png_unfilter(raw, h, w * channels, channels).reshape(h, w, channels)
+    if color_type == 2:                     # RGB
+        return px.copy()
+    if color_type == 6:                     # RGBA -> drop alpha
+        return px[:, :, :3].copy()
+    if color_type == 0:                     # gray
+        return np.repeat(px, 3, axis=2).copy()
+    if color_type == 4:                     # gray+alpha
+        return np.repeat(px[:, :, :1], 3, axis=2).copy()
+    # palette
+    if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
+        raise ValueError("paletted PNG missing a valid PLTE chunk")
+    table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = px[:, :, 0]
+    if int(idx.max(initial=0)) >= table.shape[0]:
+        raise ValueError("PNG palette index out of range")
+    return table[idx].copy()
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:

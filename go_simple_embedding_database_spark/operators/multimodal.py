@@ -2,13 +2,13 @@
 
 The Spark-side plumbing is REAL and tested: schemas, Arrow batch shapes,
 ``mapInPandas`` signatures, partitioning for CPU-heavy decode. The codec
-step is REAL for uncompressed formats via the dependency-free
-``functions.codecs`` layer (binary PPM/PGM, 24/32-bit BMP, PCM WAV:
-actual pixel/sample decode, luma-grid / RMS-envelope features,
-nearest-neighbor resize). Compressed formats (JPEG/PNG/MP3/MP4) fall
-back to a deterministic sha256 fake — entropy coding needs PIL/ffmpeg,
-which this container does not ship — so every downstream operator (dedup
-by perceptual hash, ANN over media embeddings) stays exercisable on
+step is REAL for every format the dependency-free ``functions.codecs``
+layer covers (binary PPM/PGM, 24/32-bit BMP, PCM WAV, non-interlaced
+8-bit PNG via stdlib zlib: actual pixel/sample decode, luma-grid /
+RMS-envelope features, nearest-neighbor resize). Formats whose entropy
+coding has no stdlib implementation (JPEG/MP3/MP4) fall back to a
+deterministic sha256 fake — so every downstream operator (dedup by
+perceptual hash, ANN over media embeddings) stays exercisable on
 arbitrary bytes. Swapping the fallback for a real compressed-format
 decoder changes ONE function; the distributed plan is already correct.
 
@@ -44,9 +44,10 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
 
     REAL decode for the formats the dependency-free codec layer
     (functions/codecs.py) covers — binary PPM/PGM, uncompressed 24/32-bit
-    BMP (pixel raster + 4x4 luma-grid feature), PCM WAV (sample stream +
-    RMS-envelope feature). Anything else (JPEG/PNG/MP3/MP4 — entropy
-    coded, needs PIL/ffmpeg) falls back to the deterministic sha256 fake
+    BMP, non-interlaced 8-bit PNG (pixel raster + 4x4 luma-grid feature),
+    PCM WAV (sample stream + RMS-envelope feature). Anything else
+    (JPEG/MP3/MP4 — entropy coded, no stdlib implementation, needs
+    PIL/ffmpeg) falls back to the deterministic sha256 fake
     so arbitrary bytes stay exercisable end-to-end; swapping the fallback
     for a real compressed-format decoder remains a one-function change.
 
@@ -59,7 +60,7 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
         raise ValueError("cannot decode empty payload")
     payload = bytes(payload)
     kind = codecs.sniff_format(payload)
-    if kind in ("ppm", "pgm", "bmp"):
+    if kind in ("ppm", "pgm", "bmp", "png"):
         rgb = codecs.decode_image(payload)
         return {
             "width": int(rgb.shape[1]),
@@ -196,7 +197,7 @@ def _resize_payload(payload: bytes, target_w: int, target_h: int) -> bytes:
     if payload is None or len(payload) == 0:
         raise ValueError("cannot resize empty payload")
     payload = bytes(payload)
-    if codecs.sniff_format(payload) in ("ppm", "pgm", "bmp"):
+    if codecs.sniff_format(payload) in ("ppm", "pgm", "bmp", "png"):
         rgb = codecs.decode_image(payload)
         return codecs.encode_ppm(
             codecs.resize_nearest(rgb, target_w, target_h))

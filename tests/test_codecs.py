@@ -160,3 +160,129 @@ class TestDecodeMediaIntegration:
         assert (out.width, out.height) == (4, 4)
         resized = codecs.decode_image(bytes(out.payload))
         assert np.array_equal(resized, codecs.resize_nearest(arr, 4, 4))
+
+
+def _png_chunk(ctype, data):
+    import zlib
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _png(arr, color_type=2, filters=None, plte=None, depth=8, interlace=0):
+    """Minimal PNG encoder (test-only): forward-filters each scanline with
+    the requested filter type so every unfilter branch is exercised
+    against ground-truth pixels. ``arr`` is HxW (gray/palette index) or
+    HxWxC matching ``color_type``'s channel count."""
+    import zlib
+    a = np.asarray(arr, dtype=np.int64)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    bpp = ch
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y, ftype in zip(range(h), filters):
+        cur = a[y].reshape(-1)
+        filt = np.zeros_like(cur)
+        for i in range(len(cur)):
+            left = cur[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            filt[i] = (cur[i] - pred) & 0xFF
+        raw += bytes([ftype]) + bytes(filt.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = codecs._PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += _png_chunk(b"IEND", b"")
+    return out
+
+
+class TestPngCodec:
+    def test_sniff_and_rgb_round_trip_all_filters(self):
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 256, size=(5, 4, 3), dtype=np.int64)
+        payload = _png(arr, color_type=2, filters=[0, 1, 2, 3, 4])
+        assert codecs.sniff_format(payload) == "png"
+        assert np.array_equal(codecs.decode_image(payload),
+                              arr.astype(np.uint8))
+
+    def test_gray_expands_to_rgb(self):
+        gray = np.arange(12, dtype=np.int64).reshape(3, 4) * 20
+        out = codecs.decode_image(_png(gray, color_type=0, filters=[4, 3, 1]))
+        assert out.shape == (3, 4, 3)
+        assert np.array_equal(out[:, :, 1], gray.astype(np.uint8))
+
+    def test_rgba_drops_alpha_and_gray_alpha(self):
+        rng = np.random.default_rng(11)
+        rgba = rng.integers(0, 256, size=(2, 3, 4), dtype=np.int64)
+        out = codecs.decode_image(_png(rgba, color_type=6, filters=[4, 2]))
+        assert np.array_equal(out, rgba[:, :, :3].astype(np.uint8))
+        ga = rng.integers(0, 256, size=(2, 2, 2), dtype=np.int64)
+        out2 = codecs.decode_image(_png(ga, color_type=4, filters=[1, 4]))
+        assert np.array_equal(out2[:, :, 0], ga[:, :, 0].astype(np.uint8))
+
+    def test_palette_lookup(self):
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+        idx = np.array([[0, 1], [2, 0]], dtype=np.int64)
+        out = codecs.decode_image(_png(idx, color_type=3, plte=plte,
+                                       filters=[2, 1]))
+        expect = np.array([[[255, 0, 0], [0, 255, 0]],
+                           [[0, 0, 255], [255, 0, 0]]], dtype=np.uint8)
+        assert np.array_equal(out, expect)
+
+    def test_rejects_unsupported_and_corrupt(self):
+        arr = np.zeros((2, 2, 3), dtype=np.int64)
+        with pytest.raises(ValueError, match="8-bit"):
+            codecs.decode_image(_png(arr, depth=16))
+        with pytest.raises(ValueError, match="interlace|Adam7"):
+            codecs.decode_image(_png(arr, interlace=1))
+        with pytest.raises(ValueError, match="palette"):
+            codecs.decode_image(_png(np.array([[0, 3]]), color_type=3,
+                                     plte=bytes([1, 2, 3])))
+        good = _png(arr)
+        flipped = bytearray(good)
+        flipped[-17] ^= 0xFF  # corrupt a byte inside the IDAT chunk body
+        with pytest.raises(ValueError, match="CRC|DEFLATE"):
+            codecs.decode_image(bytes(flipped))
+        # truncated pixel stream: valid zlib, too few scanline bytes
+        import zlib as _z
+        short = _png(arr)
+        rebuilt = (codecs._PNG_SIGNATURE
+                   + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+                   + _png_chunk(b"IDAT", _z.compress(b"\x00" * 5))
+                   + _png_chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="truncated"):
+            codecs.decode_image(rebuilt)
+
+    def test_decode_media_png_real_path(self, spark):
+        from go_simple_embedding_database_spark.operators.multimodal import (
+            decode_media, resize_media)
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 256, size=(6, 9, 3), dtype=np.int64)
+        payload = _png(arr, color_type=2, filters=[0, 1, 2, 3, 4, 1])
+        df = spark.createDataFrame(
+            [("p", "image", bytearray(payload))],
+            "media_id string, modality string, payload binary")
+        row = decode_media(df).collect()[0]
+        assert (row.width, row.height) == (9, 6)
+        assert row.feature == codecs.image_feature(arr.astype(np.uint8))
+        resized = resize_media(df, 3, 3).collect()[0]
+        assert np.array_equal(
+            codecs.decode_image(bytes(resized.payload)),
+            codecs.resize_nearest(arr.astype(np.uint8), 3, 3))

@@ -32,7 +32,7 @@ CHANGED_ROUND3 = {
     "pii_scrub",                              # phone-pattern digit floor
     "pagerank_suppliers", "dedup_containment",
     "frequent_tokens",                        # localCheckpoint discipline
-    "multimodal_decode",                      # real PPM/BMP/WAV codecs
+    "multimodal_decode",                      # real PPM/BMP/WAV/PNG codecs
     "tfidf_top_terms",                        # tf materialization (2.7x)
 }
 
