@@ -344,3 +344,34 @@ def test_pigeonhole_banding_never_loses_a_close_pair(fp_a, n_flips, budget,
     # end-to-end in test_dedup.test_simhash_banding_equals_bruteforce;
     # keep a reference so the import above stays honest
     assert callable(_pigeonhole_bands) and SIMHASH_BITS == 60
+
+
+@SETTINGS
+@given(st.data())
+def test_png_decode_inverts_any_filter_choice(data):
+    """decode(encode(pixels, any per-row filter mix)) == pixels for every
+    color type — pins the scanline unfiltering (the only stateful part of
+    the PNG codec) against ground truth under random shapes, pixel values
+    and filter assignments."""
+    from go_simple_embedding_database_spark.functions import codecs
+    from tests.test_codecs import _png
+
+    h = data.draw(st.integers(1, 6), label="h")
+    w = data.draw(st.integers(1, 6), label="w")
+    color_type = data.draw(st.sampled_from([0, 2, 4, 6]), label="ct")
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1),
+                                          label="seed"))
+    arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.int64)
+    filters = [data.draw(st.sampled_from([0, 1, 2, 3, 4]), label=f"f{y}")
+               for y in range(h)]
+    out = codecs.decode_image(_png(arr, color_type=color_type,
+                                   filters=filters))
+    a8 = arr.astype(np.uint8)
+    if color_type == 2:
+        expect = a8
+    elif color_type == 6:
+        expect = a8[:, :, :3]
+    else:
+        expect = np.repeat(a8[:, :, :1], 3, axis=2)
+    assert np.array_equal(out, expect)
