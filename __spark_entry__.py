@@ -2885,7 +2885,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
            ann_recall batch_topk reroute, split_contamination
            re-materialization, pii phone-pattern floor, localCheckpoint
            discipline in pagerank/containment/frequent_items, real
-           multimodal codecs);
+           multimodal codecs, the prefix-filter rewrite of the exact
+           Jaccard join — which also moves its dependent
+           split_leakage_safe into the changed set);
     (r3-c) round-2-green queries kept in the window, newest-checked
            surface first — these re-confirm under the same gate that
            flagged round 2's six;
@@ -2914,6 +2916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_dedup_containment,
         "frequent_tokens": _q_frequent_tokens,
         "multimodal_decode": _q_multimodal_decode,
+        "dedup_jaccard": _q_dedup_jaccard,
         # (r3-c) round-2-green, kept in the window
         "user_event_pivot": _q_user_event_pivot,
         "bucketed_join_revenue": _q_bucketed_join_revenue,
@@ -2948,10 +2951,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine": _q_topk_cosine,
         "batch_topk": _q_batch_topk,
         "cosine_kernel_pairs": _q_cosine_kernel_pairs,
-        "ingest_embed": _q_ingest_embed,
         # ---- gate window ends here (50 entries above; pinned by
         # tests/test_driver_contract.py::test_window_marker_is_exact) ----
         # (tail) official green row on a byte-identical implementation
+        "ingest_embed": _q_ingest_embed,
         "dedup_exact": _q_dedup_exact,
         "approx_distinct_users": _q_approx_distinct_users,  # rows-only by
         # design (r02 row recorded); error bound pinned in test_oracle_parity
@@ -2959,7 +2962,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": _q_text_language_id,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_winnow": _q_dedup_winnow,
-        "dedup_jaccard": _q_dedup_jaccard,
         "dedup_cosine": _q_dedup_cosine,
         "embedding_centroids": _q_embedding_centroids,
         "pipeline_clean_corpus": _q_pipeline_clean_corpus,

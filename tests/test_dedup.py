@@ -284,13 +284,59 @@ def test_length_band_jaccard_blocked(spark):
 
 
 def test_length_band_jaccard_pair_matched_once(spark):
-    """The 3-band explode must not duplicate a candidate pair."""
+    """Multiple shared prefix shingles must not duplicate a pair."""
     t = "one two three four five six seven eight nine ten"
     df = spark.createDataFrame(
         [(1, "s", t, 50), (2, "s", t, 50)],
         "doc_id int, source string, text string, n_chars int")
     rows = dd.length_band_jaccard_dedup(df, band_width=8, threshold=0.5).collect()
     assert len(rows) == 1 and rows[0].jaccard == 1.0
+
+
+def test_length_band_jaccard_prefix_filter_equals_bruteforce(spark):
+    """The prefix-filter candidate join is EXACT: against a corpus with
+    near-dups, partial overlaps, shared boilerplate, dissimilar docs and
+    shingle counts that stress the prefix-length formula, the result set
+    must equal the brute-force all-pairs (block + band + threshold)
+    evaluation pair for pair, at two thresholds."""
+    from go_simple_embedding_database_spark.functions.text import shingles_py
+
+    base = "the quick brown fox jumps over the lazy dog near the old river"
+    docs = [
+        (1, "s1", base),
+        (2, "s1", base + " again"),                       # near dup of 1
+        (3, "s1", base.replace("quick", "slow")),          # partial overlap
+        (4, "s1", "completely different words live in this one today yes"),
+        (5, "s1", "the quick brown fox sat still"),        # shares boilerplate
+        (6, "s2", base),                                   # other block
+        (7, "s1", "tiny doc"),                             # < n words
+        (8, "s1", "tiny doc"),                             # dup of 7
+        (9, "s1", base + " yet another tail of words"),    # longer variant
+    ]
+    rows = [(i, s, t, len(t)) for i, s, t in docs]
+    df = spark.createDataFrame(
+        rows, "doc_id int, source string, text string, n_chars int")
+
+    def brute(threshold, band_width=8, n=3):
+        sh = {i: set(shingles_py(t, n)) for i, _, t in docs}
+        band = {i: ln // band_width for i, _, _, ln in rows}
+        blk = {i: s for i, s, _ in docs}
+        out = set()
+        for x, _, _ in docs:
+            for y, _, _ in docs:
+                if x < y and blk[x] == blk[y] and abs(band[x] - band[y]) <= 1:
+                    inter = len(sh[x] & sh[y])
+                    union = len(sh[x] | sh[y])
+                    j = inter / union if union else 0.0
+                    if j >= threshold:
+                        out.add((x, y, round(j, 9)))
+        return out
+
+    for threshold in (0.5, 0.8):
+        got = {(r.id_a, r.id_b, round(r.jaccard, 9))
+               for r in dd.length_band_jaccard_dedup(
+                   df, band_width=8, threshold=threshold).collect()}
+        assert got == brute(threshold), f"threshold={threshold}"
 
 
 def test_containment_detects_inclusion(spark):

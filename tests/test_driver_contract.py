@@ -34,6 +34,8 @@ CHANGED_ROUND3 = {
     "frequent_tokens",                        # localCheckpoint discipline
     "multimodal_decode",                      # real PPM/BMP/WAV/PNG codecs
     "tfidf_top_terms",                        # tf materialization (2.7x)
+    "dedup_jaccard",                          # prefix-filter candidate join
+    "split_leakage_safe",                     # depends on the jaccard join
 }
 
 # Queries with a green official CORRECTNESS row (r01 or r02 — r02 wins
@@ -43,7 +45,7 @@ OFFICIALLY_GREEN_UNCHANGED = {
     # r01 green, unchanged since (rotated to the tail in round 2 already)
     "topk_small_collection", "point_lookup", "collections_catalog",
     "crud_query", "text_language_id", "text_stats", "text_quality",
-    "dedup_minhash", "dedup_winnow", "dedup_jaccard", "dedup_cosine",
+    "dedup_minhash", "dedup_winnow", "dedup_cosine",
     "embedding_centroids", "shipping_priority", "events_asof",
     "events_range_join", "revenue_rollup", "top_orders_per_customer",
     "pipeline_clean_corpus", "source_length_stats", "ann_lsh_join",
@@ -61,7 +63,7 @@ OFFICIALLY_GREEN_UNCHANGED = {
     "user_activity_streaks", "order_value_histogram",
     "similarity_join_knn", "ann_ivf", "ann_quantized", "text_repetition",
     "event_funnel", "events_retention", "mixture_sample", "snapshot_diff",
-    "events_pmi", "split_leakage_safe", "zorder_layout",
+    "events_pmi", "zorder_layout",
     "user_spend_trend", "incremental_revenue", "semantic_dedup",
     "bm25_search", "quality_unigram", "incremental_dedup",
     "weighted_sample", "topk_cosine", "batch_topk", "cosine_kernel_pairs",

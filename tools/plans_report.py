@@ -245,6 +245,17 @@ COMMENTARY: dict[str, tuple[str, str]] = {
         "(band, key), and the exact-Jaccard verify joins are semi-join-"
         "bounded to colliding documents. The candidate relation is a lazy "
         "localCheckpoint (three consumers, no pinned cache entry)."),
+    "dedup_jaccard": (
+        "Exact n-gram Jaccard pairs (prefix-filter candidate join)",
+        "Candidates are an equi-join on each document's prefix shingles "
+        "(rarest-first global order; |S| - ceil(t*|S|) + 1 per doc — the "
+        "published exact set-similarity-join bound), so disjoint "
+        "documents never pair; the length-band and block restrictions "
+        "apply as join filters. Every exchange is keyed (shingle df, "
+        "per-doc prefix window, prefix-token join, slim pair distinct, "
+        "id-keyed verify joins) — no all-pairs stage anywhere; the probe "
+        "measured 7.15x -> 2.05x wall-clock at 10x corpus for the "
+        "rewrite."),
     "pagerank_suppliers": (
         "PageRank supplier importance (fixed-point Pregel loop)",
         "Each superstep is join(ranks, edges on src) -> groupBy(dst) sum; "

@@ -47,6 +47,45 @@ def _synthesize(spark, out_dir: str) -> None:
      .write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet"))
 
 
+def _synthesize_disjoint(spark, out_dir: str, replicas: int) -> None:
+    """10x documents whose replicas are pairwise DISSIMILAR: every word is
+    prefixed with its replica tag (an injective per-replica token rename),
+    so within-replica shingle/minhash/simhash similarity structure is
+    isomorphic to the original corpus while cross-replica shingle sets
+    are disjoint. Pair-producing dedup operators then emit ~REPLICASx the
+    original pairs — linear output — and their time ratio measures the
+    PLAN, which exact-copy replication (quadratic cross-replica pairs)
+    cannot."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = spark.range(replicas).select(F.col("id").alias("_r"))
+    tagged = F.array_join(
+        F.transform(F.split(F.col("text"), " "),
+                    lambda w: F.concat(F.lit("r"), F.col("_r").cast("string"),
+                                       F.lit("·"), w)), " ")
+    (docs.crossJoin(reps)
+     .select((F.col("doc_id") + F.col("_r") * n_doc).alias("doc_id"),
+             tagged.alias("text"), "lang", "source")
+     .withColumn("n_chars", F.length("text"))
+     .repartition(32)
+     .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet"))
+
+
+def _pair_flagships():
+    """Pair-producing near-dup operators, probed against the disjoint-
+    replica corpus (see _synthesize_disjoint). Linear-output there, so the
+    10x ratio measures the banded-join plans the 100 TB story leans on."""
+    import __spark_entry__ as em
+    q = em.queries()
+    return {
+        "dedup_minhash": q["dedup_minhash"],
+        "dedup_jaccard": q["dedup_jaccard"],
+        "dedup_simhash_pairs": q["dedup_simhash_pairs"],
+        "dedup_containment": q["dedup_containment"],
+    }
+
+
 def _flagships():
     """name -> callable(spark, sf_dir) returning a DataFrame. Drawn from
     the driver surface where possible so the probe times the same code."""
@@ -85,13 +124,10 @@ def main() -> None:
         df.select(F.count(F.coalesce(F.col(df.columns[0]).cast("string"),
                                      F.lit("")))).collect()
 
-    scratch = tempfile.mkdtemp(prefix="gsed_scale_")
-    results = {}
-    try:
-        _synthesize(spark, scratch)
-        for name, fn in _flagships().items():
-            times = {}
-            for label, d in (("1x", SF_DIR), (f"{REPLICAS}x", scratch)):
+    def probe(flagships, dir_1x, dir_10x, results, count_rows=False):
+        for name, fn in flagships.items():
+            times, rows = {}, {}
+            for label, d in (("1x", dir_1x), (f"{REPLICAS}x", dir_10x)):
                 best = None
                 for _ in range(2):
                     spark.catalog.clearCache()
@@ -101,13 +137,39 @@ def main() -> None:
                     dt = time.perf_counter() - t0
                     best = dt if best is None else min(best, dt)
                 times[label] = round(best, 3)
+                if count_rows:
+                    rows[f"rows_{label}"] = fn(spark, d).count()
             ratio = round(times[f"{REPLICAS}x"] / times["1x"], 2)
-            results[name] = {**times, "ratio": ratio}
+            results[name] = {**times, "ratio": ratio, **rows}
+            extra = (f" rows {rows.get('rows_1x')}->{rows.get(f'rows_{REPLICAS}x')}"
+                     if count_rows else "")
             print(f"{name}: 1x={times['1x']}s {REPLICAS}x="
-                  f"{times[f'{REPLICAS}x']}s ratio={ratio}", flush=True)
+                  f"{times[f'{REPLICAS}x']}s ratio={ratio}{extra}", flush=True)
+
+    scratch = tempfile.mkdtemp(prefix="gsed_scale_")
+    results = {}
+    try:
+        _synthesize(spark, scratch)
+        probe(_flagships(), SF_DIR, scratch, results)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    print(json.dumps({"replicas": REPLICAS, "results": results}))
+
+    # pair-producing dedup family: both scales use the word-tagged corpus
+    # (1 replica vs REPLICAS replicas) so tokenization cost is identical
+    # and only the data volume changes; row counts prove output stayed
+    # ~linear (the prerequisite for the time ratio to mean anything).
+    pair_results = {}
+    s1 = tempfile.mkdtemp(prefix="gsed_scale_pair1_")
+    s10 = tempfile.mkdtemp(prefix="gsed_scale_pair10_")
+    try:
+        _synthesize_disjoint(spark, s1, 1)
+        _synthesize_disjoint(spark, s10, REPLICAS)
+        probe(_pair_flagships(), s1, s10, pair_results, count_rows=True)
+    finally:
+        shutil.rmtree(s1, ignore_errors=True)
+        shutil.rmtree(s10, ignore_errors=True)
+    print(json.dumps({"replicas": REPLICAS, "results": results,
+                      "pair_results": pair_results}))
 
 
 if __name__ == "__main__":
