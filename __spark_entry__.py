@@ -2887,7 +2887,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
            discipline in pagerank/containment/frequent_items, real
            multimodal codecs, the prefix-filter rewrite of the exact
            Jaccard join — which also moves its dependent
-           split_leakage_safe into the changed set);
+           split_leakage_safe into the changed set — and the min_by
+           rewrite of exact_dedup_keep, which moves dedup_keep and
+           pipeline_clean_corpus in);
     (r3-c) round-2-green queries kept in the window, newest-checked
            surface first — these re-confirm under the same gate that
            flagged round 2's six;
@@ -2917,9 +2919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_tokens": _q_frequent_tokens,
         "multimodal_decode": _q_multimodal_decode,
         "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_keep": _q_dedup_keep,
+        "pipeline_clean_corpus": _q_pipeline_clean_corpus,
         # (r3-c) round-2-green, kept in the window
-        "user_event_pivot": _q_user_event_pivot,
-        "bucketed_join_revenue": _q_bucketed_join_revenue,
         "big_orders_customers": _q_big_orders_customers,
         "nation_acctbal_outliers": _q_nation_acctbal_outliers,
         "ngram_vocab": _q_ngram_vocab,
@@ -2964,8 +2966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow": _q_dedup_winnow,
         "dedup_cosine": _q_dedup_cosine,
         "embedding_centroids": _q_embedding_centroids,
-        "pipeline_clean_corpus": _q_pipeline_clean_corpus,
-        "dedup_keep": _q_dedup_keep,
+        "user_event_pivot": _q_user_event_pivot,
+        "bucketed_join_revenue": _q_bucketed_join_revenue,
         "ingest_violations": _q_ingest_violations,
         "text_stats": _q_text_stats,
         "text_quality": _q_text_quality,

@@ -67,12 +67,22 @@ def exact_dedup(df: DataFrame, content_col: str = "text",
 
 def exact_dedup_keep(df: DataFrame, content_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
-    """The deduplicated table itself: keep the min-id row per content hash
-    (window row_number over hash — one shuffle on the hash key)."""
-    from pyspark.sql import Window
+    """The deduplicated table itself: keep the min-id row per content hash.
 
-    w = Window.partitionBy(content_hash(content_col)).orderBy(id_col)
-    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    Implemented as ``min_by(struct(*row), id)`` per hash group, NOT a
+    row_number window: an aggregate PARTIAL-COMBINES map-side, so the
+    hash exchange carries one surviving row per distinct hash per input
+    partition — on a duplicate-heavy 100 TB corpus that is the dedup
+    ratio's worth of shuffle saved, where the window formulation ships
+    EVERY row through the exchange before it can number anything. The
+    struct buffer makes Spark pick SortAggregate (local per-partition
+    sorts on the hash key, before and after the slim exchange) — local
+    CPU traded for shuffle volume, the right side of that trade at
+    scale. Deterministic: ``id_col`` is unique, so min_by has no
+    ties."""
+    keep = F.min_by(F.struct(*df.columns), F.col(id_col)).alias("_keep")
+    return (df.groupBy(content_hash(content_col).alias("_h")).agg(keep)
+            .select("_keep.*"))
 
 
 # -- MinHash + LSH -------------------------------------------------------------

@@ -36,6 +36,8 @@ CHANGED_ROUND3 = {
     "tfidf_top_terms",                        # tf materialization (2.7x)
     "dedup_jaccard",                          # prefix-filter candidate join
     "split_leakage_safe",                     # depends on the jaccard join
+    "dedup_keep",                             # min_by aggregate, not window
+    "pipeline_clean_corpus",                  # depends on exact_dedup_keep
 }
 
 # Queries with a green official CORRECTNESS row (r01 or r02 — r02 wins
@@ -48,9 +50,9 @@ OFFICIALLY_GREEN_UNCHANGED = {
     "dedup_minhash", "dedup_winnow", "dedup_cosine",
     "embedding_centroids", "shipping_priority", "events_asof",
     "events_range_join", "revenue_rollup", "top_orders_per_customer",
-    "pipeline_clean_corpus", "source_length_stats", "ann_lsh_join",
+    "source_length_stats", "ann_lsh_join",
     "events_windowed", "multimodal_metadata", "text_chunks",
-    "events_sessionize", "dedup_keep", "record_pretty",
+    "events_sessionize", "record_pretty",
     "ingest_violations", "pricing_summary", "segment_revenue",
     "events_salted_agg", "set_ops_customers", "semi_anti_customers",
     "user_moving_avg", "order_percentiles", "cube_revenue",

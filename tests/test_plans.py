@@ -139,6 +139,16 @@ def test_exact_dedup_partial_aggregation(plans):
     assert p.count("HashAggregate") >= 2
 
 
+def test_dedup_keep_is_partial_min_by_not_window(plans):
+    """The survivor table must select via min_by aggregation with a
+    map-side partial (slim exchange: one candidate per hash per input
+    partition), never a row_number window (which ships every row
+    through the exchange before numbering)."""
+    p = plans("dedup_keep")
+    assert "partial_min_by" in p
+    assert "row_number" not in p and "Window" not in p
+
+
 def test_whole_stage_codegen_on_hot_paths(plans):
     """Formatted plans annotate codegen'd operators with [codegen id : N].
     AQE plans defer codegen until stages finalize, so assert codegen on the
@@ -186,8 +196,12 @@ def test_shipping_priority_broadcasts_dim_and_pushes_filters(plans):
 
 
 def test_length_band_jaccard_no_cross_join(plans):
+    """Prefix-filter candidate generation: the pair join must be an
+    EQUI-join keyed on the prefix shingle (disjoint documents never
+    meet), never any flavor of all-pairs."""
     p = plans("dedup_jaccard")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "_tok" in p  # candidate join keyed on the exploded prefix shingle
 
 
 def test_centroid_rollup_partial_aggregates(plans):

@@ -264,6 +264,137 @@ COMMENTARY: dict[str, tuple[str, str]] = {
         "broadcasts at the end. Integer ranks make the whole loop "
         "deterministic under any partitioning — no float drift to mask "
         "a plan change."),
+    "dedup_exact": (
+        "Exact dedup by content hash",
+        "One `Exchange hashpartitioning(content_hash)` with partial_min/"
+        "partial_count BEFORE it (map-side combine): the shuffle carries "
+        "one row per distinct hash per input partition, not one per "
+        "document. sha2 runs inside whole-stage codegen in the scan "
+        "stage. This is the cheapest possible shape for exact dedup at "
+        "any corpus size."),
+    "dedup_keep": (
+        "Exact-dedup survivor table (keep min id per hash)",
+        "The survivor is selected by `min_by(struct(row), id)` on the "
+        "hash key, NOT a row_number window: `partial_min_by` runs "
+        "BEFORE the exchange, so the shuffle carries one candidate row "
+        "per distinct hash per input partition where the window ships "
+        "every row. The struct buffer plans as SortAggregate (local "
+        "sorts around a slim exchange) — local CPU traded for shuffle "
+        "volume. The oracle keeps the window formulation to prove the "
+        "aggregate is equivalent."),
+    "dedup_winnow": (
+        "Winnowing fingerprints (shared-passage primitive)",
+        "Pure per-document computation: the rolling-hash window minima "
+        "run as an Arrow-batched `pandas_udf` (`ArrowEvalPython` — "
+        "numpy per batch, never per-row Python) followed by a "
+        "Generate(explode); the only exchange is the explicit "
+        "repartition lifting a single-split parquet input to full "
+        "parallelism for the CPU-bound kernel. No keyed shuffle: "
+        "fingerprinting 100 TB is embarrassingly parallel, and "
+        "downstream joins on fp pay their own key-partitioned "
+        "exchange."),
+    "dedup_cosine": (
+        "Embedding-cosine near-dup pairs (blocked GEMM)",
+        "Candidates are an equi-join on the block column (`Exchange "
+        "hashpartitioning(label)`), never a cross join; per-block pair "
+        "scoring runs as one numpy GEMM per partition inside "
+        "`FlatMapGroupsInPandas` (Arrow-batched), so the O(k²·d) inner "
+        "loop is BLAS, not Python rows. Pair volume is bounded by "
+        "max-block-size², a data property the caller controls via the "
+        "blocking key."),
+    "embedding_centroids": (
+        "Per-label centroid components (vector rollup)",
+        "posexplode turns each vector into (label, pos, v) rows and the "
+        "aggregate partial-combines map-side: the exchange carries "
+        "|labels| × dim partial sums per input partition — independent "
+        "of row count. This is the sufficient-statistics shape every "
+        "vector rollup here uses (k-means shares it with k×dim column "
+        "aggregates instead of explode)."),
+    "ann_lsh_join": (
+        "Sign-LSH bucketed similarity join",
+        "Both sides bucket on the same 8 literal hyperplanes (fixed "
+        "seed, so Spark and DuckDB compute identical buckets) and meet "
+        "in an EQUI-join keyed on the bucket — at this sf AQE plans it "
+        "as a broadcast of the smaller side; past broadcast size it "
+        "degrades gracefully to `Exchange hashpartitioning(bucket)`. "
+        "Candidates are O(N²/2⁸) in expectation, exact cosine re-scored "
+        "on candidates only; never an all-pairs nested-loop join."),
+    "events_sessionize": (
+        "Per-user session windows (10-minute gap)",
+        "Spark's native session-window aggregate: a partial "
+        "HashAggregate BEFORE the single keyed exchange, then the "
+        "dedicated `MergingSessions` operator coalesces overlapping "
+        "sessions per user — no self-join, no global window, one "
+        "shuffle. The identical expression runs under Structured "
+        "Streaming with watermark state (the streaming twin is tested "
+        "with availableNow triggers)."),
+    "events_retention": (
+        "Cohort retention triangle",
+        "Per-user first-activity date is a min-aggregate (partial-"
+        "combined, one user-keyed exchange), the corpus anchor date is "
+        "a 1-row broadcast (explicitly NOT an empty-partitionBy window, "
+        "which would funnel the corpus through one task), and the "
+        "triangle is a countDistinct over (cohort, weeks_since) — two "
+        "keyed shuffles total, the minimum for exact distinct users."),
+    "tfidf_top_terms": (
+        "TF-IDF keyword extraction (top-3 terms per doc)",
+        "The (doc, term, tf) relation materializes once (lazy "
+        "localCheckpoint — it feeds both the corpus-DF aggregate and "
+        "the scoring join; measured 2.7s -> 1.0s). The DF relation is "
+        "vocabulary-sized and BROADCASTS back onto tf "
+        "(`BroadcastExchange`, corpus never reshuffles for the join); "
+        "the final top-3 is a per-doc window over the already-doc-"
+        "partitioned scored relation."),
+    "quality_unigram": (
+        "Unigram-fluency quality score",
+        "The vocabulary count relation is exact-integer and broadcast "
+        "onto the exploded token stream (`BroadcastExchange` on the "
+        "vocab side; strategy selectable for vocabularies past broadcast "
+        "size); per-document re-aggregation shuffles on doc_id only. "
+        "Corpus bytes are scanned once."),
+    "user_spend_trend": (
+        "Per-user OLS spend slope (grouped regression)",
+        "The closed-form sufficient statistics (n, Σx, Σy, Σxy, Σx²) "
+        "compute in ONE map-side-combined aggregate per user — no "
+        "window, no iteration, no second scan. Integer cents and day "
+        "indices make every partial sum an exact bigint, so the plan is "
+        "also bit-deterministic under any partitioning. The grouped-"
+        "regression shape scales to any key count."),
+    "incremental_revenue": (
+        "Incrementally-maintained monthly rollup",
+        "The history aggregate is a manifest-committed snapshot built "
+        "once per source fingerprint; each refresh scans ONLY the delta "
+        "— `PushedFilters` shows the cutoff predicate at the parquet "
+        "scan — and merges months × measures partial aggregates. At "
+        "100 TB the full-history scan happens once ever, not per "
+        "refresh; exact-cents quantization makes the merged totals "
+        "bit-equal to a from-scratch aggregate."),
+    "split_leakage_safe": (
+        "Leakage-safe train/val/test split",
+        "Composes the prefix-filter Jaccard join (keyed exchanges only, "
+        "see dedup_jaccard) with pointer-jumping connected components "
+        "(O(log diameter) keyed self-join rounds; driver union-find "
+        "below the declared small-graph bound) and an md5 bucket on the "
+        "cluster ROOT — so near-duplicate documents land in the same "
+        "split by construction. No stage is all-pairs; the split "
+        "decision itself is a pure per-row hash."),
+    "pipeline_clean_corpus": (
+        "Composed cleaning pipeline (quality -> lang -> dedup -> chunk)",
+        "The quality and language gates are pure-Catalyst predicates "
+        "evaluated in the scan stage BEFORE the dedup exchange — only "
+        "surviving rows shuffle. Chunking is a Generate(explode), never "
+        "a driver loop. One keyed exchange total (the dedup hash): the "
+        "pipeline's cost at 100 TB is one scan plus a shuffle of the "
+        "filtered survivors."),
+    "ingest_embed": (
+        "Bulk embedding ingest (MakeRecord batch twin)",
+        "The embedder is an Arrow-batched `pandas_udf` (`ArrowEvalPython` "
+        "in the plan — never row-at-a-time Python), and the repartition "
+        "barrier both lifts a single-split parquet input to full "
+        "parallelism for the CPU-bound stage and materializes the "
+        "vector so downstream projections don't re-embed. Embedding is "
+        "the textbook scan-parallel stage: zero exchanges beyond the "
+        "explicit repartition."),
 }
 
 
