@@ -229,8 +229,6 @@ def streaming_upsert(spark, source_dir: str, table_path: str,
     import os
     import shutil
 
-    from pyspark.sql import Window
-
     from go_simple_embedding_database_spark.sources import txn
 
     raw = spark.readStream.schema(schema).json(source_dir)
@@ -260,11 +258,20 @@ def streaming_upsert(spark, source_dir: str, table_path: str,
         allrows = batch if base is None else base.unionByName(batch)
         tiebreak = F.md5(F.concat_ws(
             "\x1f", *[F.col(c).cast("string") for c in batch.columns]))
-        w = (Window.partitionBy(*keys)
-             .orderBy(F.desc(event_time_col), F.desc("_tb")))
-        merged = (allrows.withColumn("_tb", tiebreak)
-                  .withColumn("_rn", F.row_number().over(w))
-                  .filter(F.col("_rn") == 1).drop("_rn", "_tb"))
+        # max_by with a (event_time, content-hash) struct ordering key,
+        # not a row_number window: the aggregate partial-combines
+        # map-side, so the key exchange carries one winner candidate per
+        # key per input partition instead of every base+batch row (the
+        # base table re-reads dominate this merge's data volume — same
+        # shuffle-volume argument as operators/dedup.exact_dedup_keep).
+        # Lexicographic struct max == ORDER BY time DESC, hash DESC.
+        cols = allrows.columns
+        merged = (allrows
+                  .groupBy(*keys)
+                  .agg(F.max_by(F.struct(*cols),
+                                F.struct(F.col(event_time_col),
+                                         tiebreak)).alias("_w"))
+                  .select("_w.*"))
         if transactional:
             txn.commit_version(spark_l, merged, table_path)
             return
