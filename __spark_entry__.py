@@ -13,6 +13,7 @@ DuckDB agree bit-for-bit on round(x, 6) of near-identical doubles).
 
 from __future__ import annotations
 
+import datetime
 import math
 import os
 import sys
@@ -2832,21 +2833,32 @@ def _q_gate_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
                    engine-dependently ("2" vs "2.0");
     - tiny       : 1e-06 — smallest round-6 quantum, scientific-notation
                    rendering probe;
-    - uni_héllo✓ : non-ASCII string normalization/encoding probe.
+    - uni_héllo✓ : non-ASCII string normalization/encoding probe;
+    - null_int   : NULL in the BIGINT column — flips if the gate fetches
+                   through pandas, which widens a nullable int64 column
+                   to float64 (NULL→NaN; and the widening ALSO corrupts
+                   pow53 in the same column, so the two flip together —
+                   the signature tools/gate_fetch_paths.py measured);
+    - date       : a leap-day DATE column (NULL on other rows) — flips
+                   if the gate's fetch path renders dates as timestamps
+                   (pandas datetime64) instead of calendar dates.
     """
     one_k = spark.range(1, 1001)
     sum_row = one_k.agg(
         F.lit("cast_sum").alias("probe"),
         F.sum("id").cast("bigint").alias("v_int"),
-        F.lit(0.0).alias("v_dbl"))
+        F.lit(0.0).alias("v_dbl"),
+        F.lit(None).cast("date").alias("v_date"))
     lits = spark.createDataFrame(
-        [("pow53", 9007199254740993, 0.0),
-         ("neg", -42, -0.5),
-         ("ratio", 0, 0.0),  # v_dbl overwritten below, engine-computed
-         ("int_like", 0, 2.0),
-         ("tiny", 0, 0.000001),
-         ("uni_héllo✓", 0, 0.0)],
-        "probe string, v_int long, v_dbl double")
+        [("pow53", 9007199254740993, 0.0, None),
+         ("neg", -42, -0.5, None),
+         ("ratio", 0, 0.0, None),  # v_dbl overwritten below, engine-computed
+         ("int_like", 0, 2.0, None),
+         ("tiny", 0, 0.000001, None),
+         ("uni_héllo✓", 0, 0.0, None),
+         ("null_int", None, 0.0, None),
+         ("date", 0, 0.0, datetime.date(2024, 2, 29))],
+        "probe string, v_int long, v_dbl double, v_date date")
     lits = lits.withColumn(
         "v_dbl", F.when(F.col("probe") == "ratio",
                         F.round(F.lit(1.0) / F.lit(3.0), 6))
@@ -2855,17 +2867,20 @@ def _q_gate_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_GATE_CANARY = """
-SELECT 'cast_sum' AS probe, CAST(sum(x) AS BIGINT) AS v_int, 0.0 AS v_dbl
+SELECT 'cast_sum' AS probe, CAST(sum(x) AS BIGINT) AS v_int,
+       0.0 AS v_dbl, CAST(NULL AS DATE) AS v_date
 FROM (SELECT unnest(range(1, 1001)) AS x)
 UNION ALL
 SELECT * FROM (VALUES
-  ('pow53', CAST(9007199254740993 AS BIGINT), CAST(0.0 AS DOUBLE)),
-  ('neg', CAST(-42 AS BIGINT), CAST(-0.5 AS DOUBLE)),
-  ('ratio', CAST(0 AS BIGINT), round(CAST(1.0 AS DOUBLE) / 3.0, 6)),
-  ('int_like', CAST(0 AS BIGINT), CAST(2.0 AS DOUBLE)),
-  ('tiny', CAST(0 AS BIGINT), CAST(0.000001 AS DOUBLE)),
-  ('uni_héllo✓', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE))
-) v(probe, v_int, v_dbl)
+  ('pow53', CAST(9007199254740993 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(NULL AS DATE)),
+  ('neg', CAST(-42 AS BIGINT), CAST(-0.5 AS DOUBLE), CAST(NULL AS DATE)),
+  ('ratio', CAST(0 AS BIGINT), round(CAST(1.0 AS DOUBLE) / 3.0, 6), CAST(NULL AS DATE)),
+  ('int_like', CAST(0 AS BIGINT), CAST(2.0 AS DOUBLE), CAST(NULL AS DATE)),
+  ('tiny', CAST(0 AS BIGINT), CAST(0.000001 AS DOUBLE), CAST(NULL AS DATE)),
+  ('uni_héllo✓', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(NULL AS DATE)),
+  ('null_int', CAST(NULL AS BIGINT), CAST(0.0 AS DOUBLE), CAST(NULL AS DATE)),
+  ('date', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), DATE '2024-02-29')
+) v(probe, v_int, v_dbl, v_date)
 """
 
 

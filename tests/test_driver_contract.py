@@ -124,16 +124,19 @@ def test_gate_canary_values_are_pinned(spark):
     """The canary only localizes gate-side divergence if its OWN values
     never drift — pin them absolutely (the oracle-parity test only pins
     Spark == DuckDB, which both drifting together would satisfy)."""
-    rows = {r.probe: (r.v_int, r.v_dbl)
+    import datetime as _dt
+    rows = {r.probe: (r.v_int, r.v_dbl, r.v_date)
             for r in em.queries()["gate_canary"](spark, "unused").collect()}
     assert rows == {
-        "cast_sum": (500500, 0.0),
-        "pow53": (9007199254740993, 0.0),
-        "neg": (-42, -0.5),
-        "ratio": (0, 0.333333),
-        "int_like": (0, 2.0),
-        "tiny": (0, 0.000001),
-        "uni_héllo✓": (0, 0.0),
+        "cast_sum": (500500, 0.0, None),
+        "pow53": (9007199254740993, 0.0, None),
+        "neg": (-42, -0.5, None),
+        "ratio": (0, 0.333333, None),
+        "int_like": (0, 2.0, None),
+        "tiny": (0, 0.000001, None),
+        "uni_héllo✓": (0, 0.0, None),
+        "null_int": (None, 0.0, None),
+        "date": (0, 0.0, _dt.date(2024, 2, 29)),
     }
 
 

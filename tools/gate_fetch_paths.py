@@ -22,19 +22,22 @@ green. Run:
 
 Known result (recorded in FETCHCHECK.json): fetchall and arrow agree
 with Spark on all 90 oracle-checked queries. The pandas path diverges on
-exactly 4 — ``events_asof`` / ``user_moving_avg`` / ``monthly_revenue_
+exactly 5 — ``events_asof`` / ``user_moving_avg`` / ``monthly_revenue_
 growth`` (a nullable BIGINT/DOUBLE output column: pandas widens to
 float64 and turns SQL NULL into NaN, which no value-normalization can
-un-conflate with a real NaN) and ``incremental_revenue`` (DATE →
-datetime64[ns] Timestamp, which string-normalizes with a time part).
-These are pandas CLIENT conversions, not engine disagreements; all four
-queries hold green official gate rows (r01/r02), which proves the
-driver does not fetch through pandas. The divergences are kept visible
-here rather than papered over by contorting the queries (an as-of join
-whose unmatched rows can't be NULL stops demonstrating unmatched
-handling). If a future round ever shows these four — and only these
-four — flipping to hash_match=false, the driver switched to a pandas
-fetch and the fix is NULL-free/date-free output columns, not arithmetic.
+un-conflate with a real NaN), ``incremental_revenue`` (DATE →
+datetime64[ns] Timestamp, which string-normalizes with a time part),
+and ``gate_canary`` — BY DESIGN: its null_int and date probes carry
+exactly these two hazards so a pandas-fetching gate is identifiable
+from the canary row alone in the official CORRECTNESS file. The others
+are pandas CLIENT conversions, not engine disagreements; all four hold
+green official gate rows (r01/r02), which proves the driver does not
+fetch through pandas. The divergences are kept visible here rather
+than papered over by contorting the queries (an as-of join whose
+unmatched rows can't be NULL stops demonstrating unmatched handling).
+If a future round shows these flipping to hash_match=false together,
+the driver switched to a pandas fetch and the fix is NULL-free/
+date-free output columns, not arithmetic.
 """
 
 from __future__ import annotations
