@@ -191,6 +191,30 @@ def test_union_find_matches_distributed_cc(spark, edges):
     assert local == want
 
 
+@SETTINGS
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 40),
+              st.sampled_from(["a", "b", "c", "dup dup", ""]),
+              st.integers(0, 5)),
+    min_size=1, max_size=40, unique_by=lambda r: r[0]))
+def test_dedup_keep_min_by_matches_window_formulation(spark, rows):
+    """The min_by-aggregate survivor selection must equal the classic
+    row_number-window formulation row for row, on corpora mixing heavy
+    duplicates (few distinct texts), empty strings, and scattered ids —
+    the exchange-volume rewrite may not change semantics."""
+    from pyspark.sql import Window
+
+    from go_simple_embedding_database_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, extra bigint")
+    got = sorted(tuple(r) for r in dd.exact_dedup_keep(df).collect())
+    w = Window.partitionBy(dd.content_hash("text")).orderBy("doc_id")
+    want = sorted(tuple(r) for r in
+                  df.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn").collect())
+    assert got == want
+
+
 @given(rows=st.lists(
     st.tuples(st.integers(0, 30), st.text(max_size=5)),
     min_size=0, max_size=30, unique_by=lambda r: r[0]),

@@ -297,6 +297,33 @@ def test_streaming_upsert_late_old_version_cannot_regress(spark, tmp_path):
     assert got == {5: "v-new"}
 
 
+def test_streaming_upsert_event_time_tie_is_deterministic(spark, tmp_path):
+    """Two versions of one key with IDENTICAL event times: the winner is
+    the content-hash tiebreak, so (a) re-running the same input from
+    scratch picks the same winner (foreachBatch replay idempotence
+    depends on this), and (b) the winner doesn't depend on row order in
+    the source file (the max_by aggregate sees both orders as the same
+    set)."""
+    from go_simple_embedding_database_spark.streaming.ingest import (
+        streaming_upsert)
+
+    rows = [{"id": 9, "text": "tie-a", "ts": "2026-01-03T00:00:00Z"},
+            {"id": 9, "text": "tie-b", "ts": "2026-01-03T00:00:00Z"}]
+    winners = []
+    for run, batch in enumerate((rows, rows, list(reversed(rows)))):
+        src = str(tmp_path / f"tie_src{run}")
+        table = str(tmp_path / f"tie_table{run}")
+        ckpt = str(tmp_path / f"tie_ckpt{run}")
+        _write_batch(src, "b1.json", batch)
+        q = streaming_upsert(spark, src, table, ckpt, ["id"])
+        q.awaitTermination(120)
+        got = spark.read.parquet(table).collect()
+        assert len(got) == 1
+        winners.append(got[0].text)
+    assert winners[0] == winners[1] == winners[2]
+    assert winners[0] in ("tie-a", "tie-b")
+
+
 def test_streaming_upsert_transactional_versions(spark, tmp_path):
     """Transactional sink: each micro-batch commits one manifest
     version; the latest snapshot merges correctly and the pre-merge
