@@ -86,6 +86,41 @@ def _pair_flagships():
     }
 
 
+def _synthesize_events(spark, out_dir: str) -> None:
+    """10x events: user_id and event_id offset per replica, timestamps and
+    per-user histories untouched — 10x the users, identical per-user
+    structure, so per-key-state operators (funnel, retention, sessions,
+    rolling windows, grouped regression) produce exactly 10x the output
+    and their ratio measures the keyed-exchange plan."""
+    from pyspark.sql import functions as F
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_user = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    n_event = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    reps = spark.range(REPLICAS).select(F.col("id").alias("_r"))
+    (ev.crossJoin(reps)
+     .select((F.col("event_id") + F.col("_r") * n_event).alias("event_id"),
+             "ts",
+             (F.col("user_id") + F.col("_r") * n_user).alias("user_id"),
+             "event_type", "value", "props")
+     .repartition(32)
+     .write.mode("overwrite").parquet(f"{out_dir}/events.parquet"))
+
+
+def _event_flagships():
+    """Per-user-state operators over the events table — the streaming-
+    shaped family whose 100 TB story is 'state per key, keyed exchanges
+    only'. All linear-output under user-offset replication."""
+    import __spark_entry__ as em
+    q = em.queries()
+    return {
+        "event_funnel": q["event_funnel"],
+        "events_retention": q["events_retention"],
+        "events_sessionize": q["events_sessionize"],
+        "events_rolling_7d": q["events_rolling_7d"],
+        "user_spend_trend": q["user_spend_trend"],
+    }
+
+
 def _flagships():
     """name -> callable(spark, sf_dir) returning a DataFrame. Drawn from
     the driver surface where possible so the probe times the same code."""
@@ -154,6 +189,16 @@ def main() -> None:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
+    # per-user-state events family: 10x users, identical per-user history.
+    event_results = {}
+    sev = tempfile.mkdtemp(prefix="gsed_scale_ev_")
+    try:
+        _synthesize_events(spark, sev)
+        probe(_event_flagships(), SF_DIR, sev, event_results,
+              count_rows=True)
+    finally:
+        shutil.rmtree(sev, ignore_errors=True)
+
     # pair-producing dedup family: both scales use the word-tagged corpus
     # (1 replica vs REPLICAS replicas) so tokenization cost is identical
     # and only the data volume changes; row counts prove output stayed
@@ -168,8 +213,13 @@ def main() -> None:
     finally:
         shutil.rmtree(s1, ignore_errors=True)
         shutil.rmtree(s10, ignore_errors=True)
-    print(json.dumps({"replicas": REPLICAS, "results": results,
-                      "pair_results": pair_results}))
+    out = {"replicas": REPLICAS, "results": results,
+           "event_results": event_results, "pair_results": pair_results}
+    print(json.dumps(out))
+    # In-repo auditable artifact, same pattern as SELFCHECK/FETCHCHECK.
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SCALE.json"), "w") as f:
+        json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
