@@ -16,6 +16,7 @@ from __future__ import annotations
 import datetime
 import math
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -88,8 +89,16 @@ def _split_bucket_sql(expr: str = "doc_id") -> str:
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
-    row = _emb(spark, sf_dir).filter(F.col("vec_id") == vec_id).collect()[0]
-    return [float(v) for v in row.embedding]
+    """The probe vector for the query-by-example queries. When the corpus
+    has no such row (empty/pruned input), fall back to a 1-dim zero
+    vector: every consumer scores it against a zero-row relation, so the
+    kernel never evaluates and the query returns the EMPTY result with
+    its normal schema instead of crashing on collect()[0] — the
+    robustness contract tools/empty_probe.py checks."""
+    rows = _emb(spark, sf_dir).filter(F.col("vec_id") == vec_id).collect()
+    if not rows:
+        return [0.0]
+    return [float(v) for v in rows[0].embedding]
 
 
 def _index_path(spark: SparkSession, sf_dir: str, name: str) -> str:
@@ -583,9 +592,15 @@ def _q_crud_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50).selectExpr(
         "cast(doc_id as string) id", "text blob")
     db.add_records("c", db.make_records(docs, "mock-hash-64"))
+    blob_rows = docs.filter(F.col("id") == "3").collect()
+    if not blob_rows:
+        # Empty source slice: nothing was ingested, so the scripted
+        # delete/query steps have no subjects — return the query's empty
+        # shape rather than exercising the (correct) RecordNotFound path.
+        return db.query("c", "", 5, with_scores=True) \
+            .select("id", F.round("_score", 6).alias("score"))
     db.delete_record("c", "7")
-    blob = docs.filter(F.col("id") == "3").collect()[0].blob
-    out = db.query("c", blob, 5, with_scores=True)
+    out = db.query("c", blob_rows[0].blob, 5, with_scores=True)
     return out.select("id", F.round("_score", 6).alias("score"))
 
 
@@ -1431,7 +1446,10 @@ def _q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_bucketed_copy,
         source_fingerprint,
     )
-    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    # Sanitize EVERY non-identifier character, not just the sf dot: a
+    # scratch dir like 'empty-probe-x7' must yield a valid table name.
+    tag = re.sub(r"[^A-Za-z0-9_]", "_",
+                 sf_dir.rstrip("/").split("/")[-1])
     orders = ensure_bucketed_copy(
         spark, spark.read.parquet(f"{sf_dir}/orders.parquet")
         .select("o_custkey", "o_totalprice"),
@@ -2486,10 +2504,13 @@ def _q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         return int(math.copysign(math.floor(abs(y) + 0.5), y))
 
     c_sum_q = {j: _q6(c) for j, c in enumerate(cents)}
-    c_sum_col = F.element_at(
+    # Empty model (zero-row input -> kmeans_fit returns []): no map to
+    # build; the empty aggregate with a NULL fingerprint column keeps the
+    # output schema identical.
+    c_sum_col = (F.element_at(
         F.create_map(*[F.lit(x) for j in range(_KM_K)
                        for x in (j, c_sum_q[j])]),
-        F.col("cluster_id")).cast("bigint")
+        F.col("cluster_id")) if cents else F.lit(None)).cast("bigint")
     return (assign.groupBy("cluster_id")
             .agg(F.count("*").alias("n"), F.sum("vec_id").alias("sum_vec_id"))
             .withColumn("c_sum_q", c_sum_col)

@@ -18,8 +18,12 @@ SQL-reproducible; the recall tests cover it instead).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from go_simple_embedding_database_spark.functions.kernels import cosine_similarity
 from go_simple_embedding_database_spark.operators.topk import topk_by_similarity
@@ -189,7 +193,8 @@ def quantized_topk_indexed(spark, index_path: str, records: DataFrame,
     cand_ids = [r[0] for r in
                 quantized_candidates(spark, index_path, qvec,
                                      k * rescore_factor, id_col).collect()]
-    cand = records.filter(F.col(id_col).isin(cand_ids))
+    cand = records.filter(F.col(id_col).isin(cand_ids) if cand_ids
+                          else F.lit(False))
     return topk_by_similarity(cand, qvec, k, vec_col=vec_col,
                               score_col=score_col, tie_break=[id_col])
 
@@ -231,7 +236,8 @@ def ivf_topk(df: DataFrame, centroids: DataFrame, qvec: list[float], k: int,
                                     score_col="_s", tie_break=["centroid_id"]).collect()
     ]
     cells = assign_cells_by_id(df, centroids, id_col, vec_col)
-    pruned = cells.filter(F.col("cell").isin(probe_cells))
+    pruned = cells.filter(F.col("cell").isin(probe_cells) if probe_cells
+                          else F.lit(False))
     return topk_by_similarity(pruned, qvec, k, vec_col=vec_col,
                               score_col=score_col, tie_break=[id_col])
 
@@ -244,10 +250,41 @@ def ivf_write_index(df: DataFrame, centroids: DataFrame, path: str,
     centroids beside it. This is the bulk-index-construction shape that
     fits Spark at 100 TB: the expensive assignment runs once, and every
     subsequent query's cell filter becomes PARTITION PRUNING — a
-    1000-executor cluster opens only the probed cells' files."""
+    1000-executor cluster opens only the probed cells' files.
+
+    A ``_cells_schema.json`` sidecar records the cells schema at write
+    time: a ZERO-ROW source (pruned/filtered corpus) partitionBy-writes
+    no data files at all, and a schema-inference read of that directory
+    raises instead of returning the empty relation. Readers pass the
+    recorded schema explicitly — empty index, empty result."""
     cells = assign_cells_by_id(df, centroids, id_col, vec_col)
     cells.write.mode(mode).partitionBy("cell").parquet(f"{path}/cells")
     centroids.write.mode(mode).parquet(f"{path}/centroids")
+    with open(os.path.join(_local_path(path), "_cells_schema.json"),
+              "w") as fh:
+        fh.write(cells.schema.json())
+
+
+def _local_path(path: str) -> str:
+    """Strip a file: scheme — index sidecars are plain files next to the
+    parquet dirs (the indexes in this repo live on local/shared fs; an
+    object-store deployment would move the sidecar into the marker
+    protocol of ``sources.materialize``)."""
+    for pfx in ("file://", "file:"):
+        if path.startswith(pfx):
+            return path[len(pfx):]
+    return path
+
+
+def _read_cells(spark, path: str) -> DataFrame:
+    """Read the cells table with the recorded schema when the sidecar
+    exists (pre-sidecar indexes fall back to inference)."""
+    sidecar = os.path.join(_local_path(path), "_cells_schema.json")
+    reader = spark.read
+    if os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            reader = reader.schema(StructType.fromJson(json.loads(fh.read())))
+    return reader.parquet(f"{path}/cells")
 
 
 def ensure_ivf_index(spark, src_path: str, index_path: str,
@@ -287,7 +324,10 @@ def ivf_query_index(spark, path: str, qvec: list[float], k: int,
         for r in topk_by_similarity(centroids, qvec, nprobe, vec_col="centroid",
                                     score_col="_s", tie_break=["centroid_id"]).collect()
     ]
-    cells = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(probe))
+    # An EMPTY index has no centroids and therefore no probe set;
+    # isin([]) is unbuildable, and the right answer is the empty relation.
+    cell_filter = F.col("cell").isin(probe) if probe else F.lit(False)
+    cells = _read_cells(spark, path).filter(cell_filter)
     return topk_by_similarity(cells, qvec, k, vec_col=vec_col,
                               score_col=score_col, tie_break=[id_col])
 
@@ -327,8 +367,11 @@ def ivf_query_index_batch(spark, path: str, queries: DataFrame, k: int,
     pairs = [(r[query_id], r["centroid_id"])
              for r in probes.select(query_id, "centroid_id").collect()]
     probed_cells = sorted({c for _, c in pairs})
-    cells = (spark.read.parquet(f"{path}/cells")
-             .filter(F.col("cell").isin(probed_cells)))
+    # Empty probe set (empty query batch OR empty index): isin([]) is
+    # unbuildable; the empty relation is the correct result either way.
+    cell_filter = (F.col("cell").isin(probed_cells) if probed_cells
+                   else F.lit(False))
+    cells = _read_cells(spark, path).filter(cell_filter)
     # Explicit schema (not inference): an EMPTY query batch must yield an
     # empty result, and schema inference raises on an empty row list.
     pair_schema = StructType([

@@ -89,7 +89,15 @@ def kmeans_assign(df: DataFrame, centroids: list[list[float]],
     """One assignment pass: adds ``cell_col`` = nearest-centroid index.
 
     Pure Catalyst projection — the physical plan is scan + project, no
-    exchange; at 100 TB it parallelizes embarrassingly."""
+    exchange; at 100 TB it parallelizes embarrassingly.
+
+    An empty model (``centroids == []``, what ``kmeans_fit`` returns on a
+    zero-row fit) assigns nothing: the result is the empty relation with
+    the same schema — a filtered-to-zero upstream must flow through, not
+    crash (``_argmin_cell`` over zero structs is unbuildable)."""
+    if not centroids:
+        return df.filter(F.lit(False)).withColumn(
+            cell_col, F.lit(None).cast("int"))
     qvd = F.transform(quantize_vectors(F.col(vec_col), scale),
                       lambda x: x.cast("double"))
     return (df.withColumn("_kmeans_qvd", qvd)
@@ -111,6 +119,11 @@ def kmeans_fit(df: DataFrame, k: int, n_iter: int,
     Cost model at scale: n_iter+1 scans; per round one k-group hash agg
     whose exchange is bounded by k*dim*partitions regardless of rows;
     centroids (k*dim doubles) are the only driver-side state.
+
+    Zero input rows return the EMPTY model ``(empty assignments, [])``
+    rather than raising — a pruned or filtered-to-zero read must flow
+    through a pipeline; ``0 < rows < k`` still raises (an ambiguous ask:
+    there is data, but not enough for k distinct seeds).
     """
     if k < 1 or n_iter < 0:
         raise ValueError("k >= 1 and n_iter >= 0 required")
@@ -127,6 +140,15 @@ def kmeans_fit(df: DataFrame, k: int, n_iter: int,
         # Deterministic init: the k smallest ids. k rows — driver-side is
         # fine (TakeOrderedAndProject, not a sort).
         seed_rows = qd.orderBy("_id").limit(k).collect()
+        if not seed_rows:
+            # Zero rows is not a caller error at pipeline scale — it is a
+            # filter or partition-pruned read that matched nothing. Empty
+            # model: no centroids, and the assignment relation is the
+            # empty frame with the contract schema.
+            empty = (q.select(F.col("_id").alias(id_col),
+                              F.lit(None).cast("int").alias("cluster_id"))
+                     .filter(F.lit(False)))
+            return empty, []
         if len(seed_rows) < k:
             raise ValueError(f"need at least k={k} rows, got {len(seed_rows)}")
         centroids = [[float(v) for v in r._qv] for r in sorted(

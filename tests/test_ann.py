@@ -275,3 +275,34 @@ def test_ivf_query_index_batch_empty_queries(spark, embeddings, centroids,
     out = ann.ivf_query_index_batch(spark, path, qset, 10, nprobe=2)
     assert out.count() == 0
     assert "query_id" in out.columns and "vec_id" in out.columns
+
+
+def test_ivf_index_empty_source_queries_empty(spark, embeddings, tmp_path):
+    """An IVF index built over ZERO rows (pruned/filtered corpus) must
+    stay queryable: partitionBy writes no data files, so the reader
+    needs the _cells_schema.json sidecar instead of schema inference
+    (tools/empty_probe.py found the AnalysisException). Both the
+    per-query and the batch path must return the empty relation."""
+    none = embeddings.filter(F.lit(False))
+    cents = ann.deterministic_centroids(none, 8)
+    path = str(tmp_path / "ivf_empty")
+    ann.ivf_write_index(none, cents, path)
+    out = ann.ivf_query_index(spark, path, [0.0] * 64, 5, nprobe=2)
+    assert out.count() == 0
+    qset = none.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").cast("array<double>")
+                       .alias("query_embedding"))
+    assert ann.ivf_query_index_batch(spark, path, qset, 5).count() == 0
+
+
+def test_quantized_index_empty_source_queries_empty(spark, embeddings,
+                                                    tmp_path):
+    """Quantized copy of an empty source: stage-1 candidates are empty,
+    and stage 2 must not build isin([]) — empty result, normal schema."""
+    src = str(tmp_path / "src.parquet")
+    embeddings.filter(F.lit(False)).write.parquet(src)
+    idx = str(tmp_path / "q_idx")
+    ann.ensure_quantized_copy(spark, src, idx)
+    out = ann.quantized_topk_indexed(
+        spark, idx, spark.read.parquet(src), [0.0] * 64, 5)
+    assert out.count() == 0

@@ -107,3 +107,18 @@ def test_semantic_dedup_no_cartesian(spark, embeddings):
     _, cents = kmeans_fit(embeddings, k=4, n_iter=0)
     pairs = semantic_dedup_pairs(embeddings, cents, threshold=0.9)
     assert_not_in_plan(pairs, "CartesianProduct")
+
+
+def test_kmeans_empty_input_returns_empty_model(spark, embeddings):
+    """Zero rows is a pipeline state, not a caller error: a pruned or
+    filtered-to-zero read returns the EMPTY model and the empty
+    assignment relation with the contract schema (tools/empty_probe.py
+    found the old ValueError crashing six driver queries)."""
+    none = embeddings.filter(F.lit(False))
+    assign, cents = kmeans_fit(none, k=8, n_iter=3)
+    assert cents == []
+    assert assign.columns == ["vec_id", "cluster_id"]
+    assert assign.count() == 0
+    # the empty model flows through assignment and SemDeDup too
+    assert kmeans_assign(embeddings, cents).count() == 0
+    assert semantic_dedup_pairs(embeddings, cents, threshold=0.9).count() == 0
