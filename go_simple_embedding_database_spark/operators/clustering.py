@@ -94,13 +94,17 @@ def kmeans_assign(df: DataFrame, centroids: list[list[float]],
     An empty model (``centroids == []``, what ``kmeans_fit`` returns on a
     zero-row fit) assigns nothing: the result is the empty relation with
     the same schema — a filtered-to-zero upstream must flow through, not
-    crash (``_argmin_cell`` over zero structs is unbuildable)."""
+    crash (``_argmin_cell`` over zero structs is unbuildable). Rows whose
+    vector is NULL or not of the model dimension are excluded, the same
+    malformed-row contract as ``kmeans_fit``."""
     if not centroids:
         return df.filter(F.lit(False)).withColumn(
             cell_col, F.lit(None).cast("int"))
     qvd = F.transform(quantize_vectors(F.col(vec_col), scale),
                       lambda x: x.cast("double"))
-    return (df.withColumn("_kmeans_qvd", qvd)
+    return (df.filter(F.col(vec_col).isNotNull()
+                      & (F.size(vec_col) == len(centroids[0])))
+            .withColumn("_kmeans_qvd", qvd)
             .withColumn(cell_col, _argmin_cell("_kmeans_qvd", centroids))
             .drop("_kmeans_qvd"))
 
@@ -124,11 +128,20 @@ def kmeans_fit(df: DataFrame, k: int, n_iter: int,
     rather than raising — a pruned or filtered-to-zero read must flow
     through a pipeline; ``0 < rows < k`` still raises (an ambiguous ask:
     there is data, but not enough for k distinct seeds).
+
+    Malformed rows — NULL vector, or a vector whose length differs from
+    the model dimension (set by the seed vectors) — are EXCLUDED from
+    both the fit and the returned assignments: no distance to a
+    d-dimensional centroid exists for them, and the per-component
+    ``element_at`` sums would raise mid-job on the first short vector
+    (found by tools/null_probe.py). Seeds themselves must agree on the
+    dimension — ragged data in the k smallest ids is a caller error.
     """
     if k < 1 or n_iter < 0:
         raise ValueError("k >= 1 and n_iter >= 0 required")
-    q = df.select(F.col(id_col).alias("_id"),
-                  quantize_vectors(F.col(vec_col), scale).alias("_qv"))
+    q = (df.filter(F.col(vec_col).isNotNull())
+         .select(F.col(id_col).alias("_id"),
+                 quantize_vectors(F.col(vec_col), scale).alias("_qv")))
     # Lloyd's re-reads the data n_iter+1 times; persist the quantized
     # projection so every round after the first reads cached columnar
     # batches instead of re-scanning (and re-quantizing) the source — the
@@ -154,11 +167,21 @@ def kmeans_fit(df: DataFrame, k: int, n_iter: int,
         centroids = [[float(v) for v in r._qv] for r in sorted(
             seed_rows, key=lambda r: r._id)]
         dim = len(centroids[0])
+        if any(len(c) != dim for c in centroids):
+            raise ValueError(
+                f"seed vectors disagree on dimension (first is {dim}): "
+                f"the k smallest ids must share one vector length")
+        # Model-dim rows only: a shorter vector would crash the
+        # element_at component sums; a longer one would be silently
+        # truncated by them while _argmin_cell zero-pads — neither is an
+        # assignment, so mismatched rows are out (docstring contract).
+        # New name — the finally must unpersist the PERSISTED frame.
+        qdd = qd.filter(F.size("_qv") == dim)
 
         sum_cols = [F.expr(f"sum(element_at(_qv, {i + 1})) AS _s{i}")
                     for i in range(dim)]
         for _ in range(n_iter):
-            assigned = qd.withColumn(
+            assigned = qdd.withColumn(
                 "_cell", _argmin_cell("_qvd", centroids))
             # Exact integer sufficient statistics: per-cell component sums
             # as dim COLUMN aggregates (not posexplode): partial aggregation
@@ -175,8 +198,8 @@ def kmeans_fit(df: DataFrame, k: int, n_iter: int,
                 for j in range(k)]
     finally:
         qd.unpersist()
-    assignments = (q.withColumn(
-        "_qvd", F.transform("_qv", lambda x: x.cast("double")))
+    assignments = (q.filter(F.size("_qv") == len(centroids[0]))
+        .withColumn("_qvd", F.transform("_qv", lambda x: x.cast("double")))
         .withColumn("_cell", _argmin_cell("_qvd", centroids))
         .select(F.col("_id").alias(id_col),
                 F.col("_cell").alias("cluster_id")))

@@ -805,9 +805,8 @@ def cosine_neardup_pairs_gemm(df: DataFrame, vec_col: str = "embedding",
     # np.stack raise inside the worker — drop both, as the join would.
     df = df.filter(F.col(block_col).isNotNull() & F.col(vec_col).isNotNull())
 
-    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy()
-        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    def _gemm_group(ids: "np.ndarray", vecs: "np.ndarray") -> pd.DataFrame:
+        M = np.stack(vecs).astype(np.float64)
         n = np.linalg.norm(M, axis=1)
         n[n == 0] = 1.0
         Mn = M / n[:, None]
@@ -818,6 +817,19 @@ def cosine_neardup_pairs_gemm(df: DataFrame, vec_col: str = "embedding",
         a, b = ids[iu[mask]], ids[ju[mask]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[mask]})
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Per-LENGTH groups inside the block: a ragged block (mixed
+        # vector dims — malformed rows at scale) would crash np.stack,
+        # while the HOF twin gives every cross-dim pair a NULL cosine
+        # (zip_with pads with null) that the threshold filter drops.
+        # GEMM within equal-length groups and nothing across them is
+        # exactly that semantics (found by tools/null_probe.py).
+        out = [_gemm_group(g[id_col].to_numpy(), g[vec_col].to_numpy())
+               for _, g in pdf.groupby(pdf[vec_col].map(len))
+               if len(g) >= 2]
+        return (pd.concat(out, ignore_index=True) if out
+                else pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}))
 
     # Output id type follows the input id column (string doc ids are as
     # valid as bigints here; a hardcoded bigint would die in the Arrow

@@ -145,12 +145,18 @@ def budget_select(df: DataFrame, id_col: str, key_col: str, cost_col: str,
     prefix exactly (property-tested against it in tests/test_sampling.py).
     If one band could still exceed a partition at the target scale,
     recurse: re-histogram the boundary band on a finer width.
+
+    Rows with a NULL key or NULL cost are EXCLUDED: a row with no
+    priority cannot be ordered and a row with no cost cannot be
+    budgeted, and a NULL band would crash the driver-side band cumsum
+    (a real state at scale — failed enrichments leave NULL quality
+    keys; found by tools/null_probe.py).
     """
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(key_col).cast("bigint").alias("_key"),
         F.col(cost_col).cast("bigint").alias("_cost"),
-        "*")
+        "*").filter(F.col("_key").isNotNull() & F.col("_cost").isNotNull())
     base = base.withColumn("_bucket",
                            F.floor(F.col("_key") / bucket_width).cast("bigint"))
     hist = (base.groupBy("_bucket")

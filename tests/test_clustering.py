@@ -122,3 +122,26 @@ def test_kmeans_empty_input_returns_empty_model(spark, embeddings):
     # the empty model flows through assignment and SemDeDup too
     assert kmeans_assign(embeddings, cents).count() == 0
     assert semantic_dedup_pairs(embeddings, cents, threshold=0.9).count() == 0
+
+
+def test_kmeans_excludes_null_and_ragged_vectors(spark, embeddings):
+    """NULL vectors and vectors not of the model dimension have no
+    distance to a d-dim centroid: they are excluded from the fit and the
+    assignments instead of crashing the element_at component sums
+    (tools/null_probe.py finding); the model itself must equal the fit
+    on the clean rows alone."""
+    emb = embeddings.filter(F.col("vec_id") < 40).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    bad = spark.createDataFrame(
+        [(100001, None), (100002, []), (100003, [1.0, 2.0])],
+        "vec_id bigint, embedding array<double>")
+    assign, cents = kmeans_fit(emb.unionByName(bad), k=4, n_iter=2)
+    clean_assign, clean_cents = kmeans_fit(emb, k=4, n_iter=2)
+    assert cents == clean_cents
+    got = {r.vec_id: r.cluster_id for r in assign.collect()}
+    assert got == {r.vec_id: r.cluster_id for r in clean_assign.collect()}
+    assert not {100001, 100002, 100003} & set(got)
+    # same exclusion contract on the standalone assignment pass
+    assigned = kmeans_assign(emb.unionByName(bad), cents)
+    assert not {100001, 100002, 100003} & {
+        r.vec_id for r in assigned.collect()}

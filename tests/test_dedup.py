@@ -475,3 +475,22 @@ class TestProbeBandIndex:
         want = {frozenset((r.id_a, r.id_b)) for r in full
                 if (r.id_a % 4 == 0) != (r.id_b % 4 == 0)}
         assert got == want and len(want) > 0
+
+
+def test_cosine_neardup_gemm_ragged_block_matches_hof(spark):
+    """Mixed vector dimensions inside one block (malformed rows at
+    scale): the HOF twin null-pads cross-dim pairs to a NULL cosine the
+    threshold drops, so the GEMM path must pair within equal-length
+    groups only — and not crash np.stack (tools/null_probe.py finding).
+    Includes a dim-0 (empty array) vector, which pairs with nothing at a
+    positive threshold."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0], 0), (2, [1.0, 2.0, 3.0], 0),
+         (3, [1.0, 2.0], 0), (4, [1.0, 2.0], 0),
+         (5, [], 0), (6, [], 0)],
+        "vec_id bigint, embedding array<double>, label bigint")
+    hof = {(r.id_a, r.id_b) for r in dd.cosine_neardup_pairs(
+        df, threshold=0.999, block_col="label").collect()}
+    gemm = {(r.id_a, r.id_b) for r in dd.cosine_neardup_pairs_gemm(
+        df, threshold=0.999, block_col="label").collect()}
+    assert gemm == hof == {(1, 2), (3, 4)}

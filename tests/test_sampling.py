@@ -179,3 +179,15 @@ class TestWeightedSample:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             weighted_sample(documents, k=0, weight_col="n_chars")
+
+
+def test_budget_select_excludes_null_key_and_cost(spark):
+    """Rows with NULL key or NULL cost are excluded (no priority /
+    nothing to budget) instead of crashing the driver-side band cumsum
+    on a NULL bucket (tools/null_probe.py finding)."""
+    df = spark.createDataFrame(
+        [(1, 30, 5), (2, 20, 5), (3, None, 5), (4, 10, None), (5, 10, 5)],
+        "id bigint, key bigint, cost bigint")
+    got = {r.id for r in
+           sp.budget_select(df, "id", "key", "cost", 15).collect()}
+    assert got == {1, 2, 5}
