@@ -27,6 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from go_simple_embedding_database_spark.functions.embedders import hash64_oracle_sql, get_embedder
 from go_simple_embedding_database_spark.functions.kernels import cosine_similarity
+from go_simple_embedding_database_spark.functions.text import (
+    lower_x_sql, words_sql)
 from go_simple_embedding_database_spark.operators.topk import (
     batch_topk,
     similarity_join,
@@ -1769,10 +1771,11 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     The df relation is |vocabulary|-sized, not corpus-sized, so the join
     broadcasts at any corpus scale."""
     from pyspark.sql import Window
-    from go_simple_embedding_database_spark.functions.text import words
+    from go_simple_embedding_database_spark.functions.text import (
+        lower_x, words)
     docs = _docs_par(spark, sf_dir)
     n_docs = docs.count()
-    terms = docs.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("term"))
+    terms = docs.select("doc_id", F.explode(words(lower_x(F.col("text")))).alias("term"))
     # tf feeds BOTH the corpus-df aggregate and the scoring join below;
     # unmaterialized, the tokenize+explode+agg subtree runs twice per
     # action. Lazy localCheckpoint (self-releasing) computes it once:
@@ -1791,10 +1794,9 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("_rn").alias("rank")))
 
 
-_ORACLE_TFIDF_TOP_TERMS = """
+_ORACLE_TFIDF_TOP_TERMS = f"""
 WITH terms AS (
-  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                    w -> w <> '')) AS term
+  SELECT doc_id, unnest({words_sql(lower_x_sql('text'))}) AS term
   FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -2420,18 +2422,20 @@ def _q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     summaries). Threshold 0.1% of all tokens, above the MG guarantee
     line, so the result is exactly the naive groupBy/HAVING answer the
     oracle computes."""
-    from go_simple_embedding_database_spark.functions.text import words
+    from go_simple_embedding_database_spark.functions.text import (
+        lower_x, words)
     from go_simple_embedding_database_spark.operators.sketch import frequent_items
     toks = _docs_par(spark, sf_dir).select(
-        F.explode(words(F.lower(F.col("text")))).alias("token"))
+        F.explode(words(lower_x(F.col("text")))).alias("token"))
     return frequent_items(toks, "token", capacity=2000, threshold_frac=0.001)
 
 
 def _oracle_frequent_tokens() -> str:
-    from go_simple_embedding_database_spark.functions.text import words_sql
+    from go_simple_embedding_database_spark.functions.text import (
+        lower_x_sql, words_sql)
     from go_simple_embedding_database_spark.operators.sketch import (
         frequent_items_sql)
-    sub = (f"SELECT unnest({words_sql('lower(text)')}) AS token "
+    sub = (f"SELECT unnest({words_sql(lower_x_sql('text'))}) AS token "
            f"FROM documents")
     return frequent_items_sql(sub, "token", threshold_frac=0.001)
 

@@ -27,18 +27,61 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     "zh": ["的", "是", "了", "在", "我", "有", "和", "人", "这", "不"],
 }
 
+# Cross-engine whitespace class. ``\s`` is NOT dialect-stable: Java's is
+# [ \t\n\x0B\f\r] while RE2's (DuckDB) lacks \x0B — one vertical-tab byte
+# in a document forked the tokenization of every downstream operator
+# between the engines (found by tools/unicode_probe.py). Both dialects
+# parse this explicit class identically (\x0B is a hex escape in each);
+# it equals Java ``\s`` and Python ASCII ``\s``, so the Spark-side and
+# Python-twin semantics are unchanged — only the RE2 side gains \x0B.
+WS_CHARS = r" \t\n\r\f\x0B"
+
 # BPE-ish tokenizer regex: letter runs | digit runs | single non-space
 # symbol. Same dialect in Java regex (Spark) and RE2-ish (DuckDB).
-TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+TOKEN_REGEX = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CHARS}]"
+
+# Cross-engine lower(). JDK toLowerCase applies Unicode SpecialCasing —
+# İ (U+0130) → "i" + combining dot, and the context-dependent final
+# sigma (Σ at word end → ς) — while DuckDB's utf8proc applies simple
+# 1:1 mappings, so lower() forks the engines on Turkish or Greek text
+# (found by tools/unicode_probe.py). Pre-substituting the only two
+# unconditional-or-contextual lowercase special cases makes the
+# remaining input simple-mapping-only, where the engines agree. ASCII
+# text is untouched, so gate results are byte-identical.
+_LOWER_PRE = [("İ", "i̇"),   # İ -> i + COMBINING DOT ABOVE
+              ("Σ", "σ")]    # Σ -> σ (never the final form)
+
+
+def lower_x(text: Column) -> Column:
+    """Engine-stable lowercase (see _LOWER_PRE). Use this, not F.lower,
+    wherever the result feeds a cross-engine-hashed operator."""
+    for src, dst in _LOWER_PRE:
+        text = F.regexp_replace(text, src, dst)
+    return F.lower(text)
+
+
+def lower_x_sql(expr: str) -> str:
+    for src, dst in _LOWER_PRE:
+        expr = f"replace({expr}, '{src}', '{dst}')"
+    return f"lower({expr})"
+
+
+def lower_x_py(s: str) -> str:
+    """Python twin (str.lower applies İ's special casing but not final
+    sigma; the same pre-substitution aligns it with both engines)."""
+    for src, dst in _LOWER_PRE:
+        s = s.replace(src, dst)
+    return s.lower()
 
 
 def words(text: Column) -> Column:
     """Whitespace tokenization with empty-string removal (split on runs)."""
-    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    return F.filter(F.split(text, rf"[{WS_CHARS}]+"), lambda w: w != "")
 
 
 def words_sql(expr: str) -> str:
-    return f"list_filter(regexp_split_to_array({expr}, '\\s+'), w -> w <> '')"
+    return (f"list_filter(regexp_split_to_array({expr}, '[{WS_CHARS}]+'), "
+            f"w -> w <> '')")
 
 
 # Languages written without word separators: token-boundary matching can
@@ -57,7 +100,8 @@ def _stopword_pattern(sws: list[str]) -> str:
     leading whitespace is a different character. Count-equivalence with
     exact equality over ``words()`` holds because the lookahead forces a
     full-token match (a prefix alternative can never win spuriously)."""
-    return r"(?:^|\s)(?:" + "|".join(sws) + r")(?=\s|$)"
+    return (rf"(?:^|[{WS_CHARS}])(?:" + "|".join(sws)
+            + rf")(?=[{WS_CHARS}]|$)")
 
 
 def _char_class_pattern(sws: list[str]) -> str:
@@ -76,7 +120,7 @@ def stopword_hits(text: Column, lang: str) -> Column:
     the score discriminative on natural text). Spaceless scripts count
     character occurrences (see SPACELESS_LANGS)."""
     return F.regexp_count(
-        F.lower(text), F.lit(_lang_pattern(lang, LANG_STOPWORDS[lang])))
+        lower_x(text), F.lit(_lang_pattern(lang, LANG_STOPWORDS[lang])))
 
 
 def language_id(text: Column) -> Column:
@@ -95,7 +139,7 @@ def language_id(text: Column) -> Column:
     formulation (DuckDB's RE2 lacks the lookahead this pattern needs);
     count-equivalence is argued in ``_stopword_pattern`` and pinned by
     tests on punctuation/adjacency edge cases."""
-    lowered = F.lower(text)
+    lowered = lower_x(text)
     zipped = F.array(*[
         F.struct(
             F.regexp_count(lowered, F.lit(_lang_pattern(lang, sws))).alias("h"),
@@ -118,13 +162,13 @@ def language_id_sql(expr: str) -> str:
         if lang in SPACELESS_LANGS:
             cls = "[" + "".join(sw) + "]"
             hits = (
-                f"length(lower({expr})) - "
-                f"length(regexp_replace(lower({expr}), '{cls}', '', 'g'))"
+                f"length({lower_x_sql(expr)}) - "
+                f"length(regexp_replace({lower_x_sql(expr)}, '{cls}', '', 'g'))"
             )
         else:
             arr = "[" + ", ".join(f"'{w}'" for w in sw) + "]"
             hits = (
-                f"len(list_filter({words_sql(f'lower({expr})')}, "
+                f"len(list_filter({words_sql(f'{lower_x_sql(expr)}')}, "
                 f"w -> list_contains({arr}, w)))"
             )
         structs.append(f"{{'hits': {hits}, 'prio': {-i}, 'lang': '{lang}'}}")
@@ -201,7 +245,7 @@ def quality_sql(expr: str) -> dict[str, str]:
         f"CAST(length(regexp_replace({expr}, '[^.,;:!?''\"()-]', '', 'g')) AS DOUBLE)"
     )
     sw_hits = (
-        f"CAST(len(list_filter({words_sql(f'lower({expr})')}, w -> list_contains({sw}, w))) AS DOUBLE)"
+        f"CAST(len(list_filter({words_sql(f'{lower_x_sql(expr)}')}, w -> list_contains({sw}, w))) AS DOUBLE)"
     )
     feats["mean_word_len"] = f"(CAST(length({expr}) AS DOUBLE) - (CAST(len({w}) AS DOUBLE) - 1)) / {safe_words}"
     feats["alpha_ratio"] = f"{n_alpha} / {safe_chars}"
@@ -235,11 +279,11 @@ def shingles(text: Column, n: int = 3) -> Column:
         )
 
     return F.element_at(
-        F.transform(F.array(words(F.lower(text))), per_words), 1)
+        F.transform(F.array(words(lower_x(text))), per_words), 1)
 
 
 def shingles_sql(expr: str, n: int = 3) -> str:
-    w = words_sql(f"lower({expr})")
+    w = words_sql(f"{lower_x_sql(expr)}")
     return (
         f"list_distinct([array_to_string(list_slice({w}, i + 1, i + {n}), ' ') "
         f"for i in range(greatest(len({w}) - {n}, 0) + 1)])"
@@ -267,10 +311,13 @@ def chunk_text_sql(expr: str, chunk_size: int = 4096) -> str:
 
 
 def shingles_py(text: str, n: int = 3) -> list[str]:
-    """Python twin of ``shingles`` (same recipe, ASCII \\s, first-occurrence
-    distinct) — the batch kernel used by the vectorized dedup UDFs."""
+    """Python twin of ``shingles`` (same recipe — ASCII ``\\s`` equals
+    WS_CHARS exactly, and lower_x_py carries the İ/Σ pre-substitution;
+    first-occurrence distinct) — the batch kernel used by the vectorized
+    dedup UDFs."""
     import re
-    ws = [w for w in re.split(r"\s+", (text or "").lower(), flags=re.ASCII) if w]
+    ws = [w for w in re.split(r"\s+", lower_x_py(text or ""),
+                              flags=re.ASCII) if w]
     k = len(ws)
     if k == 0:
         return [""]
@@ -290,11 +337,11 @@ def ngrams_all(text: Column, n: int = 2) -> Column:
         return F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
 
     return F.element_at(
-        F.transform(F.array(words(F.lower(text))), per_words), 1)
+        F.transform(F.array(words(lower_x(text))), per_words), 1)
 
 
 def ngrams_all_sql(expr: str, n: int = 2) -> str:
-    w = words_sql(f"lower({expr})")
+    w = words_sql(f"{lower_x_sql(expr)}")
     return (
         f"[array_to_string(list_slice({w}, i + 1, i + {n}), ' ') "
         f"for i in range(greatest(len({w}) - {n}, 0) + 1)]"
@@ -309,7 +356,7 @@ def repetition_features(text: Column) -> dict[str, Column]:
     pipelines drop docs above a dup-ngram threshold. Pure codegen
     (split + transform + array_distinct), no shuffle: scan-linear."""
     out: dict[str, Column] = {}
-    ws = words(F.lower(text))
+    ws = words(lower_x(text))
     n_words = F.size(ws).cast("double")
     safe = F.when(n_words == 0, 1.0).otherwise(n_words)
     out["n_words"] = F.size(ws)
@@ -325,7 +372,7 @@ def repetition_features(text: Column) -> dict[str, Column]:
 
 def repetition_sql(expr: str) -> dict[str, str]:
     """DuckDB twins of repetition_features."""
-    w = words_sql(f"lower({expr})")
+    w = words_sql(f"{lower_x_sql(expr)}")
     safe = f"(CASE WHEN len({w}) = 0 THEN 1.0 ELSE CAST(len({w}) AS DOUBLE) END)"
     out = {
         "n_words": f"len({w})",

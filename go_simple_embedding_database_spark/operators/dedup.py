@@ -374,7 +374,9 @@ def _shingle_hash_seq_py(text: str, n: int) -> "np.ndarray":
     document order, unlike the distinct set MinHash uses."""
     import re
 
-    ws = [w for w in re.split(r"\s+", (text or "").lower(), flags=re.ASCII) if w]
+    from go_simple_embedding_database_spark.functions.text import lower_x_py
+    ws = [w for w in re.split(r"\s+", lower_x_py(text or ""),
+                              flags=re.ASCII) if w]
     k = len(ws)
     if k == 0:
         seq = [""]
@@ -412,8 +414,11 @@ def winnow_fingerprints(text: Column, window: int = 4, n: int = 3) -> Column:
 
 
 def winnow_fingerprints_sql(expr: str, window: int = 4, n: int = 3) -> str:
+    from go_simple_embedding_database_spark.functions.text import (
+        WS_CHARS, lower_x_sql)
     ws = (
-        f"list_filter(regexp_split_to_array(lower({expr}), '\\s+'), x -> x <> '')"
+        f"list_filter(regexp_split_to_array({lower_x_sql(expr)}, "
+        f"'[{WS_CHARS}]+'), x -> x <> '')"
     )
     seq = (
         f"[array_to_string(list_slice(_wd, i + 1, i + {n}), ' ') "

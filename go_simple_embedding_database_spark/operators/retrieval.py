@@ -31,14 +31,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from go_simple_embedding_database_spark.functions.text import words, words_sql
+from go_simple_embedding_database_spark.functions.text import (
+    lower_x, lower_x_py, lower_x_sql, words, words_sql)
 
 __all__ = ["bm25_topk", "bm25_topk_sql", "unigram_quality",
            "unigram_quality_sql"]
 
 
 def _norm_terms(terms: list[str]) -> list[str]:
-    out = sorted({t.lower() for t in terms if t and t.strip()})
+    out = sorted({lower_x_py(t) for t in terms if t and t.strip()})
     if not out:
         raise ValueError("need at least one non-empty query term")
     return out
@@ -66,7 +67,7 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int,
     tlist = _norm_terms(terms)
     terms_lit = F.array(*[F.lit(t) for t in tlist])
     toks = docs.select(F.col(id_col),
-                       words(F.lower(F.col(text_col))).alias("_w"))
+                       words(lower_x(F.col(text_col))).alias("_w"))
     stats = toks.agg(F.count("*").alias("_n_docs"),
                      F.sum(F.size("_w")).alias("_sum_dl"))
 
@@ -100,7 +101,7 @@ def bm25_topk_sql(table: str, terms: list[str], k: int,
     """DuckDB twin of :func:`bm25_topk` (identical recipe, same rounding)."""
     tlist = _norm_terms(terms)
     terms_sql = "[" + ", ".join(f"'{t}'" for t in tlist) + "]"
-    w = words_sql(f"lower({text_col})")
+    w = words_sql(lower_x_sql(text_col))
     return f"""
 WITH toks AS (
   SELECT {id_col}, {w} AS _w FROM {table}),
@@ -156,7 +157,7 @@ def unigram_quality(docs: DataFrame, text_col: str = "text",
     Returns (id_col, n_tokens, mean_tok_freq).
     """
     toks = docs.select(F.col(id_col),
-                       F.explode(words(F.lower(F.col(text_col)))).alias("_t"))
+                       F.explode(words(lower_x(F.col(text_col)))).alias("_t"))
     vocab = toks.groupBy("_t").agg(F.count("*").alias("_c"))
     vrel = F.broadcast(vocab) if broadcast_vocab else vocab
     per_doc = (toks.join(vrel, "_t")
@@ -173,7 +174,7 @@ def unigram_quality(docs: DataFrame, text_col: str = "text",
 
 def unigram_quality_sql(table: str, text_col: str = "text",
                         id_col: str = "doc_id") -> str:
-    w = words_sql(f"lower({text_col})")
+    w = words_sql(lower_x_sql(text_col))
     return f"""
 WITH toks AS (
   SELECT {id_col}, unnest({w}) AS _t FROM {table}),

@@ -228,3 +228,30 @@ def test_phone_scrub_does_not_eat_trailing_numbers(spark):
                    "price +3 dollars stays",
                    "scores +1 23 45 stay put",
                    "<PHONE> compact form"]
+
+
+def test_words_and_lower_are_engine_stable_on_unicode(spark):
+    """The two regex/casing divergences tools/unicode_probe.py found must
+    stay closed: (1) vertical tab is whitespace in Java's \\s but not
+    RE2's — WS_CHARS makes the split identical; (2) JDK lower() applies
+    Unicode special casing (Turkish İ, Greek final sigma) while DuckDB's
+    is simple 1:1 — lower_x pre-substitutes the two special cases. Both
+    primitives are compared against their SQL twins ON the adversarial
+    inputs, and must stay byte-identical on ASCII."""
+    con = duckdb.connect()
+    cases = ["vertical\x0btab bell\x07", "İstanbul IŞIK ΔΙΟΣ ΑΣ",
+             "plain ascii text 42!", "tab\there\nnewline",
+             "春眠不覚暁 処処聞啼鳥", "family 👨‍👩‍👧‍👦 ok"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)],
+                               "i int, t string")
+    got = {r.i: (list(r.w), r.low) for r in df.select(
+        "i", tx.words(F.col("t")).alias("w"),
+        tx.lower_x(F.col("t")).alias("low")).collect()}
+    for i, t in enumerate(cases):
+        w_sql, low_sql = con.execute(
+            f"SELECT {tx.words_sql('?')}, {tx.lower_x_sql('?')}",
+            [t, t]).fetchone()
+        assert got[i] == (w_sql, low_sql), (i, t, got[i], (w_sql, low_sql))
+    # ASCII invariance: lower_x == plain lower, words == \s+ split
+    assert got[2][1] == cases[2].lower()
+    assert got[2][0] == cases[2].lower().split()  # no casing in tokens
