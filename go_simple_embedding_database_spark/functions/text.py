@@ -54,9 +54,11 @@ _LOWER_PRE = [("İ", "i̇"),   # İ -> i + COMBINING DOT ABOVE
 
 def lower_x(text: Column) -> Column:
     """Engine-stable lowercase (see _LOWER_PRE). Use this, not F.lower,
-    wherever the result feeds a cross-engine-hashed operator."""
+    wherever the result feeds a cross-engine-hashed operator. Literal
+    ``F.replace`` (a memcmp scan), not ``regexp_replace`` — this sits on
+    the hot tokenization path of every text operator."""
     for src, dst in _LOWER_PRE:
-        text = F.regexp_replace(text, src, dst)
+        text = F.replace(text, F.lit(src), F.lit(dst))
     return F.lower(text)
 
 
