@@ -403,12 +403,39 @@ def _capture_formatted(df) -> str:
         df._jdf.queryExecution(), "formatted")
 
 
+def _lm_perplexity_df(spark, sf_dir: str):
+    """Library-only operator (no queries() entry — the round-3 surface
+    freeze): train on half the documents, score the other half."""
+    from go_simple_embedding_database_spark.operators.lm import (
+        score_perplexity, train_bigram_lm)
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    return score_perplexity(docs.filter(F.col("doc_id") % 2 == 1), lm)
+
+
+# Library operators without a queries() entry: name -> (title, comment,
+# builder). Same rendering as the driver queries.
+EXTRA_SECTIONS = {
+    "lm_perplexity": (
+        "Bigram-LM perplexity scoring (library operator)",
+        "Scoring is explode + two LEFT `BroadcastHashJoin`s against the "
+        "count relations + one per-doc hash aggregate — no window, no "
+        "sort, and the exchanges carry (doc_id, token keys, counts), "
+        "never document text. The model side is two broadcast relations "
+        "(reference-vocabulary-sized); `broadcast_model=False` swaps "
+        "them to shuffle hash joins when a model outgrows executors.",
+        _lm_perplexity_df),
+}
+
+
 def main() -> None:
     import __spark_entry__ as em
     from go_simple_embedding_database_spark.session import get_spark
 
     spark = get_spark(app_name="plans-report")
     qs = em.queries()
+    qs = dict(qs, **{n: b for n, (_t, _c, b) in EXTRA_SECTIONS.items()})
     out = [
         "# PLANS — physical-plan review of the headline operators",
         "",
@@ -419,7 +446,9 @@ def main() -> None:
         "asserts — followed by `explain('formatted')` output.",
         "",
     ]
-    for name, (title, comment) in COMMENTARY.items():
+    sections = dict(COMMENTARY,
+                    **{n: (t, c) for n, (t, c, _b) in EXTRA_SECTIONS.items()})
+    for name, (title, comment) in sections.items():
         df = qs[name](spark, SF_DIR)
         plan = _capture_formatted(df)
         # Strip volatile ids/paths so the artifact diffs cleanly.
@@ -460,7 +489,7 @@ def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as fh:
         fh.write("\n".join(out))
-    print(f"wrote PLANS.md ({len(COMMENTARY)} sections)")
+    print(f"wrote PLANS.md ({len(COMMENTARY) + len(EXTRA_SECTIONS)} sections)")
 
 
 if __name__ == "__main__":
