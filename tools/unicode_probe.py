@@ -101,7 +101,12 @@ def main() -> int:
     from go_simple_embedding_database_spark.session import get_spark
 
     spark = get_spark(app_name="unicode-probe")
-    scratch = tempfile.mkdtemp(prefix="unicode_probe_")
+    # Deterministic scratch path: a random name would mint a NEW set of
+    # fingerprinted warehouse artifacts (bucketed tables, IVF indexes)
+    # per run — stable names make reruns reuse instead of accumulate.
+    scratch = os.path.join(tempfile.gettempdir(), "gsed-unicode-probe")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch)
     results: dict[str, dict] = {}
     try:
         _synthesize(scratch)
