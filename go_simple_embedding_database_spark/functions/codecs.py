@@ -3,12 +3,21 @@
 The container ships no PIL/ffmpeg/torchaudio, so the codec layer is
 self-contained: real decoders for the container formats implementable
 with the stdlib + numpy alone — binary PPM/PGM (netpbm P6/P5), 24/32-bit
-uncompressed BMP, PCM WAV, and non-interlaced 8-bit PNG (DEFLATE is
-stdlib ``zlib``; the scanline unfiltering is implemented here). Formats
-whose entropy coding has no stdlib implementation (JPEG/MP3/MP4) still
-fall back to the clearly-marked deterministic fake in
-``operators.multimodal``, keeping every downstream operator exercisable
-on arbitrary bytes.
+uncompressed BMP, PCM WAV, non-interlaced 8-bit PNG (DEFLATE is stdlib
+``zlib``; the scanline unfiltering is implemented here), and baseline
+sequential JPEG (ITU-T T.81: Huffman entropy decode, dequantize, 8x8
+IDCT, chroma upsampling, YCbCr->RGB — all implemented here; the IDCT and
+dequantization are bulk numpy over every block at once, the bit-serial
+Huffman walk is the per-record CPU cost that ``mapInPandas`` spreads
+across executors). Formats whose codecs remain out of reach for
+stdlib+numpy (progressive JPEG, MP3, MP4) still fall back to the
+clearly-marked deterministic fake in ``operators.multimodal``, keeping
+every downstream operator exercisable on arbitrary bytes.
+
+``encode_jpeg`` exists so the JPEG decode path is testable end-to-end
+without any binary fixtures: it emits spec-valid baseline streams
+(interleaved single scan, 4:4:4 or 4:2:0, optional restart markers) with
+simple fixed-length Huffman tables — legal JPEG, just not size-optimal.
 
 All functions are pure bytes -> numpy (no Spark imports): they run inside
 ``mapInPandas`` workers, one Arrow batch of payloads per call, and are
@@ -26,6 +35,7 @@ __all__ = [
     "sniff_format",
     "decode_image",
     "encode_ppm",
+    "encode_jpeg",
     "resize_nearest",
     "decode_wav",
     "image_feature",
@@ -71,6 +81,10 @@ def sniff_format(payload: bytes) -> str | None:
         # the 8-byte signature includes non-ASCII and CR/LF bytes by
         # design (it cannot occur in text), so no extra strictness needed
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        # SOI immediately followed by another marker byte — the 3-byte
+        # prefix is non-ASCII, so text can never satisfy it
+        return "jpeg"
     return None
 
 
@@ -108,7 +122,8 @@ def _pnm_header(payload: bytes) -> tuple[int, int, int, int]:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """bytes -> HxWx3 uint8 RGB array. Supports binary PPM (P6), binary
-    PGM (P5, expanded to RGB), and uncompressed 24/32-bit BI_RGB BMP.
+    PGM (P5, expanded to RGB), uncompressed 24/32-bit BI_RGB BMP,
+    non-interlaced 8-bit PNG, and baseline sequential JPEG.
     Raises ValueError on truncated/unsupported payloads — the quarantine
     path of ``decode_media``."""
     kind = sniff_format(payload)
@@ -131,6 +146,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_bmp(payload)
     if kind == "png":
         return _decode_png(payload)
+    if kind == "jpeg":
+        return _decode_jpeg(payload)
     raise ValueError("unsupported image format for the built-in codec")
 
 
@@ -368,3 +385,549 @@ def audio_feature(samples: np.ndarray, dim: int = 16) -> list[float]:
     ])
     norm = np.linalg.norm(v)
     return (v / norm if norm else v).tolist()
+
+
+# --------------------------------------------------------------------------
+# Baseline sequential JPEG (ITU-T T.81) — decoder + test encoder.
+#
+# Scope: 8-bit baseline/extended-sequential Huffman (SOF0/SOF1), 1 or 3
+# components, one interleaved scan, integer chroma subsampling ratios,
+# restart markers. Progressive (SOF2), hierarchical, arithmetic coding,
+# 12-bit depth and multi-scan files raise ValueError — the quarantine
+# path, exactly like unsupported PNG shapes.
+# --------------------------------------------------------------------------
+
+
+def _build_zigzag() -> np.ndarray:
+    """zigzag index k -> row-major flat position (T.81 Figure A.6): walk
+    the anti-diagonals, alternating direction, starting up-right."""
+    order = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(s, 7) + 1)
+        if s % 2 == 0:           # even diagonal: up-right (row decreasing)
+            rows = reversed(list(rows))
+        order.extend(r * 8 + (s - r) for r in rows)
+    return np.array(order, dtype=np.int64)
+
+
+_JPEG_ZIGZAG = _build_zigzag()
+
+# Orthonormal 8-point DCT-II matrix A (A @ A.T == I): forward block
+# transform is A @ f @ A.T, inverse is A.T @ F @ A — T.81 A.3.3 with the
+# c(u)/2 normalization folded in.
+_JPEG_DCT_A = np.array([
+    [(np.sqrt(0.5) if u == 0 else 1.0) * 0.5
+     * np.cos((2 * x + 1) * u * np.pi / 16.0)
+     for x in range(8)] for u in range(8)])
+
+
+class _JpegHuffTable:
+    """Canonical Huffman table from a DHT (bits, values) spec: assign
+    consecutive codes per length, shifting left between lengths."""
+
+    def __init__(self, bits: list[int], values: list[int]):
+        if sum(bits) != len(values):
+            raise ValueError("DHT length counts do not match value count")
+        self.lookup: dict[tuple[int, int], int] = {}
+        self.encode: dict[int, tuple[int, int]] = {}
+        code, vi = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                if code >= (1 << length):
+                    raise ValueError("over-subscribed Huffman code space")
+                self.lookup[(length, code)] = values[vi]
+                self.encode[values[vi]] = (length, code)
+                code += 1
+                vi += 1
+            code <<= 1
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over one de-stuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "buf", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def huff_decode(self, table: _JpegHuffTable) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the ``size``-bit magnitude to its signed
+    value (leading 0 bit means negative)."""
+    if size and v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def _jpeg_entropy_segments(payload: bytes, start: int) -> list[bytes]:
+    """De-stuff the scan's entropy data (FF 00 -> FF) and split it at
+    restart markers (FF D0..D7). Any other marker ends the scan."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i, n = start, len(payload)
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = payload[i + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> HxWx3 uint8 RGB. Marker walk, Huffman
+    entropy decode per MCU (restart-aware), then BULK numpy for the
+    O(pixels) stages: dequantize + de-zigzag + IDCT run once over an
+    (n_blocks, 8, 8) array per component, not per block."""
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _JpegHuffTable] = {}   # (class, id)
+    frame = None            # (height, width, [(cid, h, v, tq), ...])
+    restart_interval = 0
+    scan = None             # ([(comp_idx, dc_id, ac_id), ...], data_start)
+    pos, n = 2, len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("malformed JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:                      # EOI
+            break
+        if 0xD0 <= marker <= 0xD8 or marker == 0x01:   # bare markers
+            pos += 2
+            continue
+        length = struct.unpack_from(">H", payload, pos + 2)[0]
+        seg = payload[pos + 4 : pos + 2 + length]
+        if len(seg) != length - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:                      # DQT (1+ tables)
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 15
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables not supported")
+                if off + 65 > len(seg):
+                    raise ValueError("truncated DQT")
+                qt[tq] = np.frombuffer(
+                    seg[off + 1 : off + 65], dtype=np.uint8
+                ).astype(np.int32)
+                off += 65
+        elif marker == 0xC4:                    # DHT (1+ tables)
+            off = 0
+            while off + 17 <= len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 15
+                bits = list(seg[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + nv])
+                if len(vals) != nv:
+                    raise ValueError("truncated DHT")
+                huff[(tc, th)] = _JpegHuffTable(bits, vals)
+                off += 17 + nv
+        elif marker in (0xC0, 0xC1):            # SOF0/SOF1
+            if frame is not None:
+                raise ValueError("multiple JPEG frames not supported")
+            prec, h_img, w_img, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError(f"only 8-bit JPEG supported, got {prec}")
+            if h_img == 0 or w_img == 0:
+                raise ValueError("JPEG with deferred dimensions (DNL) not supported")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {ncomp}")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h_img, w_img, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "progressive/hierarchical/arithmetic JPEG not supported")
+        elif marker == 0xDD:                    # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:                    # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG scan before frame header")
+            ns = seg[0]
+            if ns != len(frame[2]):
+                raise ValueError("non-interleaved multi-scan JPEG not supported")
+            mapping = []
+            for s in range(ns):
+                cs, tbls = seg[1 + 2 * s], seg[2 + 2 * s]
+                idx = next((i for i, c in enumerate(frame[2]) if c[0] == cs),
+                           None)
+                if idx is None:
+                    raise ValueError(f"scan references unknown component {cs}")
+                mapping.append((idx, tbls >> 4, tbls & 15))
+            scan = (mapping, pos + 2 + length)
+            break
+        pos += 2 + length
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h_img, w_img, comps = frame
+    mapping, data_start = scan
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("bad JPEG sampling factors")
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+
+    # Per-component zigzag coefficient store, indexed by block grid.
+    blocks = []
+    for (_, ch, cv, _) in comps:
+        blocks.append(np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32))
+
+    segments = _jpeg_entropy_segments(payload, data_start)
+    expected_segments = (
+        -(-mcus_x * mcus_y // restart_interval) if restart_interval else 1)
+    if len(segments) < expected_segments:
+        raise ValueError("JPEG entropy stream missing restart segments")
+
+    mcu = 0
+    n_mcus = mcus_x * mcus_y
+    for seg_bytes in segments:
+        if mcu >= n_mcus:
+            break
+        reader = _JpegBitReader(seg_bytes)
+        pred = [0] * len(comps)                # DC predictors reset at RST
+        seg_budget = restart_interval if restart_interval else n_mcus
+        for _ in range(min(seg_budget, n_mcus - mcu)):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, dc_id, ac_id in mapping:
+                _, ch, cv, _ = comps[ci]
+                dc_tbl = huff.get((0, dc_id))
+                ac_tbl = huff.get((1, ac_id))
+                if dc_tbl is None or ac_tbl is None:
+                    raise ValueError("scan references undefined Huffman table")
+                for by in range(cv):
+                    for bx in range(ch):
+                        z = blocks[ci][my * cv + by, mx * ch + bx]
+                        t = reader.huff_decode(dc_tbl)
+                        if t > 11:
+                            raise ValueError("bad JPEG DC category")
+                        pred[ci] += _jpeg_extend(reader.receive(t), t)
+                        z[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff_decode(ac_tbl)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:     # ZRL: skip 16 zeros
+                                    k += 16
+                                    continue
+                                break           # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            z[k] = _jpeg_extend(reader.receive(s), s)
+                            k += 1
+            mcu += 1
+    if mcu < n_mcus:
+        raise ValueError("truncated JPEG entropy stream")
+
+    # Bulk per-component: dequantize -> de-zigzag -> IDCT -> +128 clip.
+    planes = []
+    a_mat = _JPEG_DCT_A
+    for ci, (_, ch, cv, tq) in enumerate(comps):
+        if tq not in qt:
+            raise ValueError(f"JPEG component references missing DQT {tq}")
+        grid_h, grid_w, _ = blocks[ci].shape
+        zz = blocks[ci].reshape(-1, 64).astype(np.float64) * \
+            qt[tq][np.newaxis, :].astype(np.float64)
+        coef = np.empty_like(zz)
+        coef[:, _JPEG_ZIGZAG] = zz
+        coef = coef.reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", a_mat, coef, a_mat,
+                            optimize=True) + 128.0
+        plane = (spatial.reshape(grid_h, grid_w, 8, 8)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(grid_h * 8, grid_w * 8))
+        # Upsample to full resolution (integer ratios only — covers
+        # 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1).
+        ry, rx = vmax // cv, hmax // ch
+        if ry * cv != vmax or rx * ch != hmax:
+            raise ValueError("non-integer JPEG chroma subsampling ratio")
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:h_img, :w_img])
+
+    if len(planes) == 1:
+        gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# Standard Annex K quantization tables (T.81 Tables K.1/K.2), row-major.
+_JPEG_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+_JPEG_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+# Encoder Huffman tables: FIXED-LENGTH canonical codes — every DC
+# category at 4 bits (12 of 16 slots), every AC (run, size) symbol at 8
+# bits (162 of 256 slots). Spec-valid (codes are canonical, the all-ones
+# code is never assigned) and trivially correct; a production encoder
+# would use frequency-optimal tables, which only changes SIZE. The
+# decoder reads the tables from the DHT segment, so it exercises the
+# same table-driven path real-world files use.
+_JPEG_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_ENC_DC_VALS = list(range(12))
+_JPEG_ENC_AC_BITS = [0] * 7 + [162] + [0] * 8
+_JPEG_ENC_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)]
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with FF 00 byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def byte_align(self) -> None:
+        """Pad with 1-bits to the next byte boundary (T.81 F.1.2.3)."""
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _jpeg_quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K base tables."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    def scaled(base: np.ndarray) -> np.ndarray:
+        return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+    return scaled(_JPEG_Q_LUMA), scaled(_JPEG_Q_CHROMA)
+
+
+def _jpeg_fdct_quant_zigzag(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
+    """(grid_h*8, grid_w*8) float plane -> (grid_h, grid_w, 64) int32
+    quantized zigzag coefficients — forward DCT, quantize and zigzag in
+    bulk numpy."""
+    gh, gw = plane.shape[0] // 8, plane.shape[1] // 8
+    f = (plane.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)
+         .reshape(-1, 8, 8) - 128.0)
+    a_mat = _JPEG_DCT_A
+    coef = np.einsum("ux,nxy,vy->nuv", a_mat, f, a_mat, optimize=True)
+    q = np.round(coef.reshape(-1, 64) / qtbl[np.newaxis, :]).astype(np.int32)
+    return q[:, _JPEG_ZIGZAG].reshape(gh, gw, 64)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """value -> (size category, size-bit magnitude code), T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, (v if v > 0 else v + (1 << size) - 1)
+
+
+def _jpeg_encode_block(w: _JpegBitWriter, z: np.ndarray, pred: int,
+                       dc_tbl: _JpegHuffTable, ac_tbl: _JpegHuffTable) -> int:
+    """Huffman-encode one quantized zigzag block; returns the new DC
+    predictor."""
+    dc = int(z[0])
+    size, bits = _jpeg_magnitude(dc - pred)
+    length, code = dc_tbl.encode[size]
+    w.write(code, length)
+    if size:
+        w.write(bits, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(z[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_tbl.encode[0xF0]      # ZRL
+            w.write(code, length)
+            run -= 16
+        size, bits = _jpeg_magnitude(v)
+        length, code = ac_tbl.encode[(run << 4) | size]
+        w.write(code, length)
+        w.write(bits, size)
+        run = 0
+    if run:
+        length, code = ac_tbl.encode[0x00]          # EOB
+        w.write(code, length)
+    return dc
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """HxWx3 (RGB) or HxW (grayscale) uint8 -> baseline JPEG bytes.
+
+    Exists so the JPEG DECODE path is testable end-to-end with no binary
+    fixtures and no PIL: a full spec-valid baseline encoder (single
+    interleaved scan; ``subsample`` '444' or '420'; ``restart_interval``
+    > 0 emits DRI + RSTn markers). Lossy by nature — tests assert
+    round-trip closeness, plus exact decoder equality across entropy-
+    layout variants (restart vs not) of the same quantized coefficients."""
+    if subsample not in ("444", "420"):
+        raise ValueError(f"subsample must be '444' or '420', got {subsample!r}")
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError(f"expected HxWx3 or HxW array, got shape {arr.shape}")
+    h_img, w_img = arr.shape[:2]
+    if h_img == 0 or w_img == 0:
+        raise ValueError("cannot encode an empty image")
+    q_luma, q_chroma = _jpeg_quality_tables(quality)
+    dc_tbl = _JpegHuffTable(_JPEG_ENC_DC_BITS, _JPEG_ENC_DC_VALS)
+    ac_tbl = _JpegHuffTable(_JPEG_ENC_AC_BITS, _JPEG_ENC_AC_VALS)
+
+    sub = 2 if (subsample == "420" and not gray) else 1
+    align = 8 * sub
+    pad_h = -h_img % align
+    pad_w = -w_img % align
+    px = np.pad(arr.astype(np.float64),
+                ((0, pad_h), (0, pad_w)) + (() if gray else ((0, 0),)),
+                mode="edge")
+
+    if gray:
+        planes = [px]
+        samplings = [(1, 1)]
+        qtbls = [q_luma]
+        qids = [0]
+    else:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if sub == 2:
+            # 2x2 mean chroma downsample
+            cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2) \
+                .mean(axis=(1, 3))
+            cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2) \
+                .mean(axis=(1, 3))
+        planes = [y, cb, cr]
+        samplings = [(sub, sub), (1, 1), (1, 1)]
+        qtbls = [q_luma, q_chroma, q_chroma]
+        qids = [0, 1, 1]
+
+    coeffs = [_jpeg_fdct_quant_zigzag(p, q) for p, q in zip(planes, qtbls)]
+
+    out = bytearray(b"\xff\xd8")                       # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"       # APP0
+    # DQT (one segment per table)
+    for tq, base in ([(0, q_luma)] if gray else [(0, q_luma), (1, q_chroma)]):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
+            + bytes(int(v) for v in base[_JPEG_ZIGZAG])
+    # SOF0
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h_img, w_img, ncomp)
+    for ci, (ch, cv) in enumerate(samplings):
+        sof += bytes([ci + 1, (ch << 4) | cv, qids[ci]])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: one DC + one AC table, shared by all components
+    for tc, bits, vals in ((0, _JPEG_ENC_DC_BITS, _JPEG_ENC_DC_VALS),
+                           (1, _JPEG_ENC_AC_BITS, _JPEG_ENC_AC_VALS)):
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])                   # DC 0 / AC 0
+    sos += b"\x00\x3f\x00"                             # Ss=0 Se=63 AhAl=0
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+    writer = _JpegBitWriter()
+    pred = [0] * ncomp
+    rst = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.byte_align()
+            writer.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            pred = [0] * ncomp
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (ch, cv) in enumerate(samplings):
+            for by in range(cv):
+                for bx in range(ch):
+                    z = coeffs[ci][my * cv + by, mx * ch + bx]
+                    pred[ci] = _jpeg_encode_block(
+                        writer, z, pred[ci], dc_tbl, ac_tbl)
+    writer.byte_align()
+    out += writer.out
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)

@@ -4,10 +4,11 @@ The Spark-side plumbing is REAL and tested: schemas, Arrow batch shapes,
 ``mapInPandas`` signatures, partitioning for CPU-heavy decode. The codec
 step is REAL for every format the dependency-free ``functions.codecs``
 layer covers (binary PPM/PGM, 24/32-bit BMP, PCM WAV, non-interlaced
-8-bit PNG via stdlib zlib: actual pixel/sample decode, luma-grid /
-RMS-envelope features, nearest-neighbor resize). Formats whose entropy
-coding has no stdlib implementation (JPEG/MP3/MP4) fall back to a
-deterministic sha256 fake — so every downstream operator (dedup by
+8-bit PNG via stdlib zlib, baseline sequential JPEG via an in-repo
+T.81 Huffman+IDCT decoder: actual pixel/sample decode, luma-grid /
+RMS-envelope features, nearest-neighbor resize). Formats whose codecs
+remain out of stdlib+numpy reach (progressive JPEG, MP3, MP4) fall back
+to a deterministic sha256 fake — so every downstream operator (dedup by
 perceptual hash, ANN over media embeddings) stays exercisable on
 arbitrary bytes. Swapping the fallback for a real compressed-format
 decoder changes ONE function; the distributed plan is already correct.
@@ -44,12 +45,13 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
 
     REAL decode for the formats the dependency-free codec layer
     (functions/codecs.py) covers — binary PPM/PGM, uncompressed 24/32-bit
-    BMP, non-interlaced 8-bit PNG (pixel raster + 4x4 luma-grid feature),
-    PCM WAV (sample stream + RMS-envelope feature). Anything else
-    (JPEG/MP3/MP4 — entropy coded, no stdlib implementation, needs
-    PIL/ffmpeg) falls back to the deterministic sha256 fake
-    so arbitrary bytes stay exercisable end-to-end; swapping the fallback
-    for a real compressed-format decoder remains a one-function change.
+    BMP, non-interlaced 8-bit PNG, baseline sequential JPEG (pixel
+    raster + 4x4 luma-grid feature), PCM WAV (sample stream +
+    RMS-envelope feature). Anything else (progressive JPEG, MP3, MP4 —
+    beyond a stdlib+numpy implementation) falls back to the
+    deterministic sha256 fake so arbitrary bytes stay exercisable
+    end-to-end; swapping the fallback for a real compressed-format
+    decoder remains a one-function change.
 
     Raises ValueError on empty payloads and on recognized-but-corrupt
     payloads (truncated raster, compressed BMP, non-PCM WAV) — the
@@ -60,7 +62,7 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
         raise ValueError("cannot decode empty payload")
     payload = bytes(payload)
     kind = codecs.sniff_format(payload)
-    if kind in ("ppm", "pgm", "bmp", "png"):
+    if kind in ("ppm", "pgm", "bmp", "png", "jpeg"):
         rgb = codecs.decode_image(payload)
         return {
             "width": int(rgb.shape[1]),
@@ -185,19 +187,19 @@ RESIZED_SCHEMA = ("media_id string, modality string, payload binary, "
 def _resize_payload(payload: bytes, target_w: int, target_h: int) -> bytes:
     """Resize one image payload.
 
-    REAL pixel work for the codec layer's formats (PPM/PGM/BMP):
-    nearest-neighbor resample of the decoded raster, re-encoded as binary
-    PPM (the codec's native output). Unrecognized formats fall back to a
-    deterministic fake whose size scales with the target area (byte
-    budgets and partition sizing stay realistic) — the compressed-format
-    slot for a future PIL/ffmpeg swap. Raises on empty input like the
-    decoder."""
+    REAL pixel work for the codec layer's formats (PPM/PGM/BMP/PNG/
+    baseline JPEG): nearest-neighbor resample of the decoded raster,
+    re-encoded as binary PPM (the codec's native output). Unrecognized
+    formats fall back to a deterministic fake whose size scales with the
+    target area (byte budgets and partition sizing stay realistic) — the
+    compressed-format slot for a future PIL/ffmpeg swap. Raises on empty
+    input like the decoder."""
     from go_simple_embedding_database_spark.functions import codecs
 
     if payload is None or len(payload) == 0:
         raise ValueError("cannot resize empty payload")
     payload = bytes(payload)
-    if codecs.sniff_format(payload) in ("ppm", "pgm", "bmp", "png"):
+    if codecs.sniff_format(payload) in ("ppm", "pgm", "bmp", "png", "jpeg"):
         rgb = codecs.decode_image(payload)
         return codecs.encode_ppm(
             codecs.resize_nearest(rgb, target_w, target_h))
