@@ -9,7 +9,10 @@ sequential JPEG (ITU-T T.81: Huffman entropy decode, dequantize, 8x8
 IDCT, chroma upsampling, YCbCr->RGB — all implemented here; the IDCT and
 dequantization are bulk numpy over every block at once, the bit-serial
 Huffman walk is the per-record CPU cost that ``mapInPandas`` spreads
-across executors). Formats whose codecs remain out of reach for
+across executors), GIF87a/89a including animation (in-repo LZW decode,
+palette mapping, interlace, frame compositing with disposal), and
+Motion-JPEG AVI video (RIFF walk + per-frame JPEG). Formats whose
+codecs remain out of reach for
 stdlib+numpy (progressive JPEG, MP3, MP4) still fall back to the
 clearly-marked deterministic fake in ``operators.multimodal``, keeping
 every downstream operator exercisable on arbitrary bytes.
@@ -36,6 +39,10 @@ __all__ = [
     "decode_image",
     "encode_ppm",
     "encode_jpeg",
+    "decode_avi_mjpeg",
+    "encode_avi_mjpeg",
+    "decode_gif",
+    "encode_gif",
     "resize_nearest",
     "decode_wav",
     "image_feature",
@@ -51,8 +58,9 @@ _BMP_DIB_SIZES = frozenset({40, 52, 56, 108, 124})
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """Container format sniff: 'ppm' | 'pgm' | 'bmp' | 'wav' | 'png', or
-    None for anything this codec layer cannot really decode.
+    """Container format sniff: 'ppm' | 'pgm' | 'bmp' | 'wav' | 'png' |
+    'jpeg' | 'gif' | 'avi', or None for anything this codec layer cannot
+    really decode.
 
     Deliberately STRICTER than the bare magic bytes: a media column can
     legitimately carry arbitrary bytes (text wrapped as payloads in
@@ -77,6 +85,8 @@ def sniff_format(payload: bytes) -> str | None:
         return None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if payload[:8] == _PNG_SIGNATURE:
         # the 8-byte signature includes non-ASCII and CR/LF bytes by
         # design (it cannot occur in text), so no extra strictness needed
@@ -85,6 +95,8 @@ def sniff_format(payload: bytes) -> str | None:
         # SOI immediately followed by another marker byte — the 3-byte
         # prefix is non-ASCII, so text can never satisfy it
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 13:
+        return "gif"
     return None
 
 
@@ -123,7 +135,7 @@ def _pnm_header(payload: bytes) -> tuple[int, int, int, int]:
 def decode_image(payload: bytes) -> np.ndarray:
     """bytes -> HxWx3 uint8 RGB array. Supports binary PPM (P6), binary
     PGM (P5, expanded to RGB), uncompressed 24/32-bit BI_RGB BMP,
-    non-interlaced 8-bit PNG, and baseline sequential JPEG.
+    8-bit PNG, baseline sequential JPEG, and GIF (first frame).
     Raises ValueError on truncated/unsupported payloads — the quarantine
     path of ``decode_media``."""
     kind = sniff_format(payload)
@@ -148,6 +160,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_png(payload)
     if kind == "jpeg":
         return _decode_jpeg(payload)
+    if kind == "gif":
+        # first composited frame — the still-image view of a GIF
+        _, _, frames = decode_gif(payload)
+        return frames[0]
     raise ValueError("unsupported image format for the built-in codec")
 
 
@@ -930,4 +946,407 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: str = "444",
     writer.byte_align()
     out += writer.out
     out += b"\xff\xd9"                                 # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Motion-JPEG in AVI — the video container that is fully decodable with
+# the layers above: RIFF parsing (shared shape with WAV) + per-frame
+# baseline JPEG. Makes the VIDEO modality real end-to-end: true frame
+# counts for frame_sample_plan, true pixels for frame extraction.
+# --------------------------------------------------------------------------
+
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, list_type|None, body_start, body_end) for each RIFF
+    chunk in data[start:end]; LIST/RIFF chunks carry their list type and
+    their body EXCLUDES the 4-byte type tag."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body_start, body_end = pos + 8, pos + 8 + size
+        if body_end > end:
+            raise ValueError(f"truncated RIFF chunk {fourcc!r}")
+        if fourcc in (b"LIST", b"RIFF"):
+            yield fourcc, data[body_start : body_start + 4], body_start + 4, body_end
+        else:
+            yield fourcc, None, body_start, body_end
+        pos = body_end + (size & 1)          # chunks are word-aligned
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Motion-JPEG AVI bytes -> (width, height, [jpeg frame bytes, ...]).
+
+    Walks the RIFF tree: ``avih`` gives the declared dimensions, the
+    ``movi`` list carries one compressed chunk per frame (``..dc``/
+    ``..db``, including frames nested in ``rec `` lists). The frame
+    PAYLOADS are returned still JPEG-encoded — frame decode is the
+    caller's per-frame choice (decode_image), so sampling every Nth
+    frame never pays for the frames it skips. Non-MJPEG codecs raise
+    ValueError (the quarantine path)."""
+    if sniff_format(payload) != "avi":
+        raise ValueError("not a RIFF/AVI payload")
+    width = height = None
+    compression = None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal width, height, compression
+        for fourcc, ltype, b0, b1 in _riff_chunks(payload, start, end):
+            if ltype is not None:
+                walk(b0, b1)
+            elif fourcc == b"avih" and b1 - b0 >= 40:
+                width = struct.unpack_from("<I", payload, b0 + 32)[0]
+                height = struct.unpack_from("<I", payload, b0 + 36)[0]
+            elif fourcc == b"strf" and b1 - b0 >= 20 and compression is None:
+                # BITMAPINFOHEADER.biCompression — only read for the
+                # first (video) stream
+                compression = payload[b0 + 16 : b0 + 20]
+            elif len(fourcc) == 4 and fourcc[2:] in (b"dc", b"db"):
+                frames.append(payload[b0:b1])
+
+    walk(12, len(payload))
+    if compression is not None and compression.upper() not in (b"MJPG", b"JPEG"):
+        raise ValueError(
+            f"AVI codec {compression!r} not supported (MJPG only)")
+    if width is None or not frames:
+        raise ValueError("AVI missing avih header or movi frames")
+    return int(width), int(height), frames
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10,
+                     quality: int = 85) -> bytes:
+    """List of HxWx3 uint8 frames -> Motion-JPEG AVI bytes (test harness
+    for the video decode path, exactly like encode_jpeg for images)."""
+    if not frames:
+        raise ValueError("cannot encode an empty frame list")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("all AVI frames must share one size")
+    jpegs = [encode_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // max(fps, 1), 0, 0, 0x10, len(jpegs), 0, 1,
+        max(len(j) for j in jpegs), w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIiI", 0, 0, 0, 0, 1, max(fps, 1), 0, len(jpegs),
+        max(len(j) for j in jpegs), -1, 0)
+        + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    return b"RIFF" + struct.pack(
+        "<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
+
+
+# --------------------------------------------------------------------------
+# GIF (87a/89a) — decoder + test encoder. The palette+LZW image family:
+# covers the animated-image modality (true frame counts and composited
+# pixels) that PNG/JPEG/AVI do not. LZW decode is inherently code-serial
+# per frame (like the JPEG Huffman walk); the palette scatter and frame
+# compositing are bulk numpy.
+# --------------------------------------------------------------------------
+
+# GIF interlace passes: (row start, row step) in spec order.
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW: little-endian bit packing, variable code width
+    growing 3..12 bits, CLEAR resets the table, EOI ends the stream.
+    Returns exactly ``n_pixels`` palette indices (uint8)."""
+    if not (2 <= min_code_size <= 11):
+        raise ValueError(f"bad GIF LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+
+    # table as parent-pointer arrays: code -> (prefix code, final byte,
+    # first byte) — O(1) append, no per-entry byte-string building
+    max_codes = 1 << 12
+    prefix = np.full(max_codes, -1, dtype=np.int32)
+    final = np.zeros(max_codes, dtype=np.uint8)
+    first = np.zeros(max_codes, dtype=np.uint8)
+    for c in range(clear):
+        final[c] = first[c] = c
+
+    def expand(code: int) -> bytes:
+        chain = bytearray()
+        while code >= 0:
+            chain.append(int(final[code]))
+            code = int(prefix[code]) if code >= clear else -1
+        chain.reverse()
+        return bytes(chain)
+
+    next_code = eoi + 1
+    width = min_code_size + 1
+    acc = bits = pos = 0
+    prev = -1
+    n = len(data)
+    while n_out < n_pixels:
+        while bits < width:
+            if pos >= n:
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = -1
+            continue
+        if code == eoi:
+            break
+        if prev < 0:                      # first code after a clear
+            if code >= clear:
+                raise ValueError("GIF LZW stream starts with a non-literal")
+            out[n_out] = code
+            n_out += 1
+            prev = code
+            continue
+        if code < next_code:              # known code
+            seq = expand(code)
+            head = first[code]
+        elif code == next_code:           # the KwK special case
+            head = first[prev]
+            seq = expand(prev) + bytes([head])
+        else:
+            raise ValueError(f"GIF LZW code {code} out of range")
+        take = min(len(seq), n_pixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(seq[:take], dtype=np.uint8)
+        n_out += take
+        if next_code < max_codes:
+            prefix[next_code] = prev
+            final[next_code] = head
+            first[next_code] = first[prev]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = code
+    if n_out < n_pixels:
+        raise ValueError(f"GIF frame short {n_out} < {n_pixels} pixels")
+    return out
+
+
+def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a GIF sub-block chain starting at pos; returns
+    (data, position after the 0x00 terminator)."""
+    parts = []
+    n = len(payload)
+    while True:
+        if pos >= n:
+            raise ValueError("truncated GIF sub-block chain")
+        size = payload[pos]
+        pos += 1
+        if size == 0:
+            return b"".join(parts), pos
+        if pos + size > n:
+            raise ValueError("truncated GIF sub-block")
+        parts.append(payload[pos : pos + size])
+        pos += size
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """GIF87a/89a bytes -> (width, height, [HxWx3 uint8 frames, ...]).
+
+    Full animation semantics: frames are COMPOSITED onto the logical
+    screen in order — sub-rectangle placement, transparent-index
+    skip, and disposal methods 0/1 (leave), 2 (restore background,
+    which renders as transparent-black per every modern viewer) and
+    3 (restore previous). Interlaced frames are de-interlaced.
+    Malformed streams raise ValueError (the quarantine path)."""
+    if sniff_format(payload) != "gif":
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad GIF dimensions {w}x{h}")
+    flags = payload[10]
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        global_pal = np.frombuffer(
+            payload[pos : pos + 3 * size], dtype=np.uint8).reshape(-1, 3)
+        if global_pal.shape[0] < size:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * size
+
+    frames: list[np.ndarray] = []
+    # RGBA canvas: alpha distinguishes never-painted / disposed-to-
+    # background pixels (rendered as black in the returned RGB)
+    canvas = np.zeros((h, w, 4), dtype=np.uint8)
+    transparent = -1
+    disposal = 0
+    n = len(payload)
+    while pos < n:
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:                 # trailer
+            break
+        if block == 0x21:                 # extension
+            if pos >= n:
+                raise ValueError("truncated GIF extension")
+            label = payload[pos]
+            pos += 1
+            data, pos = _gif_subblocks(payload, pos)
+            if label == 0xF9 and len(data) >= 4:   # graphic control
+                disposal = (data[0] >> 2) & 0x07
+                transparent = data[3] if data[0] & 0x01 else -1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, fw, fh, lflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if fw <= 0 or fh <= 0 or left + fw > w or top + fh > h:
+            raise ValueError("GIF frame rectangle outside the logical screen")
+        pal = global_pal
+        if lflags & 0x80:
+            size = 2 << (lflags & 0x07)
+            pal = np.frombuffer(
+                payload[pos : pos + 3 * size], dtype=np.uint8).reshape(-1, 3)
+            if pal.shape[0] < size:
+                raise ValueError("truncated GIF local color table")
+            pos += 3 * size
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        if pos >= n:
+            raise ValueError("truncated GIF image data")
+        min_code = payload[pos]
+        lzw, pos = _gif_subblocks(payload, pos + 1)
+        idx = _gif_lzw_decode(min_code, lzw, fw * fh).reshape(fh, fw)
+        if lflags & 0x40:                 # de-interlace
+            rows = np.concatenate([np.arange(s, fh, t)
+                                   for s, t in _GIF_INTERLACE])
+            deint = np.empty_like(idx)
+            deint[rows] = idx
+            idx = deint
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("GIF palette index out of range")
+        saved = canvas[top : top + fh, left : left + fw].copy()
+        rgba = np.concatenate(
+            [pal[idx], np.full((fh, fw, 1), 255, dtype=np.uint8)], axis=2)
+        if transparent >= 0:
+            keep = idx == transparent
+            rgba[keep] = canvas[top : top + fh, left : left + fw][keep]
+        canvas[top : top + fh, left : left + fw] = rgba
+        frames.append(canvas[:, :, :3].copy())
+        if disposal == 2:                 # restore background = clear
+            canvas[top : top + fh, left : left + fw] = 0
+        elif disposal == 3:               # restore previous
+            canvas[top : top + fh, left : left + fw] = saved
+        disposal = 0
+        transparent = -1
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    return int(w), int(h), frames
+
+
+def _gif_lzw_encode(min_code_size: int, indices: np.ndarray) -> bytes:
+    """GIF-variant LZW encoder (dict-based, emits CLEAR on table
+    overflow) — the inverse of _gif_lzw_decode, for the test harness."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = bits = 0
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table: dict[bytes, int] = {bytes([c]): c for c in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    cur = b""
+    for v in indices.tolist():
+        nxt = cur + bytes([v])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        table[nxt] = next_code
+        # pre-increment width growth: the decoder's table trails the
+        # encoder's by one entry (the KwK lag), so the encoder widens on
+        # ASSIGNING code 2^width while the decoder widens on REACHING
+        # next_code == 2^width — both sides then switch between the same
+        # two emitted codes
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code > (1 << 12) - 1:
+            emit(clear)
+            table = {bytes([c]): c for c in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = bytes([v])
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(frames: list[np.ndarray], interlace: bool = False) -> bytes:
+    """List of HxWx3 uint8 frames -> animated GIF bytes (test harness for
+    the decode path). Builds one global palette from the distinct colors
+    across all frames — lossless round-trip; >256 distinct colors raise
+    (quantization is a decoder test concern, not an encoder feature)."""
+    if not frames:
+        raise ValueError("cannot encode an empty frame list")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("all GIF frames must share one size")
+    colors = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in frames]), axis=0)
+    if colors.shape[0] > 256:
+        raise ValueError(f"{colors.shape[0]} distinct colors exceed a GIF palette")
+    pal_bits = max(1, int(np.ceil(np.log2(max(colors.shape[0], 2)))))
+    pal_size = 1 << pal_bits
+    pal = np.zeros((pal_size, 3), dtype=np.uint8)
+    pal[: colors.shape[0]] = colors
+    lut = {tuple(c): i for i, c in enumerate(colors.tolist())}
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((pal_bits - 1) & 0x07), 0, 0)
+    out += pal.tobytes()
+    min_code = max(2, pal_bits)
+    for f in frames:
+        idx = np.array([lut[tuple(p)] for p in f.reshape(-1, 3).tolist()],
+                       dtype=np.uint8).reshape(h, w)
+        if interlace:
+            rows = np.concatenate([np.arange(s, h, t)
+                                   for s, t in _GIF_INTERLACE])
+            idx = idx[rows]
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"      # GCE: no disposal
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                           0x40 if interlace else 0)
+        out.append(min_code)
+        lzw = _gif_lzw_encode(min_code, idx.reshape(-1))
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
     return bytes(out)

@@ -5,9 +5,11 @@ The Spark-side plumbing is REAL and tested: schemas, Arrow batch shapes,
 step is REAL for every format the dependency-free ``functions.codecs``
 layer covers (binary PPM/PGM, 24/32-bit BMP, PCM WAV, non-interlaced
 8-bit PNG via stdlib zlib, baseline sequential JPEG via an in-repo
-T.81 Huffman+IDCT decoder: actual pixel/sample decode, luma-grid /
-RMS-envelope features, nearest-neighbor resize). Formats whose codecs
-remain out of stdlib+numpy reach (progressive JPEG, MP3, MP4) fall back
+T.81 Huffman+IDCT decoder, GIF87a/89a incl. animation via an in-repo
+LZW decoder, Motion-JPEG AVI video: actual pixel/sample decode,
+luma-grid / RMS-envelope features, nearest-neighbor resize,
+real frame extraction). Formats whose codecs remain out of
+stdlib+numpy reach (progressive JPEG, MP3, MP4) fall back
 to a deterministic sha256 fake — so every downstream operator (dedup by
 perceptual hash, ANN over media embeddings) stays exercisable on
 arbitrary bytes. Swapping the fallback for a real compressed-format
@@ -47,7 +49,8 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
     (functions/codecs.py) covers — binary PPM/PGM, uncompressed 24/32-bit
     BMP, non-interlaced 8-bit PNG, baseline sequential JPEG (pixel
     raster + 4x4 luma-grid feature), PCM WAV (sample stream +
-    RMS-envelope feature). Anything else (progressive JPEG, MP3, MP4 —
+    RMS-envelope feature), Motion-JPEG AVI and animated GIF (true frame
+    count + first-frame feature). Anything else (progressive JPEG, MP3, MP4 —
     beyond a stdlib+numpy implementation) falls back to the
     deterministic sha256 fake so arbitrary bytes stay exercisable
     end-to-end; swapping the fallback for a real compressed-format
@@ -62,6 +65,28 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
         raise ValueError("cannot decode empty payload")
     payload = bytes(payload)
     kind = codecs.sniff_format(payload)
+    if kind == "avi":
+        # Motion-JPEG video: REAL container parse + first-frame decode.
+        # n_frames is the true movi chunk count (what frame_sample_plan
+        # explodes over); the feature is the first frame's luma grid —
+        # deterministic, and frame 0 is the thumbnail convention.
+        w, h, frames = codecs.decode_avi_mjpeg(payload)
+        first = codecs.decode_image(frames[0])
+        return {
+            "width": int(w),
+            "height": int(h),
+            "n_frames": len(frames),
+            "feature": codecs.image_feature(first, FEATURE_DIM),
+        }
+    if kind == "gif":
+        # animated GIF: REAL LZW decode + composite; true frame count
+        w, h, frames = codecs.decode_gif(payload)
+        return {
+            "width": int(w),
+            "height": int(h),
+            "n_frames": len(frames),
+            "feature": codecs.image_feature(frames[0], FEATURE_DIM),
+        }
     if kind in ("ppm", "pgm", "bmp", "png", "jpeg"):
         rgb = codecs.decode_image(payload)
         return {
@@ -165,6 +190,72 @@ def frame_sample_plan(df: DataFrame, every_nth: int = 10) -> DataFrame:
                     F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
                 ).alias("frame_no"),
             ))
+
+
+FRAME_SCHEMA = ("media_id string, frame_no int, payload binary, "
+                "width int, height int")
+
+
+def extract_frames(df: DataFrame, every_nth: int = 10,
+                   on_error: str = "quarantine") -> DataFrame:
+    """REAL frame extraction for Motion-JPEG AVI and animated-GIF
+    payloads: every Nth frame decoded and re-emitted as binary PPM (the
+    codec's native output) — the executor stage ``frame_sample_plan``
+    plans for.
+
+    Scale shape: the AVI container walk finds frame OFFSETS without
+    decoding, so skipped frames cost zero JPEG work (GIF's LZW stream
+    is inherently sequential, so its skip saves only the PPM re-encode);
+    one video row fans out to ceil(n_frames / every_nth) frame rows
+    inside mapInPandas (no shuffle — the expansion happens within the
+    partition that holds the payload). Unsupported / corrupt payloads
+    quarantine as a single NULL-payload row per media_id
+    (``on_error='raise'`` propagates), mirroring decode_media's
+    contract."""
+    from go_simple_embedding_database_spark.functions import codecs
+    from go_simple_embedding_database_spark.session import ensure_parallelism
+
+    if every_nth < 1:
+        raise ValueError(f"every_nth must be >= 1, got {every_nth}")
+    if on_error not in ("quarantine", "raise"):
+        raise ValueError(f"on_error must be 'quarantine' or 'raise', got {on_error!r}")
+    df = ensure_parallelism(df)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "payload": [],
+                   "width": [], "height": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    if payload is None or len(payload) == 0:
+                        raise ValueError("empty payload")
+                    raw = bytes(payload)
+                    if codecs.sniff_format(raw) == "gif":
+                        _, _, comps = codecs.decode_gif(raw)
+                        sampled = [(fno, comps[fno])
+                                   for fno in range(0, len(comps), every_nth)]
+                    else:
+                        _, _, jpegs = codecs.decode_avi_mjpeg(raw)
+                        sampled = [(fno, codecs.decode_image(jpegs[fno]))
+                                   for fno in range(0, len(jpegs), every_nth)]
+                    for fno, rgb in sampled:
+                        out["media_id"].append(mid)
+                        out["frame_no"].append(fno)
+                        out["payload"].append(codecs.encode_ppm(rgb))
+                        out["width"].append(int(rgb.shape[1]))
+                        out["height"].append(int(rgb.shape[0]))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(None)
+                    out["payload"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        _extract, schema=FRAME_SCHEMA)
 
 
 def documents_as_media(docs: DataFrame, modality: str = "image") -> DataFrame:

@@ -224,3 +224,92 @@ class TestOperatorIntegration:
         assert codecs.sniff_format(out) == "ppm"
         rgb = codecs.decode_image(out)
         assert rgb.shape == (8, 8, 3)
+
+
+def _frames(n: int, h: int = 24, w: int = 32) -> list:
+    return [_smooth_image(h, w) + np.uint8(t) for t in range(n)]
+
+
+class TestAviMjpeg:
+    def test_sniff_and_round_trip(self):
+        avi = codecs.encode_avi_mjpeg(_frames(7), fps=5, quality=90)
+        assert codecs.sniff_format(avi) == "avi"
+        w, h, jpegs = codecs.decode_avi_mjpeg(avi)
+        assert (w, h, len(jpegs)) == (32, 24, 7)
+        for jpeg, orig in zip(jpegs, _frames(7)):
+            dec = codecs.decode_image(jpeg)
+            assert dec.shape == (24, 32, 3)
+            assert np.abs(dec.astype(float) - orig.astype(float)).mean() < 2.0
+
+    def test_foreign_codec_rejected(self):
+        avi = bytearray(codecs.encode_avi_mjpeg(_frames(2)))
+        i = avi.find(b"MJPG", avi.find(b"strf"))
+        avi[i : i + 4] = b"H264"
+        with pytest.raises(ValueError, match="MJPG only"):
+            codecs.decode_avi_mjpeg(bytes(avi))
+
+    def test_truncated_rejected(self):
+        avi = codecs.encode_avi_mjpeg(_frames(3))
+        with pytest.raises(ValueError):
+            codecs.decode_avi_mjpeg(avi[: len(avi) // 2])
+
+    def test_encoder_validation(self):
+        with pytest.raises(ValueError, match="empty"):
+            codecs.encode_avi_mjpeg([])
+        with pytest.raises(ValueError, match="one size"):
+            codecs.encode_avi_mjpeg([np.zeros((8, 8, 3), dtype=np.uint8),
+                                     np.zeros((16, 8, 3), dtype=np.uint8)])
+
+    def test_decode_payload_video_is_real(self):
+        from go_simple_embedding_database_spark.operators.multimodal import (
+            _decode_payload)
+        avi = codecs.encode_avi_mjpeg(_frames(12), quality=90)
+        out = _decode_payload(avi, "video")
+        assert (out["width"], out["height"], out["n_frames"]) == (32, 24, 12)
+        # feature = first frame's luma grid, matching the direct compute
+        _, _, jpegs = codecs.decode_avi_mjpeg(avi)
+        direct = codecs.image_feature(codecs.decode_image(jpegs[0]), 16)
+        assert out["feature"] == direct
+
+
+class TestExtractFrames:
+    def test_every_nth_frame_as_ppm(self, spark):
+        from go_simple_embedding_database_spark.operators.multimodal import (
+            extract_frames)
+        avi = codecs.encode_avi_mjpeg(_frames(10), quality=90)
+        df = spark.createDataFrame(
+            [("v1", "video", bytearray(avi)), ("bad", "video", bytearray(b"nope"))],
+            "media_id string, modality string, payload binary")
+        rows = {(r.media_id, r.frame_no): r
+                for r in extract_frames(df, every_nth=4).collect()}
+        good = sorted(fn for mid, fn in rows if mid == "v1")
+        assert good == [0, 4, 8]
+        r0 = rows[("v1", 0)]
+        assert (r0.width, r0.height) == (32, 24)
+        assert codecs.sniff_format(bytes(r0.payload)) == "ppm"
+        ppm = codecs.decode_image(bytes(r0.payload))
+        assert np.abs(ppm.astype(float) - _frames(1)[0].astype(float)).mean() < 2.0
+        # non-AVI payload quarantines as one NULL row
+        assert rows[("bad", None)].payload is None
+
+    def test_raise_mode_propagates(self, spark):
+        from go_simple_embedding_database_spark.operators.multimodal import (
+            extract_frames)
+        df = spark.createDataFrame(
+            [("bad", "video", bytearray(b"not an avi at all"))],
+            "media_id string, modality string, payload binary")
+        with pytest.raises(Exception):
+            extract_frames(df, on_error="raise").collect()
+
+    def test_plan_matches_extraction(self, spark):
+        """frame_sample_plan (metadata-only explode) and extract_frames
+        (real pixel path) must agree on the sampled frame numbers."""
+        from go_simple_embedding_database_spark.operators.multimodal import (
+            extract_frames, frame_sample_plan)
+        avi = codecs.encode_avi_mjpeg(_frames(9), quality=90)
+        df = spark.createDataFrame(
+            [("v1", "video", bytearray(avi))],
+            "media_id string, modality string, payload binary")
+        plan = sorted(r.frame_no for r in frame_sample_plan(df, 3).collect())
+        real = sorted(r.frame_no for r in extract_frames(df, 3).collect())
+        assert plan == real == [0, 3, 6]
