@@ -3,8 +3,8 @@
 The container ships no PIL/ffmpeg/torchaudio, so the codec layer is
 self-contained: real decoders for the container formats implementable
 with the stdlib + numpy alone — binary PPM/PGM (netpbm P6/P5), 24/32-bit
-uncompressed BMP, PCM WAV, non-interlaced 8-bit PNG (DEFLATE is stdlib
-``zlib``; the scanline unfiltering is implemented here), and baseline
+uncompressed BMP, PCM WAV, 8-bit PNG incl. Adam7 interlace (DEFLATE is
+stdlib ``zlib``; the scanline unfiltering is implemented here), and baseline
 sequential JPEG (ITU-T T.81: Huffman entropy decode, dequantize, 8x8
 IDCT, chroma upsampling, YCbCr->RGB — all implemented here; the IDCT and
 dequantization are bulk numpy over every block at once, the bit-serial
@@ -202,6 +202,10 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 # PNG color types: value -> samples per pixel (8-bit depth)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Adam7 interlace passes: (x start, y start, x step, y step) — spec §8.2
+_PNG_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
 
 def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse the PNG per-scanline filters (spec §9): each row is one
@@ -245,14 +249,33 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _png_deinterlace(raw: bytes, w: int, h: int, channels: int) -> np.ndarray:
+    """Adam7: the pixel stream holds up to seven reduced images back to
+    back, each independently filtered (spec §8.2); unfilter each pass and
+    scatter it onto the (y0::dy, x0::dx) grid of the full image."""
+    out = np.zeros((h, w, channels), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _PNG_ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue                      # empty pass emits zero bytes
+        stride = pw * channels
+        need = ph * (1 + stride)
+        sub = _png_unfilter(raw[off : off + need], ph, stride, channels)
+        off += need
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+    return out
+
+
 def _decode_png(payload: bytes) -> np.ndarray:
     """Real PNG decode (no PIL): signature + chunk walk with CRC checks,
     stdlib-zlib inflate of the IDAT stream, per-scanline unfiltering, and
     color-type mapping to HxWx3 RGB. Supports the common training-corpus
     shape — 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA), non-interlaced. 16-bit, sub-byte depths and
-    Adam7 interlacing raise ValueError (the quarantine path), as do CRC
-    mismatches and truncated streams."""
+    4 (gray+alpha), 6 (RGBA), both non-interlaced and Adam7-interlaced.
+    16-bit and sub-byte depths raise ValueError (the quarantine path),
+    as do CRC mismatches and truncated streams."""
     pos, n = len(_PNG_SIGNATURE), len(payload)
     ihdr = None
     plte = None
@@ -285,14 +308,17 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"unknown PNG color type {color_type}")
     if compression != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     channels = _PNG_CHANNELS[color_type]
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG DEFLATE stream: {e}") from e
-    px = _png_unfilter(raw, h, w * channels, channels).reshape(h, w, channels)
+    if interlace == 1:
+        px = _png_deinterlace(raw, w, h, channels)
+    else:
+        px = _png_unfilter(raw, h, w * channels, channels).reshape(h, w, channels)
     if color_type == 2:                     # RGB
         return px.copy()
     if color_type == 6:                     # RGBA -> drop alpha

@@ -168,15 +168,9 @@ def _png_chunk(ctype, data):
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
 
-def _png(arr, color_type=2, filters=None, plte=None, depth=8, interlace=0):
-    """Minimal PNG encoder (test-only): forward-filters each scanline with
-    the requested filter type so every unfilter branch is exercised
-    against ground-truth pixels. ``arr`` is HxW (gray/palette index) or
-    HxWxC matching ``color_type``'s channel count."""
-    import zlib
-    a = np.asarray(arr, dtype=np.int64)
-    if a.ndim == 2:
-        a = a[:, :, None]
+def _png_filter_image(a, filters):
+    """Forward-filter one (sub)image — rows of a HxWxC block — with the
+    requested per-row filter types; returns the filtered byte stream."""
     h, w, ch = a.shape
     bpp = ch
     filters = filters or [0] * h
@@ -204,6 +198,31 @@ def _png(arr, color_type=2, filters=None, plte=None, depth=8, interlace=0):
             filt[i] = (cur[i] - pred) & 0xFF
         raw += bytes([ftype]) + bytes(filt.astype(np.uint8).tobytes())
         prev = cur
+    return bytes(raw)
+
+
+def _png(arr, color_type=2, filters=None, plte=None, depth=8, interlace=0):
+    """Minimal PNG encoder (test-only): forward-filters each scanline with
+    the requested filter type so every unfilter branch is exercised
+    against ground-truth pixels. ``arr`` is HxW (gray/palette index) or
+    HxWxC matching ``color_type``'s channel count. ``interlace=1``
+    serializes the seven Adam7 reduced images back to back, each
+    independently filtered (spec §8.2)."""
+    import zlib
+    a = np.asarray(arr, dtype=np.int64)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    if interlace == 1:
+        raw = bytearray()
+        for x0, y0, dx, dy in codecs._PNG_ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _png_filter_image(
+                    sub, filters and filters[: sub.shape[0]])
+        raw = bytes(raw)
+    else:
+        raw = _png_filter_image(a, filters)
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     out = codecs._PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
     if plte is not None:
@@ -237,6 +256,38 @@ class TestPngCodec:
         out2 = codecs.decode_image(_png(ga, color_type=4, filters=[1, 4]))
         assert np.array_equal(out2[:, :, 0], ga[:, :, 0].astype(np.uint8))
 
+    def test_adam7_interlaced_round_trip(self):
+        rng = np.random.default_rng(23)
+        # sizes straddling the 8x8 Adam7 tile: sub-tile, exact, ragged
+        for h, w in ((3, 5), (8, 8), (13, 11), (1, 9), (9, 1)):
+            arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64)
+            got = codecs.decode_image(
+                _png(arr, color_type=2, filters=[4, 2, 1, 3, 0] * h,
+                     interlace=1))
+            assert np.array_equal(got, arr.astype(np.uint8)), (h, w)
+
+    def test_adam7_gray_and_truncated(self):
+        gray = (np.arange(90, dtype=np.int64).reshape(9, 10) * 2)
+        out = codecs.decode_image(_png(gray, color_type=0, interlace=1))
+        assert np.array_equal(out[:, :, 0], gray.astype(np.uint8))
+        import struct as _s
+        import zlib as _z
+        full = _png(gray, color_type=0, interlace=1)
+        # rebuild with the last pass chopped off -> truncated stream error
+        a = gray[:, :, None]
+        raw = bytearray()
+        for x0, y0, dx, dy in codecs._PNG_ADAM7[:-1]:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _png_filter_image(sub, None)
+        bad = (codecs._PNG_SIGNATURE
+               + _png_chunk(b"IHDR", _s.pack(">IIBBBBB", 10, 9, 8, 0, 0, 0, 1))
+               + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+               + _png_chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="truncated"):
+            codecs.decode_image(bad)
+        assert codecs.decode_image(full) is not None
+
     def test_palette_lookup(self):
         plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
         idx = np.array([[0, 1], [2, 0]], dtype=np.int64)
@@ -250,8 +301,8 @@ class TestPngCodec:
         arr = np.zeros((2, 2, 3), dtype=np.int64)
         with pytest.raises(ValueError, match="8-bit"):
             codecs.decode_image(_png(arr, depth=16))
-        with pytest.raises(ValueError, match="interlace|Adam7"):
-            codecs.decode_image(_png(arr, interlace=1))
+        with pytest.raises(ValueError, match="interlace"):
+            codecs.decode_image(_png(arr, interlace=2))
         with pytest.raises(ValueError, match="palette"):
             codecs.decode_image(_png(np.array([[0, 3]]), color_type=3,
                                      plte=bytes([1, 2, 3])))
