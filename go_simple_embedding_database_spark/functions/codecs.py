@@ -249,7 +249,33 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
-def _png_deinterlace(raw: bytes, w: int, h: int, channels: int) -> np.ndarray:
+def _png_samples(raw: bytes, off: int, pw: int, ph: int, channels: int,
+                 depth: int) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack one (sub)image of ``pw``x``ph`` pixels starting
+    at byte ``off`` of the inflated stream. Returns ((ph, pw, channels)
+    uint8 samples, bytes consumed). Depth mapping to 8-bit: 16-bit takes
+    the high byte (the spec's sample-depth rescale truncated to the
+    precision the feature path keeps anyway); 1/2/4-bit unpack MSB-first
+    as raw level values (the gray rescale happens in the caller, where
+    palette indices — which must NOT be rescaled — are distinguishable)."""
+    stride = (pw * channels * depth + 7) // 8
+    bpp = max(1, channels * depth // 8)
+    need = ph * (1 + stride)
+    rec = _png_unfilter(raw[off : off + need], ph, stride, bpp)
+    if depth == 8:
+        px = rec.reshape(ph, pw, channels)
+    elif depth == 16:
+        px = rec.reshape(ph, -1)[:, 0::2].reshape(ph, pw, channels)
+    else:
+        bits = np.unpackbits(rec, axis=1)[:, : pw * channels * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (bits.reshape(ph, pw * channels, depth) * weights).sum(axis=2)
+        px = vals.reshape(ph, pw, channels).astype(np.uint8)
+    return px, need
+
+
+def _png_deinterlace(raw: bytes, w: int, h: int, channels: int,
+                     depth: int) -> np.ndarray:
     """Adam7: the pixel stream holds up to seven reduced images back to
     back, each independently filtered (spec §8.2); unfilter each pass and
     scatter it onto the (y0::dy, x0::dx) grid of the full image."""
@@ -260,11 +286,9 @@ def _png_deinterlace(raw: bytes, w: int, h: int, channels: int) -> np.ndarray:
         ph = (h - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue                      # empty pass emits zero bytes
-        stride = pw * channels
-        need = ph * (1 + stride)
-        sub = _png_unfilter(raw[off : off + need], ph, stride, channels)
-        off += need
-        out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        sub, used = _png_samples(raw, off, pw, ph, channels, depth)
+        off += used
+        out[y0::dy, x0::dx] = sub
     return out
 
 
@@ -272,10 +296,11 @@ def _decode_png(payload: bytes) -> np.ndarray:
     """Real PNG decode (no PIL): signature + chunk walk with CRC checks,
     stdlib-zlib inflate of the IDAT stream, per-scanline unfiltering, and
     color-type mapping to HxWx3 RGB. Supports the common training-corpus
-    shape — 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA), both non-interlaced and Adam7-interlaced.
-    16-bit and sub-byte depths raise ValueError (the quarantine path),
-    as do CRC mismatches and truncated streams."""
+    shape — color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA); bit depths 8 and 16 (high byte kept), plus 1/2/4-bit gray
+    and palette; both non-interlaced and Adam7-interlaced. Invalid
+    depth/color-type combinations raise ValueError (the quarantine
+    path), as do CRC mismatches and truncated streams."""
     pos, n = len(_PNG_SIGNATURE), len(payload)
     ihdr = None
     plte = None
@@ -302,10 +327,15 @@ def _decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color_type, compression, filt, interlace = ihdr
     if w <= 0 or h <= 0:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
-    if depth != 8:
-        raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {color_type}")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bad PNG bit depth {depth}")
+    if depth < 8 and color_type not in (0, 3):
+        raise ValueError(
+            f"sub-byte depth {depth} invalid for color type {color_type}")
+    if depth == 16 and color_type == 3:
+        raise ValueError("16-bit palette PNG is not a legal combination")
     if compression != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
     if interlace not in (0, 1):
@@ -316,9 +346,13 @@ def _decode_png(payload: bytes) -> np.ndarray:
     except zlib.error as e:
         raise ValueError(f"corrupt PNG DEFLATE stream: {e}") from e
     if interlace == 1:
-        px = _png_deinterlace(raw, w, h, channels)
+        px = _png_deinterlace(raw, w, h, channels, depth)
     else:
-        px = _png_unfilter(raw, h, w * channels, channels).reshape(h, w, channels)
+        px, _ = _png_samples(raw, 0, w, h, channels, depth)
+    if depth < 8 and color_type == 0:
+        # rescale level values to full 8-bit range (exact: 255/1, 255/3,
+        # 255/15 are all integers); palette indices stay raw
+        px = px * np.uint8(255 // ((1 << depth) - 1))
     if color_type == 2:                     # RGB
         return px.copy()
     if color_type == 6:                     # RGBA -> drop alpha

@@ -3,8 +3,9 @@
 The Spark-side plumbing is REAL and tested: schemas, Arrow batch shapes,
 ``mapInPandas`` signatures, partitioning for CPU-heavy decode. The codec
 step is REAL for every format the dependency-free ``functions.codecs``
-layer covers (binary PPM/PGM, 24/32-bit BMP, PCM WAV, 8-bit PNG incl.
-Adam7 interlace via stdlib zlib, baseline sequential JPEG via an in-repo
+layer covers (binary PPM/PGM, 24/32-bit BMP, PCM WAV, PNG at every
+legal bit depth incl. Adam7 interlace via stdlib zlib,
+baseline sequential JPEG via an in-repo
 T.81 Huffman+IDCT decoder, GIF87a/89a incl. animation via an in-repo
 LZW decoder, Motion-JPEG AVI video: actual pixel/sample decode,
 luma-grid / RMS-envelope features, nearest-neighbor resize,
@@ -47,7 +48,7 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
 
     REAL decode for the formats the dependency-free codec layer
     (functions/codecs.py) covers — binary PPM/PGM, uncompressed 24/32-bit
-    BMP, 8-bit PNG (incl. Adam7), baseline sequential JPEG (pixel
+    BMP, PNG (all legal depths, incl. Adam7), baseline sequential JPEG (pixel
     raster + 4x4 luma-grid feature), PCM WAV (sample stream +
     RMS-envelope feature), Motion-JPEG AVI and animated GIF (true frame
     count + first-frame feature). Anything else (progressive JPEG, MP3, MP4 —

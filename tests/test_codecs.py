@@ -168,16 +168,38 @@ def _png_chunk(ctype, data):
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
 
-def _png_filter_image(a, filters):
+def _png_pack_rows(a, depth):
+    """Pack one (sub)image's samples into per-row byte arrays at the
+    given bit depth: 8 -> bytes as-is, 16 -> big-endian sample pairs,
+    1/2/4 -> MSB-first bit packing."""
+    h, w, ch = a.shape
+    flat = a.reshape(h, w * ch)
+    if depth == 8:
+        return flat.astype(np.uint8)
+    if depth == 16:
+        out = np.zeros((h, w * ch * 2), dtype=np.uint8)
+        out[:, 0::2] = (flat >> 8).astype(np.uint8)
+        out[:, 1::2] = (flat & 0xFF).astype(np.uint8)
+        return out
+    bits = ((flat[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1)
+    bits = bits.reshape(h, -1).astype(np.uint8)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    return np.packbits(bits, axis=1)
+
+
+def _png_filter_image(a, filters, depth=8):
     """Forward-filter one (sub)image — rows of a HxWxC block — with the
     requested per-row filter types; returns the filtered byte stream."""
     h, w, ch = a.shape
-    bpp = ch
+    bpp = max(1, ch * depth // 8)
+    rows = _png_pack_rows(a, depth).astype(np.int64)
     filters = filters or [0] * h
     raw = bytearray()
-    prev = np.zeros(w * ch, dtype=np.int64)
+    prev = np.zeros(rows.shape[1], dtype=np.int64)
     for y, ftype in zip(range(h), filters):
-        cur = a[y].reshape(-1)
+        cur = rows[y]
         filt = np.zeros_like(cur)
         for i in range(len(cur)):
             left = cur[i - bpp] if i >= bpp else 0
@@ -207,7 +229,8 @@ def _png(arr, color_type=2, filters=None, plte=None, depth=8, interlace=0):
     against ground-truth pixels. ``arr`` is HxW (gray/palette index) or
     HxWxC matching ``color_type``'s channel count. ``interlace=1``
     serializes the seven Adam7 reduced images back to back, each
-    independently filtered (spec §8.2)."""
+    independently filtered (spec §8.2). ``depth`` packs samples at
+    1/2/4/8/16 bits (16 = big-endian)."""
     import zlib
     a = np.asarray(arr, dtype=np.int64)
     if a.ndim == 2:
@@ -219,10 +242,10 @@ def _png(arr, color_type=2, filters=None, plte=None, depth=8, interlace=0):
             sub = a[y0::dy, x0::dx]
             if sub.shape[0] and sub.shape[1]:
                 raw += _png_filter_image(
-                    sub, filters and filters[: sub.shape[0]])
+                    sub, filters and filters[: sub.shape[0]], depth)
         raw = bytes(raw)
     else:
-        raw = _png_filter_image(a, filters)
+        raw = _png_filter_image(a, filters, depth)
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     out = codecs._PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
     if plte is not None:
@@ -288,6 +311,39 @@ class TestPngCodec:
             codecs.decode_image(bad)
         assert codecs.decode_image(full) is not None
 
+    def test_16bit_keeps_high_byte(self):
+        rng = np.random.default_rng(29)
+        a16 = rng.integers(0, 65536, size=(5, 7, 3), dtype=np.int64)
+        out = codecs.decode_image(_png(a16, color_type=2, depth=16,
+                                       filters=[0, 1, 2, 3, 4]))
+        assert np.array_equal(out, (a16 >> 8).astype(np.uint8))
+        g16 = rng.integers(0, 65536, size=(4, 3), dtype=np.int64)
+        out2 = codecs.decode_image(_png(g16, color_type=0, depth=16))
+        assert np.array_equal(out2[:, :, 0], (g16 >> 8).astype(np.uint8))
+
+    def test_sub_byte_gray_rescales(self):
+        rng = np.random.default_rng(31)
+        for depth in (1, 2, 4):
+            top = (1 << depth) - 1
+            g = rng.integers(0, top + 1, size=(6, 11), dtype=np.int64)
+            out = codecs.decode_image(_png(g, color_type=0, depth=depth,
+                                           filters=[0, 2, 1, 0, 2, 1]))
+            assert np.array_equal(
+                out[:, :, 0], (g * (255 // top)).astype(np.uint8)), depth
+
+    def test_sub_byte_palette_and_interlace(self):
+        plte = bytes(range(48))                       # 16 RGB entries
+        rng = np.random.default_rng(37)
+        idx = rng.integers(0, 16, size=(9, 10), dtype=np.int64)
+        table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        out = codecs.decode_image(_png(idx, color_type=3, plte=plte, depth=4))
+        assert np.array_equal(out, table[idx])
+        # 1-bit gray, Adam7: per-pass bit packing with ragged pass widths
+        bits = rng.integers(0, 2, size=(13, 9), dtype=np.int64)
+        out2 = codecs.decode_image(_png(bits, color_type=0, depth=1,
+                                        interlace=1))
+        assert np.array_equal(out2[:, :, 0], (bits * 255).astype(np.uint8))
+
     def test_palette_lookup(self):
         plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
         idx = np.array([[0, 1], [2, 0]], dtype=np.int64)
@@ -299,8 +355,10 @@ class TestPngCodec:
 
     def test_rejects_unsupported_and_corrupt(self):
         arr = np.zeros((2, 2, 3), dtype=np.int64)
-        with pytest.raises(ValueError, match="8-bit"):
-            codecs.decode_image(_png(arr, depth=16))
+        with pytest.raises(ValueError, match="bit depth"):
+            codecs.decode_image(_png(arr, depth=3))
+        with pytest.raises(ValueError, match="sub-byte"):
+            codecs.decode_image(_png(arr, depth=4))
         with pytest.raises(ValueError, match="interlace"):
             codecs.decode_image(_png(arr, interlace=2))
         with pytest.raises(ValueError, match="palette"):
