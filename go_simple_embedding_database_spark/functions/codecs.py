@@ -13,7 +13,7 @@ across executors), GIF87a/89a including animation (in-repo LZW decode,
 palette mapping, interlace, frame compositing with disposal), and
 Motion-JPEG AVI video (RIFF walk + per-frame JPEG). Formats whose
 codecs remain out of reach for
-stdlib+numpy (progressive JPEG, MP3, MP4) still fall back to the
+stdlib+numpy (MP3, MP4) still fall back to the
 clearly-marked deterministic fake in ``operators.multimodal``, keeping
 every downstream operator exercisable on arbitrary bytes.
 
@@ -468,9 +468,10 @@ def audio_feature(samples: np.ndarray, dim: int = 16) -> list[float]:
 #
 # Scope: 8-bit baseline/extended-sequential Huffman (SOF0/SOF1), 1 or 3
 # components, one interleaved scan, integer chroma subsampling ratios,
-# restart markers. Progressive (SOF2), hierarchical, arithmetic coding,
-# 12-bit depth and multi-scan files raise ValueError — the quarantine
-# path, exactly like unsupported PNG shapes.
+# restart markers — PLUS progressive (SOF2): spectral selection and
+# successive approximation, DC/AC first and refinement scans, EOB runs.
+# Hierarchical, arithmetic coding and 12-bit depth raise ValueError —
+# the quarantine path, exactly like unsupported PNG shapes.
 # --------------------------------------------------------------------------
 
 
@@ -564,9 +565,11 @@ def _jpeg_extend(v: int, size: int) -> int:
     return v
 
 
-def _jpeg_entropy_segments(payload: bytes, start: int) -> list[bytes]:
+def _jpeg_entropy_segments(payload: bytes, start: int) -> tuple[list[bytes], int]:
     """De-stuff the scan's entropy data (FF 00 -> FF) and split it at
-    restart markers (FF D0..D7). Any other marker ends the scan."""
+    restart markers (FF D0..D7). Any other marker ends the scan. Returns
+    (segments, index of the terminating marker's FF) so a multi-scan
+    caller can resume the marker walk there."""
     segs: list[bytes] = []
     cur = bytearray()
     i, n = start, len(payload)
@@ -577,6 +580,7 @@ def _jpeg_entropy_segments(payload: bytes, start: int) -> list[bytes]:
             i += 1
             continue
         if i + 1 >= n:
+            i = n
             break
         m = payload[i + 1]
         if m == 0x00:
@@ -589,119 +593,19 @@ def _jpeg_entropy_segments(payload: bytes, start: int) -> list[bytes]:
         else:
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, i
 
 
-def _decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> HxWx3 uint8 RGB. Marker walk, Huffman
-    entropy decode per MCU (restart-aware), then BULK numpy for the
-    O(pixels) stages: dequantize + de-zigzag + IDCT run once over an
-    (n_blocks, 8, 8) array per component, not per block."""
-    qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], _JpegHuffTable] = {}   # (class, id)
-    frame = None            # (height, width, [(cid, h, v, tq), ...])
-    restart_interval = 0
-    scan = None             # ([(comp_idx, dc_id, ac_id), ...], data_start)
-    pos, n = 2, len(payload)
-    while pos + 4 <= n:
-        if payload[pos] != 0xFF:
-            raise ValueError("malformed JPEG marker stream")
-        marker = payload[pos + 1]
-        if marker == 0xD9:                      # EOI
-            break
-        if 0xD0 <= marker <= 0xD8 or marker == 0x01:   # bare markers
-            pos += 2
-            continue
-        length = struct.unpack_from(">H", payload, pos + 2)[0]
-        seg = payload[pos + 4 : pos + 2 + length]
-        if len(seg) != length - 2:
-            raise ValueError("truncated JPEG segment")
-        if marker == 0xDB:                      # DQT (1+ tables)
-            off = 0
-            while off < len(seg):
-                pq, tq = seg[off] >> 4, seg[off] & 15
-                if pq != 0:
-                    raise ValueError("16-bit JPEG quant tables not supported")
-                if off + 65 > len(seg):
-                    raise ValueError("truncated DQT")
-                qt[tq] = np.frombuffer(
-                    seg[off + 1 : off + 65], dtype=np.uint8
-                ).astype(np.int32)
-                off += 65
-        elif marker == 0xC4:                    # DHT (1+ tables)
-            off = 0
-            while off + 17 <= len(seg):
-                tc, th = seg[off] >> 4, seg[off] & 15
-                bits = list(seg[off + 1 : off + 17])
-                nv = sum(bits)
-                vals = list(seg[off + 17 : off + 17 + nv])
-                if len(vals) != nv:
-                    raise ValueError("truncated DHT")
-                huff[(tc, th)] = _JpegHuffTable(bits, vals)
-                off += 17 + nv
-        elif marker in (0xC0, 0xC1):            # SOF0/SOF1
-            if frame is not None:
-                raise ValueError("multiple JPEG frames not supported")
-            prec, h_img, w_img, ncomp = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
-                raise ValueError(f"only 8-bit JPEG supported, got {prec}")
-            if h_img == 0 or w_img == 0:
-                raise ValueError("JPEG with deferred dimensions (DNL) not supported")
-            if ncomp not in (1, 3):
-                raise ValueError(f"unsupported JPEG component count {ncomp}")
-            comps = []
-            for c in range(ncomp):
-                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
-                comps.append((cid, hv >> 4, hv & 15, tq))
-            frame = (h_img, w_img, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(
-                "progressive/hierarchical/arithmetic JPEG not supported")
-        elif marker == 0xDD:                    # DRI
-            restart_interval = struct.unpack_from(">H", seg, 0)[0]
-        elif marker == 0xDA:                    # SOS — entropy data follows
-            if frame is None:
-                raise ValueError("JPEG scan before frame header")
-            ns = seg[0]
-            if ns != len(frame[2]):
-                raise ValueError("non-interleaved multi-scan JPEG not supported")
-            mapping = []
-            for s in range(ns):
-                cs, tbls = seg[1 + 2 * s], seg[2 + 2 * s]
-                idx = next((i for i, c in enumerate(frame[2]) if c[0] == cs),
-                           None)
-                if idx is None:
-                    raise ValueError(f"scan references unknown component {cs}")
-                mapping.append((idx, tbls >> 4, tbls & 15))
-            scan = (mapping, pos + 2 + length)
-            break
-        pos += 2 + length
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF/SOS")
-    h_img, w_img, comps = frame
-    mapping, data_start = scan
-
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
-        raise ValueError("bad JPEG sampling factors")
-    mcus_x = -(-w_img // (8 * hmax))
-    mcus_y = -(-h_img // (8 * vmax))
-
-    # Per-component zigzag coefficient store, indexed by block grid.
-    blocks = []
-    for (_, ch, cv, _) in comps:
-        blocks.append(np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32))
-
-    segments = _jpeg_entropy_segments(payload, data_start)
-    expected_segments = (
-        -(-mcus_x * mcus_y // restart_interval) if restart_interval else 1)
-    if len(segments) < expected_segments:
-        raise ValueError("JPEG entropy stream missing restart segments")
-
+def _jpeg_seq_scan(segments: list[bytes], mapping, comps, blocks, huff,
+                   restart_interval: int, mcus_x: int, mcus_y: int) -> None:
+    """Sequential (baseline) interleaved scan: DC+AC per block, MCU
+    order, restart-aware."""
     mcu = 0
     n_mcus = mcus_x * mcus_y
+    expected_segments = (
+        -(-n_mcus // restart_interval) if restart_interval else 1)
+    if len(segments) < expected_segments:
+        raise ValueError("JPEG entropy stream missing restart segments")
     for seg_bytes in segments:
         if mcu >= n_mcus:
             break
@@ -741,6 +645,294 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             mcu += 1
     if mcu < n_mcus:
         raise ValueError("truncated JPEG entropy stream")
+
+
+def _jpeg_comp_grid(comps, ci: int, hmax: int, vmax: int,
+                    w_img: int, h_img: int) -> tuple[int, int]:
+    """A component's REAL block grid (ceil of its scaled dimensions /
+    8) — what a non-interleaved scan codes, excluding MCU padding."""
+    _, ch, cv, _ = comps[ci]
+    comp_w = -(-w_img * ch // hmax)
+    comp_h = -(-h_img * cv // vmax)
+    return -(-comp_w // 8), -(-comp_h // 8)
+
+
+def _jpeg_prog_dc_scan(segments, mapping, comps, blocks, huff, ah, al,
+                       restart_interval, mcus_x, mcus_y,
+                       hmax, vmax, w_img, h_img) -> None:
+    """Progressive DC scan (T.81 G.2): first pass (Ah=0) Huffman-codes
+    DC differences shifted by Al; refinement passes append one raw bit
+    per block. Interleaved scans walk MCUs over the padded grid;
+    single-component scans walk the component's real block grid."""
+    interleaved = len(mapping) > 1
+    if interleaved:
+        units = []                      # unit = list of blocks, MCU shape
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            unit = []
+            for ci, dc_id, _ in mapping:
+                _, ch, cv, _ = comps[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        unit.append((ci, dc_id,
+                                     blocks[ci][my * cv + by, mx * ch + bx]))
+            units.append(unit)
+    else:
+        ci, dc_id, _ = mapping[0]
+        nbx, nby = _jpeg_comp_grid(comps, ci, hmax, vmax, w_img, h_img)
+        units = [[(ci, dc_id, blocks[ci][by, bx])]
+                 for by in range(nby) for bx in range(nbx)]
+
+    done = 0
+    for seg_bytes in segments:
+        if done >= len(units):
+            break
+        reader = _JpegBitReader(seg_bytes)
+        pred = [0] * len(comps)
+        budget = restart_interval if restart_interval else len(units)
+        for _ in range(min(budget, len(units) - done)):
+            for ci, dc_id, z in units[done]:
+                if ah == 0:
+                    dc_tbl = huff.get((0, dc_id))
+                    if dc_tbl is None:
+                        raise ValueError("scan references undefined Huffman table")
+                    t = reader.huff_decode(dc_tbl)
+                    if t > 11:
+                        raise ValueError("bad JPEG DC category")
+                    pred[ci] += _jpeg_extend(reader.receive(t), t)
+                    z[0] = pred[ci] << al
+                else:
+                    z[0] = int(z[0]) | (reader.read_bit() << al)
+            done += 1
+    if done < len(units):
+        raise ValueError("truncated JPEG entropy stream")
+
+
+def _jpeg_prog_ac_scan(segments, mapping, comps, blocks, huff, ss, se, ah, al,
+                       restart_interval, hmax, vmax, w_img, h_img) -> None:
+    """Progressive AC scan (T.81 G.2, figure G.7 for refinement): always
+    single-component, walking the real block grid. First pass (Ah=0)
+    codes spectral band [Ss, Se] values shifted by Al with EOB-run
+    symbols; refinement passes code newly-nonzero positions plus one
+    correction bit per already-nonzero coefficient visited."""
+    ci, _, ac_id = mapping[0]
+    nbx, nby = _jpeg_comp_grid(comps, ci, hmax, vmax, w_img, h_img)
+    blocks_ci = blocks[ci]
+    order = [(by, bx) for by in range(nby) for bx in range(nbx)]
+    n_units = len(order)
+    ac_tbl = huff.get((1, ac_id))
+    if ac_tbl is None:
+        raise ValueError("scan references undefined Huffman table")
+    p1, m1 = 1 << al, -1 << al
+
+    done = 0
+    for seg_bytes in segments:
+        if done >= n_units:
+            break
+        reader = _JpegBitReader(seg_bytes)
+        eobrun = 0
+        budget = restart_interval if restart_interval else n_units
+        for _ in range(min(budget, n_units - done)):
+            by, bx = order[done]
+            z = blocks_ci[by, bx]
+            if ah == 0:                     # ---- first pass
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = reader.huff_decode(ac_tbl)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:     # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC run past band end")
+                        z[k] = _jpeg_extend(reader.receive(s), s) << al
+                        k += 1
+            else:                           # ---- refinement (fig. G.7)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.huff_decode(ac_tbl)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:     # EOBn: corrections then done
+                                eobrun = (1 << r)
+                                if r:
+                                    eobrun += reader.receive(r)
+                                break
+                            val = 0         # ZRL: pass 16 zero coefs
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "bad refinement magnitude category")
+                            val = p1 if reader.read_bit() else m1
+                        while k <= se:
+                            cur = int(z[k])
+                            if cur != 0:
+                                if reader.read_bit() and (cur & p1) == 0:
+                                    z[k] = cur + (p1 if cur >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            z[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:          # correction-bit tail
+                        cur = int(z[k])
+                        if cur != 0:
+                            if reader.read_bit() and (cur & p1) == 0:
+                                z[k] = cur + (p1 if cur >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+            done += 1
+    if done < n_units:
+        raise ValueError("truncated JPEG entropy stream")
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    """JPEG bytes -> HxWx3 uint8 RGB: baseline/extended-sequential
+    (SOF0/SOF1) and progressive (SOF2, spectral selection + successive
+    approximation). Marker walk with per-scan Huffman entropy decode
+    (restart-aware), then BULK numpy for the O(pixels) stages:
+    dequantize + de-zigzag + IDCT run once over an (n_blocks, 8, 8)
+    array per component, not per block."""
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _JpegHuffTable] = {}   # (class, id)
+    frame = None            # (height, width, [(cid, h, v, tq), ...])
+    progressive = False
+    restart_interval = 0
+    blocks = None
+    layout = None           # (hmax, vmax, mcus_x, mcus_y)
+    n_scans = 0
+    pos, n = 2, len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("malformed JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:                      # EOI
+            break
+        if 0xD0 <= marker <= 0xD8 or marker == 0x01:   # bare markers
+            pos += 2
+            continue
+        length = struct.unpack_from(">H", payload, pos + 2)[0]
+        seg = payload[pos + 4 : pos + 2 + length]
+        if len(seg) != length - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:                      # DQT (1+ tables)
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 15
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables not supported")
+                if off + 65 > len(seg):
+                    raise ValueError("truncated DQT")
+                qt[tq] = np.frombuffer(
+                    seg[off + 1 : off + 65], dtype=np.uint8
+                ).astype(np.int32)
+                off += 65
+        elif marker == 0xC4:                    # DHT (1+ tables)
+            off = 0
+            while off + 17 <= len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 15
+                bits = list(seg[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + nv])
+                if len(vals) != nv:
+                    raise ValueError("truncated DHT")
+                huff[(tc, th)] = _JpegHuffTable(bits, vals)
+                off += 17 + nv
+        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/SOF1/SOF2
+            if frame is not None:
+                raise ValueError("multiple JPEG frames not supported")
+            progressive = marker == 0xC2
+            prec, h_img, w_img, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError(f"only 8-bit JPEG supported, got {prec}")
+            if h_img == 0 or w_img == 0:
+                raise ValueError("JPEG with deferred dimensions (DNL) not supported")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {ncomp}")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h_img, w_img, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+                raise ValueError("bad JPEG sampling factors")
+            mcus_x = -(-w_img // (8 * hmax))
+            mcus_y = -(-h_img // (8 * vmax))
+            layout = (hmax, vmax, mcus_x, mcus_y)
+            # Per-component zigzag coefficient store on the padded grid.
+            blocks = [np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32)
+                      for (_, ch, cv, _) in comps]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "hierarchical/arithmetic/lossless JPEG not supported")
+        elif marker == 0xDD:                    # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:                    # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG scan before frame header")
+            h_img, w_img, comps = frame
+            hmax, vmax, mcus_x, mcus_y = layout
+            ns = seg[0]
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("truncated JPEG scan header")
+            mapping = []
+            for s in range(ns):
+                cs, tbls = seg[1 + 2 * s], seg[2 + 2 * s]
+                idx = next((i for i, c in enumerate(comps) if c[0] == cs),
+                           None)
+                if idx is None:
+                    raise ValueError(f"scan references unknown component {cs}")
+                mapping.append((idx, tbls >> 4, tbls & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            segments, end = _jpeg_entropy_segments(payload, pos + 2 + length)
+            if not progressive:
+                if n_scans:
+                    raise ValueError(
+                        "multi-scan sequential JPEG not supported")
+                if ns != len(comps) or (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError("malformed baseline JPEG scan header")
+                _jpeg_seq_scan(segments, mapping, comps, blocks, huff,
+                               restart_interval, mcus_x, mcus_y)
+            elif ss == 0:                       # progressive DC scan
+                if se != 0:
+                    raise ValueError("progressive DC scan with Se != 0")
+                _jpeg_prog_dc_scan(segments, mapping, comps, blocks, huff,
+                                   ah, al, restart_interval, mcus_x, mcus_y,
+                                   hmax, vmax, w_img, h_img)
+            else:                               # progressive AC scan
+                if len(mapping) != 1:
+                    raise ValueError("interleaved progressive AC scan")
+                if not 1 <= ss <= se <= 63:
+                    raise ValueError("bad progressive spectral band")
+                _jpeg_prog_ac_scan(segments, mapping, comps, blocks, huff,
+                                   ss, se, ah, al, restart_interval,
+                                   hmax, vmax, w_img, h_img)
+            n_scans += 1
+            pos = end
+            continue
+        pos += 2 + length
+    if frame is None or n_scans == 0:
+        raise ValueError("JPEG missing SOF/SOS")
+    h_img, w_img, comps = frame
+    hmax, vmax, _, _ = layout
 
     # Bulk per-component: dequantize -> de-zigzag -> IDCT -> +128 clip.
     planes = []
@@ -902,18 +1094,95 @@ def _jpeg_encode_block(w: _JpegBitWriter, z: np.ndarray, pred: int,
     return dc
 
 
+def _jpeg_prog_ac_first_block(w: _JpegBitWriter, ac_tbl: _JpegHuffTable,
+                              z: np.ndarray, ss: int, se: int, al: int) -> None:
+    """Encode one block of a progressive first AC scan (Ah=0): band
+    values point-transformed by Al, zero runs, EOB per block."""
+    run = 0
+    for k in range(ss, se + 1):
+        t = int(z[k])
+        at = abs(t) >> al
+        if at == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_tbl.encode[0xF0]
+            w.write(code, length)
+            run -= 16
+        size, bits = _jpeg_magnitude(at if t > 0 else -at)
+        length, code = ac_tbl.encode[(run << 4) | size]
+        w.write(code, length)
+        w.write(bits, size)
+        run = 0
+    if run:
+        length, code = ac_tbl.encode[0x00]          # EOB (run of 1)
+        w.write(code, length)
+
+
+def _jpeg_prog_ac_refine_block(w: _JpegBitWriter, ac_tbl: _JpegHuffTable,
+                               z: np.ndarray, ss: int, se: int,
+                               ah: int, al: int) -> None:
+    """Encode one block of a progressive AC refinement scan (the exact
+    inverse of figure G.7's decoder): newly-nonzero coefficients get a
+    (run, 1) symbol + sign bit; already-nonzero coefficients visited
+    along the way each contribute one buffered correction bit, emitted
+    in POSITION order so the decoder's walk consumes them in place."""
+    events: list = []                # "z" marker or a correction bit
+    zeros = 0
+    for k in range(ss, se + 1):
+        t = int(z[k])
+        at = abs(t)
+        if (at >> al) == 0:          # still zero at this precision
+            events.append("z")
+            zeros += 1
+        elif (at >> ah) != 0:        # already nonzero: correction bit
+            events.append((at >> al) & 1)
+        else:                        # newly nonzero (magnitude is 1)
+            while zeros > 15:
+                length, code = ac_tbl.encode[0xF0]    # ZRL
+                w.write(code, length)
+                zc = 0
+                while zc < 16:       # bits interleaved among the 16 zeros
+                    e = events.pop(0)
+                    if e == "z":
+                        zc += 1
+                    else:
+                        w.write(e, 1)
+                zeros -= 16
+            length, code = ac_tbl.encode[(zeros << 4) | 1]
+            w.write(code, length)
+            w.write(1 if t > 0 else 0, 1)             # sign
+            for e in events:         # bits up to this position
+                if e != "z":
+                    w.write(e, 1)
+            events.clear()
+            zeros = 0
+    if events:
+        length, code = ac_tbl.encode[0x00]            # EOB (run of 1)
+        w.write(code, length)
+        for e in events:             # correction-bit tail
+            if e != "z":
+                w.write(e, 1)
+
+
 def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """HxWx3 (RGB) or HxW (grayscale) uint8 -> baseline JPEG bytes.
+                restart_interval: int = 0, progressive: bool = False) -> bytes:
+    """HxWx3 (RGB) or HxW (grayscale) uint8 -> JPEG bytes.
 
     Exists so the JPEG DECODE path is testable end-to-end with no binary
     fixtures and no PIL: a full spec-valid baseline encoder (single
     interleaved scan; ``subsample`` '444' or '420'; ``restart_interval``
-    > 0 emits DRI + RSTn markers). Lossy by nature — tests assert
-    round-trip closeness, plus exact decoder equality across entropy-
-    layout variants (restart vs not) of the same quantized coefficients."""
+    > 0 emits DRI + RSTn markers). ``progressive=True`` emits an SOF2
+    file with the canonical successive-approximation script — DC first
+    (Al=1) + DC refine, then per component AC 1-63 first (Al=1) + AC
+    refine — exercising all four progressive scan kinds against the SAME
+    quantized coefficients as the baseline mode, so the two decodes must
+    agree exactly. Lossy by nature — tests assert round-trip closeness,
+    plus exact decoder equality across entropy-layout variants."""
     if subsample not in ("444", "420"):
         raise ValueError(f"subsample must be '444' or '420', got {subsample!r}")
+    if progressive and restart_interval:
+        raise ValueError("restart markers unsupported with progressive=True")
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
@@ -963,12 +1232,13 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: str = "444",
     for tq, base in ([(0, q_luma)] if gray else [(0, q_luma), (1, q_chroma)]):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
             + bytes(int(v) for v in base[_JPEG_ZIGZAG])
-    # SOF0
+    # SOF0 (baseline) / SOF2 (progressive)
     ncomp = len(planes)
     sof = struct.pack(">BHHB", 8, h_img, w_img, ncomp)
     for ci, (ch, cv) in enumerate(samplings):
         sof += bytes([ci + 1, (ch << 4) | cv, qids[ci]])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") \
+        + struct.pack(">H", 2 + len(sof)) + sof
     # DHT: one DC + one AC table, shared by all components
     for tc, bits, vals in ((0, _JPEG_ENC_DC_BITS, _JPEG_ENC_DC_VALS),
                            (1, _JPEG_ENC_AC_BITS, _JPEG_ENC_AC_VALS)):
@@ -976,35 +1246,94 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: str = "444",
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOS
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00])                   # DC 0 / AC 0
-    sos += b"\x00\x3f\x00"                             # Ss=0 Se=63 AhAl=0
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     hmax = max(s[0] for s in samplings)
     vmax = max(s[1] for s in samplings)
     mcus_x = -(-w_img // (8 * hmax))
     mcus_y = -(-h_img // (8 * vmax))
+
+    def emit_sos(comp_list, ss, se, ah, al):
+        sos = bytes([len(comp_list)])
+        for ci in comp_list:
+            sos += bytes([ci + 1, 0x00])               # DC 0 / AC 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    def mcu_blocks():
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (ch, cv) in enumerate(samplings):
+                for by in range(cv):
+                    for bx in range(ch):
+                        yield ci, coeffs[ci][my * cv + by, mx * ch + bx]
+
+    if not progressive:
+        out += emit_sos(list(range(ncomp)), 0, 63, 0, 0)
+        writer = _JpegBitWriter()
+        pred = [0] * ncomp
+        rst = 0
+        for mcu in range(mcus_x * mcus_y):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.byte_align()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0] * ncomp
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (ch, cv) in enumerate(samplings):
+                for by in range(cv):
+                    for bx in range(ch):
+                        z = coeffs[ci][my * cv + by, mx * ch + bx]
+                        pred[ci] = _jpeg_encode_block(
+                            writer, z, pred[ci], dc_tbl, ac_tbl)
+        writer.byte_align()
+        out += writer.out
+        out += b"\xff\xd9"                             # EOI
+        return bytes(out)
+
+    # Progressive script: DC first (Al=1) -> DC refine -> per-component
+    # AC first (Al=1) -> per-component AC refine.
+    out += emit_sos(list(range(ncomp)), 0, 0, 0, 1)
     writer = _JpegBitWriter()
     pred = [0] * ncomp
-    rst = 0
-    for mcu in range(mcus_x * mcus_y):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            writer.byte_align()
-            writer.out += bytes([0xFF, 0xD0 + rst])
-            rst = (rst + 1) % 8
-            pred = [0] * ncomp
-        my, mx = divmod(mcu, mcus_x)
-        for ci, (ch, cv) in enumerate(samplings):
-            for by in range(cv):
-                for bx in range(ch):
-                    z = coeffs[ci][my * cv + by, mx * ch + bx]
-                    pred[ci] = _jpeg_encode_block(
-                        writer, z, pred[ci], dc_tbl, ac_tbl)
+    for ci, z in mcu_blocks():
+        v = int(z[0]) >> 1                             # DC point transform
+        size, bits = _jpeg_magnitude(v - pred[ci])
+        pred[ci] = v
+        length, code = dc_tbl.encode[size]
+        writer.write(code, length)
+        if size:
+            writer.write(bits, size)
     writer.byte_align()
     out += writer.out
+
+    out += emit_sos(list(range(ncomp)), 0, 0, 1, 0)
+    writer = _JpegBitWriter()
+    for ci, z in mcu_blocks():
+        writer.write(int(z[0]) & 1, 1)                 # DC refinement bit
+    writer.byte_align()
+    out += writer.out
+
+    def comp_grid(ci):
+        ch, cv = samplings[ci]
+        comp_w = -(-w_img * ch // hmax)
+        comp_h = -(-h_img * cv // vmax)
+        return -(-comp_w // 8), -(-comp_h // 8)
+
+    for ah, al in ((0, 1), (1, 0)):
+        for ci in range(ncomp):
+            out += emit_sos([ci], 1, 63, ah, al)
+            writer = _JpegBitWriter()
+            nbx, nby = comp_grid(ci)
+            for by in range(nby):
+                for bx in range(nbx):
+                    z = coeffs[ci][by, bx]
+                    if ah == 0:
+                        _jpeg_prog_ac_first_block(writer, ac_tbl, z, 1, 63, al)
+                    else:
+                        _jpeg_prog_ac_refine_block(
+                            writer, ac_tbl, z, 1, 63, ah, al)
+            writer.byte_align()
+            out += writer.out
     out += b"\xff\xd9"                                 # EOI
     return bytes(out)
 

@@ -6,11 +6,12 @@ step is REAL for every format the dependency-free ``functions.codecs``
 layer covers (binary PPM/PGM, 24/32-bit BMP, PCM WAV, PNG at every
 legal bit depth incl. Adam7 interlace via stdlib zlib,
 baseline sequential JPEG via an in-repo
-T.81 Huffman+IDCT decoder, GIF87a/89a incl. animation via an in-repo
+T.81 Huffman+IDCT decoder — baseline AND progressive SOF2,
+GIF87a/89a incl. animation via an in-repo
 LZW decoder, Motion-JPEG AVI video: actual pixel/sample decode,
 luma-grid / RMS-envelope features, nearest-neighbor resize,
 real frame extraction). Formats whose codecs remain out of
-stdlib+numpy reach (progressive JPEG, MP3, MP4) fall back
+stdlib+numpy reach (MP3, MP4) fall back
 to a deterministic sha256 fake — so every downstream operator (dedup by
 perceptual hash, ANN over media embeddings) stays exercisable on
 arbitrary bytes. Swapping the fallback for a real compressed-format
@@ -51,7 +52,7 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
     BMP, PNG (all legal depths, incl. Adam7), baseline sequential JPEG (pixel
     raster + 4x4 luma-grid feature), PCM WAV (sample stream +
     RMS-envelope feature), Motion-JPEG AVI and animated GIF (true frame
-    count + first-frame feature). Anything else (progressive JPEG, MP3, MP4 —
+    count + first-frame feature). Anything else (MP3, MP4 —
     beyond a stdlib+numpy implementation) falls back to the
     deterministic sha256 fake so arbitrary bytes stay exercisable
     end-to-end; swapping the fallback for a real compressed-format

@@ -313,3 +313,149 @@ class TestExtractFrames:
         plan = sorted(r.frame_no for r in frame_sample_plan(df, 3).collect())
         real = sorted(r.frame_no for r in extract_frames(df, 3).collect())
         assert plan == real == [0, 3, 6]
+
+
+class TestProgressive:
+    """SOF2: spectral selection + successive approximation. The encoder's
+    progressive mode reuses the SAME quantized coefficients as baseline,
+    so the two decodes must agree EXACTLY — any entropy-layer divergence
+    (DC shift/refine, EOB runs, ZRL-in-refinement, correction-bit order)
+    breaks bit equality rather than hiding inside lossy tolerance."""
+
+    def test_matches_baseline_exactly_all_configs(self):
+        img = _smooth_image(24, 32)
+        for kw in ({}, {"subsample": "420"}):
+            for q in (35, 85):
+                b = codecs.decode_image(codecs.encode_jpeg(img, quality=q, **kw))
+                p = codecs.decode_image(
+                    codecs.encode_jpeg(img, quality=q, progressive=True, **kw))
+                assert np.array_equal(b, p), (kw, q)
+
+    def test_grayscale_and_ragged_sizes(self):
+        img = _smooth_image(21, 13)
+        for src in (img, img[:, :, 0], img[:8, :8], img[:1, :50]):
+            b = codecs.decode_image(codecs.encode_jpeg(src, quality=75))
+            p = codecs.decode_image(
+                codecs.encode_jpeg(src, quality=75, progressive=True))
+            assert np.array_equal(b, p), src.shape
+
+    def test_noise_at_low_quality_hits_zrl_and_long_runs(self):
+        # pure noise at q=20 produces sparse scattered AC coefficients:
+        # verified to drive the ZRL-inside-refinement path (16+ zero runs
+        # between newly-nonzero coefficients) in dozens of blocks
+        rng = np.random.default_rng(99)
+        img = rng.integers(0, 256, size=(40, 48, 3)).astype(np.uint8)
+        for q in (20, 50):
+            b = codecs.decode_image(codecs.encode_jpeg(img, quality=q))
+            p = codecs.decode_image(
+                codecs.encode_jpeg(img, quality=q, progressive=True))
+            assert np.array_equal(b, p), q
+
+    def test_round_trip_close_to_source(self):
+        img = _smooth_image(16, 24)
+        out = codecs.decode_image(
+            codecs.encode_jpeg(img, quality=95, progressive=True))
+        assert np.abs(out.astype(float) - img.astype(float)).mean() < 3.0
+
+    def test_progressive_with_restarts_rejected_on_encode(self):
+        with pytest.raises(ValueError, match="restart"):
+            codecs.encode_jpeg(_smooth_image(8, 8), progressive=True,
+                               restart_interval=2)
+
+    def test_eobrun_spanning_blocks_handcrafted(self):
+        """A manually-built 16x8 gray SOF2 file with an all-ones quant
+        table and a known coefficient layout, where the AC scans code an
+        EOB2 in the FIRST block (eobrun spans both blocks). Expected
+        pixels computed analytically via the same orthonormal IDCT."""
+        import struct
+
+        dc = [64, 32]                     # full-precision DC per block
+        ac_k, ac_v = 1, -5                # one AC coefficient in block 0
+        dc_tbl = _JpegHuffTable(codecs._JPEG_ENC_DC_BITS,
+                                codecs._JPEG_ENC_DC_VALS)
+        # the in-repo encoder's fixed AC table has no EOBn (r>0, s=0)
+        # symbols — it only ever emits single-block EOBs — so extend it
+        # with 0x10 (EOB2..EOB3 class) for this hand-built stream
+        ac_bits = [0] * 7 + [163] + [0] * 8
+        ac_vals = codecs._JPEG_ENC_AC_VALS + [0x10]
+        ac_tbl = _JpegHuffTable(ac_bits, ac_vals)
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xDB, bytes([0]) + bytes([1] * 64))            # DQT all-1
+        out += seg(0xC2, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+        for tc, bits, vals in ((0, codecs._JPEG_ENC_DC_BITS,
+                                codecs._JPEG_ENC_DC_VALS),
+                               (1, ac_bits, ac_vals)):
+            out += seg(0xC4, bytes([tc << 4]) + bytes(bits) + bytes(vals))
+
+        def sos(ss, se, ah, al, writer):
+            writer.byte_align()
+            return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])) \
+                + writer.out
+
+        # scan 1: DC first, Al=1 — diffs of dc>>1
+        w = _JpegBitWriter()
+        pred = 0
+        for v in dc:
+            size, bits = codecs._jpeg_magnitude((v >> 1) - pred)
+            pred = v >> 1
+            ln, code = dc_tbl.encode[size]
+            w.write(code, ln)
+            if size:
+                w.write(bits, size)
+        out += sos(0, 0, 0, 1, w)
+        # scan 2: AC first 1-63, Al=1 — block0: coef at k=1 (value -5>>1
+        # toward zero = -2), then EOB2 (r=1, 1 appended bit = 0 ->
+        # eobrun = 2^1 + 0 = 2) covering block0's tail AND block1
+        w = _JpegBitWriter()
+        size, bits = codecs._jpeg_magnitude(-2)
+        ln, code = ac_tbl.encode[(0 << 4) | size]
+        w.write(code, ln)
+        w.write(bits, size)
+        ln, code = ac_tbl.encode[(1 << 4) | 0]                    # EOB2
+        w.write(code, ln)
+        w.write(0, 1)                                             # appended
+        out += sos(1, 63, 0, 1, w)
+        # scan 3: DC refine, Al=0 — one raw bit per block
+        w = _JpegBitWriter()
+        w.write(dc[0] & 1, 1)
+        w.write(dc[1] & 1, 1)
+        out += sos(0, 0, 1, 0, w)
+        # scan 4: AC refine 1-63, Al=0 — EOB2 again; block0's nonzero
+        # coefficient collects its correction bit from the eobrun tail
+        w = _JpegBitWriter()
+        ln, code = ac_tbl.encode[(1 << 4) | 0]
+        w.write(code, ln)
+        w.write(0, 1)                                             # appended
+        w.write(abs(ac_v) & 1, 1)                                 # correction
+        out += sos(1, 63, 1, 0, w)
+        out += b"\xff\xd9"
+
+        got = codecs.decode_image(bytes(out))
+        # expected: IDCT of the reconstructed coefficients. AC path:
+        # first scan -2<<1 = -4; refine bit 1 and (−4 & 1)==0 -> -4 + m1
+        # = -5 — full precision recovered.
+        expect = np.zeros((8, 16), dtype=np.float64)
+        for b, dcv in enumerate(dc):
+            z = np.zeros(64)
+            z[0] = dcv
+            if b == 0:
+                z[ac_k] = ac_v
+            coef = np.zeros(64)
+            coef[_JPEG_ZIGZAG] = z
+            blk = _JPEG_DCT_A.T @ coef.reshape(8, 8) @ _JPEG_DCT_A + 128.0
+            expect[:, b * 8 : (b + 1) * 8] = blk
+        expect8 = np.clip(np.round(expect), 0, 255).astype(np.uint8)
+        assert got.shape == (8, 16, 3)
+        assert np.array_equal(got[:, :, 0], expect8)
+
+    def test_sniff_progressive_is_jpeg(self):
+        p = codecs.encode_jpeg(_smooth_image(8, 8), progressive=True)
+        assert codecs.sniff_format(p) == "jpeg"
+        from go_simple_embedding_database_spark.operators.multimodal import (
+            _decode_payload)
+        meta = _decode_payload(p, "image")
+        assert (meta["width"], meta["height"], meta["n_frames"]) == (8, 8, 1)
