@@ -136,3 +136,60 @@ def test_no_corpus_text_sniffs_as_media(documents):
     sniffed = [t[:20] for t in texts
                if sniff_format(t.encode("utf-8")) is not None]
     assert not sniffed, f"corpus text sniffed as media: {sniffed[:3]}"
+
+
+class TestMixedFormatPipeline:
+    """End-to-end over REAL encoded media of every supported container:
+    one Spark decode_media pass over a mixed-format batch must produce
+    true dimensions/frame counts and pixel-derived features for all of
+    them, with only the genuinely-undecodable rows falling back to the
+    sha fake. Pins the production shape: heterogeneous corpora hit ONE
+    mapInPandas stage, not per-format jobs."""
+
+    def _mixed_rows(self):
+        import numpy as np
+        from go_simple_embedding_database_spark.functions import codecs
+        rng = np.random.default_rng(41)
+        img = (rng.integers(0, 4, size=(16, 12, 3)) * 64).astype(np.uint8)
+        wav = (b"RIFF" + (36 + 200).to_bytes(4, "little") + b"WAVE"
+               + b"fmt " + (16).to_bytes(4, "little")
+               + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+               + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+               + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+               + b"data" + (200).to_bytes(4, "little") + bytes(200))
+        frames = [np.roll(img, t, axis=1) for t in range(6)]
+        return {
+            "ppm": ("image", codecs.encode_ppm(img)),
+            "jpeg_base": ("image", codecs.encode_jpeg(img, quality=90)),
+            "jpeg_prog": ("image",
+                          codecs.encode_jpeg(img, quality=90, progressive=True)),
+            "gif_anim": ("video", codecs.encode_gif(frames)),
+            "avi_mjpeg": ("video", codecs.encode_avi_mjpeg(frames)),
+            "wav_pcm": ("audio", wav),
+            "mp4_like": ("video", b"\x00\x00\x00\x18ftypisom" + bytes(64)),
+        }
+
+    def test_one_pass_mixed_decode(self, spark):
+        from go_simple_embedding_database_spark.operators.multimodal import (
+            decode_media)
+        rows = self._mixed_rows()
+        df = spark.createDataFrame(
+            [(k, m, bytearray(p)) for k, (m, p) in rows.items()],
+            "media_id string, modality string, payload binary")
+        out = {r.media_id: r for r in decode_media(df).collect()}
+        assert len(out) == len(rows)
+        # true dimensions for every real container
+        for k in ("ppm", "jpeg_base", "jpeg_prog"):
+            assert (out[k].width, out[k].height, out[k].n_frames) == (12, 16, 1)
+        assert (out["gif_anim"].width, out["gif_anim"].n_frames) == (12, 6)
+        assert (out["avi_mjpeg"].width, out["avi_mjpeg"].n_frames) == (12, 6)
+        assert out["wav_pcm"].n_frames >= 1 and out["wav_pcm"].width is None
+        # progressive and baseline carry the same image -> nearby features
+        import numpy as np
+        fb = np.array(out["jpeg_base"].feature)
+        fp = np.array(out["jpeg_prog"].feature)
+        assert float(fb @ fp) > 0.999
+        # the undecodable container fell back to the deterministic fake
+        # (it still gets a unit-norm feature, never an exception)
+        f = np.array(out["mp4_like"].feature)
+        assert abs(float(f @ f) - 1.0) < 1e-9
