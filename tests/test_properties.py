@@ -399,3 +399,96 @@ def test_png_decode_inverts_any_filter_choice(data):
     else:
         expect = np.repeat(a8[:, :, :1], 3, axis=2)
     assert np.array_equal(out, expect)
+
+
+@SETTINGS
+@given(st.data())
+def test_gif_and_avi_video_roundtrip_any_shape(data):
+    """encode->decode is exact for GIF (any palette size <= 256, any
+    frame count, interlaced or not — pins the LZW coder pair and the
+    compositing path) and shape/close for MJPEG-AVI (lossy per-frame
+    JPEG, so assert dimensions + frame count + bounded error)."""
+    from go_simple_embedding_database_spark.functions import codecs
+
+    h = data.draw(st.integers(1, 12), label="h")
+    w = data.draw(st.integers(1, 12), label="w")
+    n = data.draw(st.integers(1, 4), label="frames")
+    levels = data.draw(st.sampled_from([2, 3, 4]), label="levels")
+    interlace = data.draw(st.booleans(), label="interlace")
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1),
+                                          label="seed"))
+    frames = [(rng.integers(0, levels, size=(h, w, 3)) * (255 // levels))
+              .astype(np.uint8) for _ in range(n)]
+    gw, gh, out = codecs.decode_gif(codecs.encode_gif(frames,
+                                                      interlace=interlace))
+    assert (gw, gh, len(out)) == (w, h, n)
+    for got, want in zip(out, frames):
+        assert np.array_equal(got, want)
+    if h >= 8 and w >= 8:            # AVI needs sane JPEG block content
+        aw, ah, jpegs = codecs.decode_avi_mjpeg(
+            codecs.encode_avi_mjpeg(frames, quality=95))
+        assert (aw, ah, len(jpegs)) == (w, h, n)
+        dec = codecs.decode_image(jpegs[0])
+        assert np.abs(dec.astype(float) - frames[0].astype(float)).mean() < 16
+
+
+@SETTINGS
+@given(st.data())
+def test_progressive_jpeg_equals_baseline_decode(data):
+    """For ANY image, quality and subsampling, the progressive (SOF2)
+    encode decodes to EXACTLY the same pixels as the baseline encode —
+    both modes share one quantized-coefficient pipeline, so equality
+    isolates the progressive entropy layer (DC shift/refine, EOB runs,
+    refinement correction bits) with zero lossy tolerance."""
+    from go_simple_embedding_database_spark.functions import codecs
+
+    h = data.draw(st.integers(1, 20), label="h")
+    w = data.draw(st.integers(1, 20), label="w")
+    q = data.draw(st.sampled_from([15, 50, 90]), label="q")
+    sub = data.draw(st.sampled_from(["444", "420"]), label="sub")
+    gray = data.draw(st.booleans(), label="gray")
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1),
+                                          label="seed"))
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, size=shape, dtype=np.int64).astype(np.uint8)
+    b = codecs.decode_image(codecs.encode_jpeg(img, quality=q, subsample=sub))
+    p = codecs.decode_image(codecs.encode_jpeg(img, quality=q, subsample=sub,
+                                               progressive=True))
+    assert np.array_equal(b, p)
+
+
+@SETTINGS
+@given(st.data())
+def test_png_all_depths_roundtrip(data):
+    """PNG depth coverage: every legal (depth, color type) combination
+    round-trips under random filters and interlace — 16-bit keeps the
+    high byte, sub-byte gray rescales exactly, palette indices map
+    through the table untouched."""
+    from tests.test_codecs import _png
+
+    from go_simple_embedding_database_spark.functions import codecs
+
+    h = data.draw(st.integers(1, 10), label="h")
+    w = data.draw(st.integers(1, 10), label="w")
+    depth = data.draw(st.sampled_from([1, 2, 4, 8, 16]), label="depth")
+    interlace = data.draw(st.sampled_from([0, 1]), label="interlace")
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1),
+                                          label="seed"))
+    filters = [int(rng.integers(0, 5)) for _ in range(h)]
+    if depth == 16:
+        g = rng.integers(0, 65536, size=(h, w), dtype=np.int64)
+        out = codecs.decode_image(_png(g, color_type=0, depth=16,
+                                       filters=filters, interlace=interlace))
+        assert np.array_equal(out[:, :, 0], (g >> 8).astype(np.uint8))
+    elif depth == 8:
+        a = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64)
+        out = codecs.decode_image(_png(a, color_type=2, filters=filters,
+                                       interlace=interlace))
+        assert np.array_equal(out, a.astype(np.uint8))
+    else:
+        top = (1 << depth) - 1
+        g = rng.integers(0, top + 1, size=(h, w), dtype=np.int64)
+        out = codecs.decode_image(_png(g, color_type=0, depth=depth,
+                                       filters=filters, interlace=interlace))
+        assert np.array_equal(out[:, :, 0],
+                              (g * (255 // top)).astype(np.uint8))
