@@ -1733,16 +1733,31 @@ def _clusters_cte() -> str:
     (same edges as length_band_jaccard_dedup(band_width=8, threshold=0.8),
     same min-reachable-node labels as connected_components) — ONE
     definition feeding both the dedup_clusters and split_leakage_safe
-    oracles."""
-    from go_simple_embedding_database_spark.operators import dedup as dd
-    jac = dd.jaccard_sql("a.text", "b.text")
+    oracles.
+
+    The shingle lists are precomputed ONCE PER DOCUMENT in ``docsh`` and
+    MATERIALIZED: ``jaccard_sql`` inlined in the pair WHERE re-tokenizes
+    both texts per candidate pair — and the recursive CTE re-evaluates
+    its inputs per iteration — which cost ~50 s per oracle at sf0.01
+    (measured); with the per-doc lists it is sub-second. The Jaccard
+    formula inter / (|A| + |B| - inter) is EXACTLY list_distinct-union
+    Jaccard for the distinct-by-construction shingle lists."""
+    from go_simple_embedding_database_spark.functions.text import shingles_sql
+    sh = shingles_sql("text")
     return f"""
-pairs AS (
+docsh AS MATERIALIZED (
+  SELECT doc_id, source, CAST(floor(n_chars / 8) AS BIGINT) AS band,
+         {sh} AS sh
+  FROM documents),
+pairs AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM documents a JOIN documents b
+  FROM docsh a JOIN docsh b
     ON a.source = b.source AND a.doc_id < b.doc_id
-   AND CAST(floor(b.n_chars / 8) AS BIGINT) - CAST(floor(a.n_chars / 8) AS BIGINT) BETWEEN -1 AND 1
-  WHERE {jac} >= 0.8),
+   AND b.band - a.band BETWEEN -1 AND 1
+  WHERE CASE WHEN len(a.sh) + len(b.sh) = 0 THEN 0.0
+        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END
+        >= 0.8),
 edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
           UNION SELECT id_b, id_a FROM pairs),
 reach(node, comp) AS (
