@@ -342,9 +342,10 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_dedup_minhash() -> str:
+    from go_simple_embedding_database_spark.functions.text import shingles_sql
     from go_simple_embedding_database_spark.operators import dedup as dd
     sig = dd.minhash_signature_sql("text", 12)
-    jac = dd.jaccard_sql("da.text", "db.text")
+    jac = dd.jaccard_from_lists_sql("da.sh", "db.sh")
     return f"""
 WITH sig AS (SELECT doc_id, {sig} AS sig FROM documents),
 bands AS (
@@ -354,10 +355,11 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
-)
+),
+sh AS MATERIALIZED (SELECT doc_id, {shingles_sql('text')} AS sh FROM documents)
 SELECT id_a, id_b, round({jac}, 6) AS jaccard
-FROM cand JOIN documents da ON cand.id_a = da.doc_id
-          JOIN documents db ON cand.id_b = db.doc_id
+FROM cand JOIN sh da ON cand.id_a = da.doc_id
+          JOIN sh db ON cand.id_b = db.doc_id
 WHERE {jac} >= 0.9
 """
 
@@ -1743,7 +1745,9 @@ def _clusters_cte() -> str:
     formula inter / (|A| + |B| - inter) is EXACTLY list_distinct-union
     Jaccard for the distinct-by-construction shingle lists."""
     from go_simple_embedding_database_spark.functions.text import shingles_sql
+    from go_simple_embedding_database_spark.operators import dedup as dd
     sh = shingles_sql("text")
+    jac = dd.jaccard_from_lists_sql("a.sh", "b.sh")
     return f"""
 docsh AS MATERIALIZED (
   SELECT doc_id, source, CAST(floor(n_chars / 8) AS BIGINT) AS band,
@@ -1754,10 +1758,7 @@ pairs AS MATERIALIZED (
   FROM docsh a JOIN docsh b
     ON a.source = b.source AND a.doc_id < b.doc_id
    AND b.band - a.band BETWEEN -1 AND 1
-  WHERE CASE WHEN len(a.sh) + len(b.sh) = 0 THEN 0.0
-        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END
-        >= 0.8),
+  WHERE {jac} >= 0.8),
 edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
           UNION SELECT id_b, id_a FROM pairs),
 reach(node, comp) AS (
@@ -2663,9 +2664,10 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_incremental_dedup() -> str:
+    from go_simple_embedding_database_spark.functions.text import shingles_sql
     from go_simple_embedding_database_spark.operators import dedup as dd
     sig = dd.minhash_signature_sql("text", 12)
-    jac = dd.jaccard_sql("da.text", "db.text")
+    jac = dd.jaccard_from_lists_sql("da.sh", "db.sh")
     return f"""
 WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
 newb AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
@@ -2679,10 +2681,11 @@ nb AS (
   FROM nsig, range(4) t(b)),
 cand AS (
   SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
-  FROM nb n JOIN cb c ON n.b = c.b AND n.key = c.key)
+  FROM nb n JOIN cb c ON n.b = c.b AND n.key = c.key),
+sh AS MATERIALIZED (SELECT doc_id, {shingles_sql('text')} AS sh FROM documents)
 SELECT new_id, corpus_id, round({jac}, 6) AS jaccard
-FROM cand JOIN documents da ON cand.new_id = da.doc_id
-          JOIN documents db ON cand.corpus_id = db.doc_id
+FROM cand JOIN sh da ON cand.new_id = da.doc_id
+          JOIN sh db ON cand.corpus_id = db.doc_id
 WHERE {jac} >= 0.7
 """
 

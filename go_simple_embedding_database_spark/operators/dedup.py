@@ -247,6 +247,21 @@ def jaccard_sql(expr_a: str, expr_b: str, n: int = 3) -> str:
     )
 
 
+def jaccard_from_lists_sql(expr_a: str, expr_b: str) -> str:
+    """DuckDB twin of ``jaccard_from_shingle_arrays`` over two
+    PRECOMPUTED distinct shingle-list expressions: exactly the
+    list_distinct-union Jaccard (|A∪B| = |A|+|B|-|A∩B| for distinct
+    lists), but evaluated on per-document lists instead of re-inlining
+    the tokenizer per candidate pair — the difference between a
+    sub-second and a ~50 s oracle at sf0.01."""
+    inter = f"len(list_intersect({expr_a}, {expr_b}))"
+    return (
+        f"CASE WHEN len({expr_a}) + len({expr_b}) = 0 THEN 0.0 "
+        f"ELSE CAST({inter} AS DOUBLE) "
+        f"/ (len({expr_a}) + len({expr_b}) - {inter}) END"
+    )
+
+
 def jaccard_from_shingle_arrays(sa: Column, sb: Column) -> Column:
     """|A∩B| / |A∪B| over two precomputed distinct shingle arrays, as
     inter / (|A| + |B| - inter) — one ``array_intersect`` instead of
