@@ -161,8 +161,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     if kind == "jpeg":
         return _decode_jpeg(payload)
     if kind == "gif":
-        # first composited frame — the still-image view of a GIF
-        _, _, frames = decode_gif(payload)
+        # first composited frame — the still-image view of a GIF; stop
+        # the decode there instead of paying for the whole animation
+        _, _, frames = decode_gif(payload, max_frames=1)
         return frames[0]
     raise ValueError("unsupported image format for the built-in codec")
 
@@ -820,6 +821,9 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             raise ValueError("malformed JPEG marker stream")
         marker = payload[pos + 1]
+        if marker == 0xFF:                      # fill byte (T.81 B.1.1.2):
+            pos += 1                            # any number of 0xFF may pad
+            continue                            # the space before a marker
         if marker == 0xD9:                      # EOI
             break
         if 0xD0 <= marker <= 0xD8 or marker == 0x01:   # bare markers
@@ -1313,11 +1317,13 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: str = "444",
     writer.byte_align()
     out += writer.out
 
+    # the decoder's real-block-grid function, fed encoder-shaped tuples —
+    # one definition, so the two sides cannot disagree on AC scan extents
+    comps_like = [(ci + 1, ch, cv, 0)
+                  for ci, (ch, cv) in enumerate(samplings)]
+
     def comp_grid(ci):
-        ch, cv = samplings[ci]
-        comp_w = -(-w_img * ch // hmax)
-        comp_h = -(-h_img * cv // vmax)
-        return -(-comp_w // 8), -(-comp_h // 8)
+        return _jpeg_comp_grid(comps_like, ci, hmax, vmax, w_img, h_img)
 
     for ah, al in ((0, 1), (1, 0)):
         for ci in range(ncomp):
@@ -1378,19 +1384,25 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]]:
         raise ValueError("not a RIFF/AVI payload")
     width = height = None
     compression = None
+    stream_type = None                    # fccType of the LAST strh seen
     frames: list[bytes] = []
 
     def walk(start: int, end: int) -> None:
-        nonlocal width, height, compression
+        nonlocal width, height, compression, stream_type
         for fourcc, ltype, b0, b1 in _riff_chunks(payload, start, end):
             if ltype is not None:
                 walk(b0, b1)
             elif fourcc == b"avih" and b1 - b0 >= 40:
                 width = struct.unpack_from("<I", payload, b0 + 32)[0]
                 height = struct.unpack_from("<I", payload, b0 + 36)[0]
-            elif fourcc == b"strf" and b1 - b0 >= 20 and compression is None:
-                # BITMAPINFOHEADER.biCompression — only read for the
-                # first (video) stream
+            elif fourcc == b"strh" and b1 - b0 >= 4:
+                stream_type = payload[b0 : b0 + 4]
+            elif fourcc == b"strf" and b1 - b0 >= 20 \
+                    and stream_type == b"vids" and compression is None:
+                # BITMAPINFOHEADER.biCompression of the VIDEO stream —
+                # keyed off the preceding strh's fccType, so an AVI that
+                # lists its audio stream first is not misread (an audio
+                # strf's bytes 16:20 are not a codec fourcc)
                 compression = payload[b0 + 16 : b0 + 20]
             elif len(fourcc) == 4 and fourcc[2:] in (b"dc", b"db"):
                 frames.append(payload[b0:b1])
@@ -1401,6 +1413,11 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]]:
             f"AVI codec {compression!r} not supported (MJPG only)")
     if width is None or not frames:
         raise ValueError("AVI missing avih header or movi frames")
+    if width <= 0 or height <= 0:
+        # some muxers leave avih dims unset and rely on strf/biWidth —
+        # fall back to the first frame's real dimensions
+        first = _decode_jpeg(frames[0])
+        height, width = first.shape[:2]
     return int(width), int(height), frames
 
 
@@ -1449,6 +1466,13 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10,
 
 # GIF interlace passes: (row start, row step) in spec order.
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_rows(h: int) -> np.ndarray:
+    """Row indices in GIF interlace transmission order — the single
+    definition both the decoder's de-interlace scatter and the test
+    encoder's row reorder share."""
+    return np.concatenate([np.arange(s, h, t) for s, t in _GIF_INTERLACE])
 
 
 def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
@@ -1550,7 +1574,8 @@ def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
         pos += size
 
 
-def decode_gif(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
+def decode_gif(payload: bytes,
+               max_frames: int | None = None) -> tuple[int, int, list[np.ndarray]]:
     """GIF87a/89a bytes -> (width, height, [HxWx3 uint8 frames, ...]).
 
     Full animation semantics: frames are COMPOSITED onto the logical
@@ -1558,7 +1583,10 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
     skip, and disposal methods 0/1 (leave), 2 (restore background,
     which renders as transparent-black per every modern viewer) and
     3 (restore previous). Interlaced frames are de-interlaced.
-    Malformed streams raise ValueError (the quarantine path)."""
+    ``max_frames`` stops after that many composited frames, so the
+    still-image view (decode_image takes frame 0) pays O(first frame),
+    not O(whole animation). Malformed streams raise ValueError (the
+    quarantine path)."""
     if sniff_format(payload) != "gif":
         raise ValueError("not a GIF payload")
     w, h = struct.unpack_from("<HH", payload, 6)
@@ -1599,6 +1627,8 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > n:
+            raise ValueError("truncated GIF image descriptor")
         left, top, fw, fh, lflags = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
         if fw <= 0 or fh <= 0 or left + fw > w or top + fh > h:
@@ -1619,10 +1649,8 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
         lzw, pos = _gif_subblocks(payload, pos + 1)
         idx = _gif_lzw_decode(min_code, lzw, fw * fh).reshape(fh, fw)
         if lflags & 0x40:                 # de-interlace
-            rows = np.concatenate([np.arange(s, fh, t)
-                                   for s, t in _GIF_INTERLACE])
             deint = np.empty_like(idx)
-            deint[rows] = idx
+            deint[_gif_interlace_rows(fh)] = idx
             idx = deint
         if int(idx.max(initial=0)) >= pal.shape[0]:
             raise ValueError("GIF palette index out of range")
@@ -1634,6 +1662,8 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
             rgba[keep] = canvas[top : top + fh, left : left + fw][keep]
         canvas[top : top + fh, left : left + fw] = rgba
         frames.append(canvas[:, :, :3].copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            return int(w), int(h), frames
         if disposal == 2:                 # restore background = clear
             canvas[top : top + fh, left : left + fw] = 0
         elif disposal == 3:               # restore previous
@@ -1724,9 +1754,7 @@ def encode_gif(frames: list[np.ndarray], interlace: bool = False) -> bytes:
         idx = np.array([lut[tuple(p)] for p in f.reshape(-1, 3).tolist()],
                        dtype=np.uint8).reshape(h, w)
         if interlace:
-            rows = np.concatenate([np.arange(s, h, t)
-                                   for s, t in _GIF_INTERLACE])
-            idx = idx[rows]
+            idx = idx[_gif_interlace_rows(h)]
         out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"      # GCE: no disposal
         out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
                            0x40 if interlace else 0)

@@ -280,11 +280,12 @@ RESIZED_SCHEMA = ("media_id string, modality string, payload binary, "
 def _resize_payload(payload: bytes, target_w: int, target_h: int) -> bytes:
     """Resize one image payload.
 
-    REAL pixel work for the codec layer's formats (PPM/PGM/BMP/PNG/
-    baseline JPEG): nearest-neighbor resample of the decoded raster,
-    re-encoded as binary PPM (the codec's native output). Unrecognized
-    formats fall back to a deterministic fake whose size scales with the
-    target area (byte budgets and partition sizing stay realistic) — the
+    REAL pixel work for every still-image format the codec layer
+    decodes (PPM/PGM/BMP/PNG/JPEG/GIF first frame): nearest-neighbor
+    resample of the decoded raster, re-encoded as binary PPM (the
+    codec's native output). Unrecognized formats fall back to a
+    deterministic fake whose size scales with the target area (byte
+    budgets and partition sizing stay realistic) — the
     compressed-format slot for a future PIL/ffmpeg swap. Raises on empty
     input like the decoder."""
     from go_simple_embedding_database_spark.functions import codecs
@@ -292,7 +293,8 @@ def _resize_payload(payload: bytes, target_w: int, target_h: int) -> bytes:
     if payload is None or len(payload) == 0:
         raise ValueError("cannot resize empty payload")
     payload = bytes(payload)
-    if codecs.sniff_format(payload) in ("ppm", "pgm", "bmp", "png", "jpeg"):
+    if codecs.sniff_format(payload) in ("ppm", "pgm", "bmp", "png",
+                                        "jpeg", "gif"):
         rgb = codecs.decode_image(payload)
         return codecs.encode_ppm(
             codecs.resize_nearest(rgb, target_w, target_h))

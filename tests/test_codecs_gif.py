@@ -192,3 +192,30 @@ class TestMultimodalWiring:
         for fno, r in rows.items():
             assert np.array_equal(
                 codecs.decode_image(bytes(r.payload)), imgs[fno])
+
+
+class TestReviewRegressions:
+    def test_max_frames_stops_early(self):
+        imgs = [_quantized(6, 6, seed=s) for s in range(5)]
+        gif = codecs.encode_gif(imgs)
+        w, h, frames = codecs.decode_gif(gif, max_frames=1)
+        assert len(frames) == 1
+        assert np.array_equal(frames[0], imgs[0])
+        assert np.array_equal(codecs.decode_image(gif), imgs[0])
+
+    def test_truncated_image_descriptor_raises_valueerror(self):
+        gif = codecs.encode_gif([_quantized(4, 4)])
+        head = gif[: gif.find(b"\x2c") + 3]       # cut mid descriptor
+        with pytest.raises(ValueError):
+            codecs.decode_gif(head)
+
+    def test_resize_media_does_real_gif_pixels(self, spark):
+        from go_simple_embedding_database_spark.operators.multimodal import (
+            resize_media)
+        img = _quantized(16, 16, seed=3)
+        df = spark.createDataFrame(
+            [("g", "image", bytearray(codecs.encode_gif([img])))],
+            "media_id string, modality string, payload binary")
+        row = resize_media(df, 4, 4).collect()[0]
+        out = codecs.decode_image(bytes(row.payload))
+        assert np.array_equal(out, codecs.resize_nearest(img, 4, 4))

@@ -459,3 +459,63 @@ class TestProgressive:
             _decode_payload)
         meta = _decode_payload(p, "image")
         assert (meta["width"], meta["height"], meta["n_frames"]) == (8, 8, 1)
+
+
+class TestReviewRegressions:
+    """Pins for review findings: spec-legal inputs that earlier decoder
+    revisions rejected or mis-handled."""
+
+    def test_fill_bytes_between_scans(self):
+        """T.81 B.1.1.2: any number of 0xFF fill bytes may pad the space
+        before a marker — including between progressive scans."""
+        img = _smooth_image(16, 16)
+        prog = codecs.encode_jpeg(img, quality=85, progressive=True)
+        # inject a fill byte before every SOS after the first
+        out = bytearray()
+        i, n_sos = 0, 0
+        while i < len(prog) - 1:
+            if prog[i] == 0xFF and prog[i + 1] == 0xDA:
+                n_sos += 1
+                if n_sos > 1:
+                    out.append(0xFF)
+            out.append(prog[i])
+            i += 1
+        out.append(prog[-1])
+        assert n_sos >= 4
+        assert np.array_equal(codecs.decode_image(bytes(out)),
+                              codecs.decode_image(prog))
+
+    def test_avi_with_audio_stream_listed_first(self):
+        """biCompression must come from the VIDEO stream's strf (keyed by
+        the preceding strh fccType), not whichever strf appears first."""
+        import struct
+        frames = [_smooth_image(16, 16)]
+        avi = bytearray(codecs.encode_avi_mjpeg(frames))
+        # build an audio strl (strh fccType='auds' + 20-byte strf whose
+        # bytes 16:20 are NOT a codec fourcc) and splice it before the
+        # existing video strl inside hdrl
+        def chunk(fourcc, body):
+            return fourcc + struct.pack("<I", len(body)) + body \
+                + (b"\x00" if len(body) & 1 else b"")
+        audio_strl = chunk(b"LIST", b"strl"
+                           + chunk(b"strh", b"auds" + bytes(52))
+                           + chunk(b"strf", bytes(16) + b"\x16\x00\x00\x00"))
+        vid = avi.find(b"LIST", 12)
+        vid = avi.find(b"strl", vid)  # inside hdrl
+        ins = avi.rfind(b"LIST", 0, vid)
+        avi[ins:ins] = audio_strl
+        # fix the hdrl LIST size and the RIFF size
+        hdrl = avi.find(b"hdrl")
+        old = struct.unpack_from("<I", avi, hdrl - 4)[0]
+        struct.pack_into("<I", avi, hdrl - 4, old + len(audio_strl))
+        struct.pack_into("<I", avi, 4, len(avi) - 8)
+        w, h, jpegs = codecs.decode_avi_mjpeg(bytes(avi))
+        assert (w, h, len(jpegs)) == (16, 16, 1)
+
+    def test_avi_zero_avih_dims_fall_back_to_frame(self):
+        import struct
+        avi = bytearray(codecs.encode_avi_mjpeg([_smooth_image(8, 16)]))
+        a = avi.find(b"avih")
+        struct.pack_into("<II", avi, a + 8 + 32, 0, 0)
+        w, h, _ = codecs.decode_avi_mjpeg(bytes(avi))
+        assert (w, h) == (16, 8)
