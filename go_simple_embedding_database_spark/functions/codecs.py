@@ -10,7 +10,8 @@ IDCT, chroma upsampling, YCbCr->RGB — all implemented here; the IDCT and
 dequantization are bulk numpy over every block at once, the bit-serial
 Huffman walk is the per-record CPU cost that ``mapInPandas`` spreads
 across executors), GIF87a/89a including animation (in-repo LZW decode,
-palette mapping, interlace, frame compositing with disposal), and
+palette mapping, interlace, frame compositing with disposal),
+uncompressed baseline TIFF (IFD walk, both byte orders, strips), and
 Motion-JPEG AVI video (RIFF walk + per-frame JPEG). Formats whose
 codecs remain out of reach for
 stdlib+numpy (MP3, MP4) still fall back to the
@@ -43,6 +44,8 @@ __all__ = [
     "encode_avi_mjpeg",
     "decode_gif",
     "encode_gif",
+    "decode_tiff",
+    "encode_tiff",
     "resize_nearest",
     "decode_wav",
     "image_feature",
@@ -97,6 +100,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 13:
         return "gif"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -165,6 +170,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         # the decode there instead of paying for the whole animation
         _, _, frames = decode_gif(payload, max_frames=1)
         return frames[0]
+    if kind == "tiff":
+        return decode_tiff(payload)
     raise ValueError("unsupported image format for the built-in codec")
 
 
@@ -1766,4 +1773,188 @@ def encode_gif(frames: list[np.ndarray], interlace: bool = False) -> bytes:
             out += chunk
         out.append(0)
     out.append(0x3B)
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# TIFF (baseline, uncompressed) — the scan-corpus format: IFD walk in
+# either byte order, strip assembly, 8-bit gray/RGB(A). Compressed
+# variants (LZW/PackBits/JPEG-in-TIFF) raise ValueError — the
+# quarantine path, like every other unsupported shape.
+# --------------------------------------------------------------------------
+
+# TIFF tag ids the baseline reader needs
+_TIFF_TAGS = {256: "width", 257: "height", 258: "bits", 259: "compression",
+              262: "photometric", 273: "strip_offsets", 277: "spp",
+              278: "rows_per_strip", 279: "strip_counts", 284: "planar"}
+# field type -> byte size (only the types baseline IFDs use)
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+
+def _tiff_values(payload: bytes, bo: str, ftype: int, count: int,
+                 raw: bytes) -> list[int]:
+    if ftype not in _TIFF_TYPE_SIZE:
+        raise ValueError(f"unsupported TIFF field type {ftype}")
+    size = _TIFF_TYPE_SIZE[ftype] * count
+    if size > 4:                          # value is an offset to the data
+        off = struct.unpack(bo + "I", raw)[0]
+        data = payload[off : off + size]
+        if len(data) < size:
+            raise ValueError("truncated TIFF value block")
+    else:
+        data = raw[:size]
+    fmt = {1: "B", 3: "H", 4: "I"}[ftype]
+    return list(struct.unpack(bo + fmt * count, data))
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF bytes -> HxWx3 uint8 RGB. Little- or big-endian,
+    first IFD only, 8-bit samples, chunky planar config, uncompressed
+    strips; gray expands to RGB, an alpha sample is dropped. Compressed
+    / tiled / sub-byte TIFFs raise ValueError (the quarantine path)."""
+    if sniff_format(payload) != "tiff":
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    ifd_off = struct.unpack(bo + "I", payload[4:8])[0]
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD offset")
+    n_entries = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])[0]
+    tags: dict[str, list[int]] = {}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        if e + 12 > len(payload):
+            raise ValueError("truncated TIFF IFD")
+        tag, ftype, count = struct.unpack(bo + "HHI", payload[e : e + 8])
+        name = _TIFF_TAGS.get(tag)
+        if name:
+            tags[name] = _tiff_values(payload, bo, ftype, count,
+                                      payload[e + 8 : e + 12])
+
+    def one(name, default=None):
+        v = tags.get(name)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {name}")
+            return default
+        return v[0]
+
+    w, h = one("width"), one("height")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad TIFF dimensions {w}x{h}")
+    if one("compression", 1) != 1:
+        raise ValueError("compressed TIFF not supported (uncompressed only)")
+    if one("planar", 1) != 1:
+        raise ValueError("planar TIFF not supported (chunky only)")
+    spp = one("spp", 1)
+    bits = tags.get("bits", [8] * spp)
+    if spp not in (1, 3, 4) or any(b != 8 for b in bits):
+        raise ValueError(f"only 8-bit gray/RGB(A) TIFF supported "
+                         f"(spp={spp}, bits={bits})")
+    offsets = tags.get("strip_offsets")
+    counts = tags.get("strip_counts")
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip layout tags")
+    raster = b"".join(payload[o : o + c] for o, c in zip(offsets, counts))
+    need = w * h * spp
+    if len(raster) < need:
+        raise ValueError(f"truncated TIFF raster: {len(raster)} < {need}")
+    px = np.frombuffer(raster[:need], dtype=np.uint8).reshape(h, w, spp)
+    if one("photometric", 1) == 0:        # WhiteIsZero: invert gray
+        px = 255 - px
+    if spp == 1:
+        return np.repeat(px, 3, axis=2).copy()
+    return px[:, :, :3].copy()
+
+
+def encode_tiff(arr: np.ndarray, big_endian: bool = False,
+                rows_per_strip: int = 4) -> bytes:
+    """HxWx3 or HxW uint8 -> uncompressed baseline TIFF bytes (test
+    harness for the decode path; emits multiple strips so strip
+    assembly is exercised)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"expected HxWx3 or HxW array, got shape {a.shape}")
+    h, w = a.shape[:2]
+    spp = 1 if gray else 3
+    bo = ">" if big_endian else "<"
+    flat = a.reshape(h, w * spp)
+    strips = [flat[y : y + rows_per_strip].tobytes()
+              for y in range(0, h, rows_per_strip)]
+    n = len(strips)
+
+    entries = []                          # (tag, type, count, value-or-bytes)
+    extra = bytearray()                   # out-of-line value blocks
+    header_len = 8
+    ifd_len = 2 + 12 * 10 + 4
+
+    def defer(fmt_char, values):
+        # returns a 4-byte field once offsets are known; collect later
+        return (fmt_char, list(values))
+
+    # strip data goes after header + IFD + extra blocks; compute in two
+    # passes: first lay out extra blocks, then strip offsets
+    bits_val = defer("H", [8] * spp) if spp > 1 else ("inline", [8])
+    offs_val = defer("I", [0] * n) if n > 1 else ("inline", [0])
+    cnts_val = defer("I", [len(s) for s in strips]) if n > 1 \
+        else ("inline", [len(strips[0])])
+
+    def block_size(v):
+        fmt_char, values = v
+        if fmt_char == "inline":
+            return 0
+        return struct.calcsize(bo + fmt_char * len(values))
+
+    extra_off = header_len + ifd_len
+    blocks = {}
+    for key, v in (("bits", bits_val), ("offs", offs_val), ("cnts", cnts_val)):
+        sz = block_size(v)
+        if sz:
+            blocks[key] = extra_off + len(extra)
+            extra += b"\x00" * sz
+    data_off = extra_off + len(extra)
+    strip_offsets = []
+    pos = data_off
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    offs_val = (offs_val[0], strip_offsets if n > 1 else [strip_offsets[0]])
+
+    def entry(tag, ftype, count, value):
+        return struct.pack(bo + "HHI", tag, ftype, count) + value
+
+    def inline(ftype_char, v):
+        raw = struct.pack(bo + ftype_char, v)
+        return raw + b"\x00" * (4 - len(raw))
+
+    ifd = [
+        entry(256, 4, 1, inline("I", w)),
+        entry(257, 4, 1, inline("I", h)),
+        entry(258, 3, spp, inline("H", 8) if spp == 1
+              else struct.pack(bo + "I", blocks["bits"])),
+        entry(259, 3, 1, inline("H", 1)),                 # uncompressed
+        entry(262, 3, 1, inline("H", 1 if gray else 2)),  # BlackIsZero/RGB
+        entry(273, 4, n, inline("I", strip_offsets[0]) if n == 1
+              else struct.pack(bo + "I", blocks["offs"])),
+        entry(277, 3, 1, inline("H", spp)),
+        entry(278, 4, 1, inline("I", rows_per_strip)),
+        entry(279, 4, n, inline("I", len(strips[0])) if n == 1
+              else struct.pack(bo + "I", blocks["cnts"])),
+        entry(284, 3, 1, inline("H", 1)),                 # chunky
+    ]
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(bo + "HI", 42, 8)
+    out += struct.pack(bo + "H", len(ifd)) + b"".join(ifd)
+    out += struct.pack(bo + "I", 0)                       # next-IFD = none
+    out += extra
+    # fill the deferred blocks now that out holds them
+    if "bits" in blocks:
+        struct.pack_into(bo + "H" * spp, out, blocks["bits"], *([8] * spp))
+    if "offs" in blocks:
+        struct.pack_into(bo + "I" * n, out, blocks["offs"], *strip_offsets)
+    if "cnts" in blocks:
+        struct.pack_into(bo + "I" * n, out, blocks["cnts"],
+                         *[len(s) for s in strips])
+    for s in strips:
+        out += s
     return bytes(out)

@@ -8,7 +8,8 @@ legal bit depth incl. Adam7 interlace via stdlib zlib,
 baseline sequential JPEG via an in-repo
 T.81 Huffman+IDCT decoder — baseline AND progressive SOF2,
 GIF87a/89a incl. animation via an in-repo
-LZW decoder, Motion-JPEG AVI video: actual pixel/sample decode,
+LZW decoder, uncompressed baseline TIFF,
+Motion-JPEG AVI video: actual pixel/sample decode,
 luma-grid / RMS-envelope features, nearest-neighbor resize,
 real frame extraction). Formats whose codecs remain out of
 stdlib+numpy reach (MP3, MP4) fall back
@@ -49,7 +50,8 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
 
     REAL decode for the formats the dependency-free codec layer
     (functions/codecs.py) covers — binary PPM/PGM, uncompressed 24/32-bit
-    BMP, PNG (all legal depths, incl. Adam7), baseline sequential JPEG (pixel
+    BMP, uncompressed TIFF, PNG (all legal depths, incl. Adam7),
+    baseline and progressive JPEG (pixel
     raster + 4x4 luma-grid feature), PCM WAV (sample stream +
     RMS-envelope feature), Motion-JPEG AVI and animated GIF (true frame
     count + first-frame feature). Anything else (MP3, MP4 —
@@ -89,7 +91,7 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
             "n_frames": len(frames),
             "feature": codecs.image_feature(frames[0], FEATURE_DIM),
         }
-    if kind in ("ppm", "pgm", "bmp", "png", "jpeg"):
+    if kind in ("ppm", "pgm", "bmp", "png", "jpeg", "tiff"):
         rgb = codecs.decode_image(payload)
         return {
             "width": int(rgb.shape[1]),
@@ -294,7 +296,7 @@ def _resize_payload(payload: bytes, target_w: int, target_h: int) -> bytes:
         raise ValueError("cannot resize empty payload")
     payload = bytes(payload)
     if codecs.sniff_format(payload) in ("ppm", "pgm", "bmp", "png",
-                                        "jpeg", "gif"):
+                                        "jpeg", "gif", "tiff"):
         rgb = codecs.decode_image(payload)
         return codecs.encode_ppm(
             codecs.resize_nearest(rgb, target_w, target_h))
