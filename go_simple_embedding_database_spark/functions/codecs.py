@@ -11,7 +11,8 @@ dequantization are bulk numpy over every block at once, the bit-serial
 Huffman walk is the per-record CPU cost that ``mapInPandas`` spreads
 across executors), GIF87a/89a including animation (in-repo LZW decode,
 palette mapping, interlace, frame compositing with disposal),
-uncompressed baseline TIFF (IFD walk, both byte orders, strips), and
+baseline TIFF — uncompressed, LZW and PackBits strips, horizontal-
+differencing predictor, both byte orders — and
 Motion-JPEG AVI video (RIFF walk + per-frame JPEG). Formats whose
 codecs remain out of reach for
 stdlib+numpy (MP3, MP4) still fall back to the
@@ -1786,7 +1787,8 @@ def encode_gif(frames: list[np.ndarray], interlace: bool = False) -> bytes:
 # TIFF tag ids the baseline reader needs
 _TIFF_TAGS = {256: "width", 257: "height", 258: "bits", 259: "compression",
               262: "photometric", 273: "strip_offsets", 277: "spp",
-              278: "rows_per_strip", 279: "strip_counts", 284: "planar"}
+              278: "rows_per_strip", 279: "strip_counts", 284: "planar",
+              317: "predictor"}
 # field type -> byte size (only the types baseline IFDs use)
 _TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}
 
@@ -1807,11 +1809,92 @@ def _tiff_values(payload: bytes, bo: str, ftype: int, count: int,
     return list(struct.unpack(bo + fmt * count, data))
 
 
+def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first bit packing, byte
+    literals 0-255, CLEAR=256, EOI=257, and the EARLY-CHANGE rule —
+    the code width grows when the NEXT code to assign is 2^width - 1
+    (one code earlier than GIF). Returns at most ``max_out`` bytes."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        next_code = 258
+
+    width = 9
+    next_code = 258
+    reset()
+    acc = bits = pos = 0
+    prev: bytes | None = None
+    n = len(data)
+    while len(out) < max_out:
+        while bits < width:
+            if pos >= n:
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            bits += 8
+            pos += 1
+        code = (acc >> (bits - width)) & ((1 << width) - 1)
+        bits -= width
+        if code == clear:
+            reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError("TIFF LZW stream starts with a non-literal")
+            seq = table[code]
+        elif code < next_code:
+            seq = table[code]
+        elif code == next_code:              # KwK
+            seq = prev + prev[:1]
+        else:
+            raise ValueError(f"TIFF LZW code {code} out of range")
+        out += seq
+        if prev is not None and next_code < 4096:
+            table.append(prev + seq[:1])
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:  # early change
+                width += 1
+        prev = seq
+    return bytes(out[:max_out])
+
+
+def _tiff_packbits_decode(data: bytes, max_out: int) -> bytes:
+    """PackBits (Apple RLE, TIFF compression 32773): n in 0..127 copies
+    n+1 literal bytes; n in -127..-1 repeats the next byte 1-n times;
+    -128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < max_out:
+        c = data[i]
+        i += 1
+        if c < 128:
+            if i + c + 1 > n:
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            if i >= n:
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out[:max_out])
+
+
 def decode_tiff(payload: bytes) -> np.ndarray:
     """Baseline TIFF bytes -> HxWx3 uint8 RGB. Little- or big-endian,
-    first IFD only, 8-bit samples, chunky planar config, uncompressed
-    strips; gray expands to RGB, an alpha sample is dropped. Compressed
-    / tiled / sub-byte TIFFs raise ValueError (the quarantine path)."""
+    first IFD only, 8-bit samples, chunky planar config; strips may be
+    uncompressed, LZW (with horizontal-differencing predictor) or
+    PackBits; gray expands to RGB, an alpha sample is dropped. Other
+    compressions / tiled / sub-byte TIFFs raise ValueError (the
+    quarantine path)."""
     if sniff_format(payload) != "tiff":
         raise ValueError("not a TIFF payload")
     bo = "<" if payload[:2] == b"II" else ">"
@@ -1841,8 +1924,13 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     w, h = one("width"), one("height")
     if w <= 0 or h <= 0:
         raise ValueError(f"bad TIFF dimensions {w}x{h}")
-    if one("compression", 1) != 1:
-        raise ValueError("compressed TIFF not supported (uncompressed only)")
+    compression = one("compression", 1)
+    if compression not in (1, 5, 32773):
+        raise ValueError(f"TIFF compression {compression} not supported "
+                         "(uncompressed, LZW, PackBits only)")
+    predictor = one("predictor", 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF predictor {predictor} not supported")
     if one("planar", 1) != 1:
         raise ValueError("planar TIFF not supported (chunky only)")
     spp = one("spp", 1)
@@ -1854,11 +1942,29 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     counts = tags.get("strip_counts")
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF missing strip layout tags")
-    raster = b"".join(payload[o : o + c] for o, c in zip(offsets, counts))
+    rps = one("rows_per_strip", h)
+    parts = []
+    for i, (o, c) in enumerate(zip(offsets, counts)):
+        raw = payload[o : o + c]
+        if len(raw) < c:
+            raise ValueError("truncated TIFF strip")
+        rows = min(rps, h - i * rps)
+        strip_bytes = rows * w * spp
+        if compression == 5:
+            parts.append(_tiff_lzw_decode(raw, strip_bytes))
+        elif compression == 32773:
+            parts.append(_tiff_packbits_decode(raw, strip_bytes))
+        else:
+            parts.append(raw[:strip_bytes])
+    raster = b"".join(parts)
     need = w * h * spp
     if len(raster) < need:
         raise ValueError(f"truncated TIFF raster: {len(raster)} < {need}")
     px = np.frombuffer(raster[:need], dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing: each sample stored as delta from the
+        # same sample one pixel left — undo with a per-row cumsum
+        px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
     if one("photometric", 1) == 0:        # WhiteIsZero: invert gray
         px = 255 - px
     if spp == 1:
@@ -1866,27 +1972,115 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     return px[:, :, :3].copy()
 
 
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (MSB-first, early change) — the inverse
+    of _tiff_lzw_decode, for the test harness."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = bits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, bits
+        acc = (acc << width) | code
+        bits += width
+        while bits >= 8:
+            bits -= 8
+            out.append((acc >> bits) & 0xFF)
+        acc &= (1 << bits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(clear)
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        table[nxt] = next_code
+        # early change: the encoder widens on ASSIGNING code 2^w - 1
+        # (one entry before the decoder REACHES next_code == 2^w - 1 —
+        # same one-entry lag as the GIF pair, shifted by the TIFF rule)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        next_code += 1
+        if next_code >= 4094:              # spec: clear before the cap
+            emit(clear)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        cur = bytes([b])
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder: repeat runs for >= 2 equal bytes, literal runs
+    otherwise (both capped at 128)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        start = i
+        i += 1
+        while (i < n and i - start < 128
+               and not (i + 1 < n and data[i] == data[i + 1])):
+            i += 1
+        out.append(i - start - 1)
+        out += data[start:i]
+    return bytes(out)
+
+
 def encode_tiff(arr: np.ndarray, big_endian: bool = False,
-                rows_per_strip: int = 4) -> bytes:
-    """HxWx3 or HxW uint8 -> uncompressed baseline TIFF bytes (test
-    harness for the decode path; emits multiple strips so strip
-    assembly is exercised)."""
+                rows_per_strip: int = 4, compression: str = "none",
+                predictor: int = 1) -> bytes:
+    """HxWx3 or HxW uint8 -> baseline TIFF bytes (test harness for the
+    decode path; emits multiple strips so strip assembly is exercised).
+    ``compression``: 'none' | 'lzw' | 'packbits'; ``predictor=2``
+    applies horizontal differencing (LZW's usual companion)."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError(f"expected HxWx3 or HxW array, got shape {a.shape}")
+    if compression not in ("none", "lzw", "packbits"):
+        raise ValueError(f"unknown TIFF compression {compression!r}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unknown TIFF predictor {predictor}")
     h, w = a.shape[:2]
     spp = 1 if gray else 3
     bo = ">" if big_endian else "<"
-    flat = a.reshape(h, w * spp)
-    strips = [flat[y : y + rows_per_strip].tobytes()
+    if predictor == 2:
+        # horizontal differencing per row/sample, mod 256
+        px3 = a.reshape(h, w, spp).astype(np.int64)
+        diff = np.empty_like(px3)
+        diff[:, 0] = px3[:, 0]
+        diff[:, 1:] = px3[:, 1:] - px3[:, :-1]
+        flat = (diff & 0xFF).astype(np.uint8).reshape(h, w * spp)
+    else:
+        flat = a.reshape(h, w * spp)
+    pack = {"none": bytes, "lzw": _tiff_lzw_encode,
+            "packbits": _tiff_packbits_encode}[compression]
+    strips = [pack(flat[y : y + rows_per_strip].tobytes())
               for y in range(0, h, rows_per_strip)]
     n = len(strips)
 
-    entries = []                          # (tag, type, count, value-or-bytes)
+    comp_code = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
     extra = bytearray()                   # out-of-line value blocks
     header_len = 8
-    ifd_len = 2 + 12 * 10 + 4
+    ifd_len = 2 + 12 * 11 + 4
 
     def defer(fmt_char, values):
         # returns a 4-byte field once offsets are known; collect later
@@ -1932,7 +2126,7 @@ def encode_tiff(arr: np.ndarray, big_endian: bool = False,
         entry(257, 4, 1, inline("I", h)),
         entry(258, 3, spp, inline("H", 8) if spp == 1
               else struct.pack(bo + "I", blocks["bits"])),
-        entry(259, 3, 1, inline("H", 1)),                 # uncompressed
+        entry(259, 3, 1, inline("H", comp_code)),
         entry(262, 3, 1, inline("H", 1 if gray else 2)),  # BlackIsZero/RGB
         entry(273, 4, n, inline("I", strip_offsets[0]) if n == 1
               else struct.pack(bo + "I", blocks["offs"])),
@@ -1941,6 +2135,7 @@ def encode_tiff(arr: np.ndarray, big_endian: bool = False,
         entry(279, 4, n, inline("I", len(strips[0])) if n == 1
               else struct.pack(bo + "I", blocks["cnts"])),
         entry(284, 3, 1, inline("H", 1)),                 # chunky
+        entry(317, 3, 1, inline("H", predictor)),
     ]
     out = bytearray()
     out += (b"MM" if big_endian else b"II") + struct.pack(bo + "HI", 42, 8)

@@ -8,7 +8,7 @@ legal bit depth incl. Adam7 interlace via stdlib zlib,
 baseline sequential JPEG via an in-repo
 T.81 Huffman+IDCT decoder — baseline AND progressive SOF2,
 GIF87a/89a incl. animation via an in-repo
-LZW decoder, uncompressed baseline TIFF,
+LZW decoder, baseline TIFF (uncompressed/LZW/PackBits),
 Motion-JPEG AVI video: actual pixel/sample decode,
 luma-grid / RMS-envelope features, nearest-neighbor resize,
 real frame extraction). Formats whose codecs remain out of
@@ -50,7 +50,7 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
 
     REAL decode for the formats the dependency-free codec layer
     (functions/codecs.py) covers — binary PPM/PGM, uncompressed 24/32-bit
-    BMP, uncompressed TIFF, PNG (all legal depths, incl. Adam7),
+    BMP, TIFF (uncompressed/LZW/PackBits), PNG (all legal depths, incl. Adam7),
     baseline and progressive JPEG (pixel
     raster + 4x4 luma-grid feature), PCM WAV (sample stream +
     RMS-envelope feature), Motion-JPEG AVI and animated GIF (true frame

@@ -45,18 +45,49 @@ class TestTiff:
         inv = codecs.decode_tiff(bytes(b))
         assert np.array_equal(inv[:, :, 0], 255 - g)
 
-    def test_compressed_and_truncated_quarantine(self):
+    def test_unsupported_compression_and_truncation_quarantine(self):
         t = bytearray(codecs.encode_tiff(_img()))
         n = struct.unpack("<H", t[8:10])[0]
         for i in range(n):
             e = 10 + 12 * i
             if struct.unpack("<H", t[e : e + 2])[0] == 259:
-                struct.pack_into("<H", t, e + 8, 5)       # LZW
-        with pytest.raises(ValueError, match="compressed"):
+                struct.pack_into("<H", t, e + 8, 7)       # JPEG-in-TIFF
+        with pytest.raises(ValueError, match="not supported"):
             codecs.decode_tiff(bytes(t))
         good = codecs.encode_tiff(_img())
         with pytest.raises(ValueError):
             codecs.decode_tiff(good[: len(good) - 20])
+
+    def test_lzw_and_packbits_round_trip(self):
+        rng = np.random.default_rng(17)
+        # mix of compressible structure and noise, ragged strip sizes
+        img = _img(h=23, w=19, seed=17)
+        img[::3] = img[0]                 # repeated rows compress well
+        for comp in ("lzw", "packbits"):
+            for rps in (1, 5, 23):
+                t = codecs.encode_tiff(img, compression=comp,
+                                       rows_per_strip=rps)
+                assert np.array_equal(codecs.decode_tiff(t), img), (comp, rps)
+        # LZW with the horizontal-differencing predictor (its usual pair)
+        t = codecs.encode_tiff(img, compression="lzw", predictor=2)
+        assert np.array_equal(codecs.decode_tiff(t), img)
+        g = (np.arange(48, dtype=np.int64).reshape(6, 8) * 5).astype(np.uint8)
+        t = codecs.encode_tiff(g, compression="packbits", predictor=2)
+        assert np.array_equal(codecs.decode_tiff(t)[:, :, 0], g)
+
+    def test_lzw_table_overflow(self):
+        # enough entropy to roll the 12-bit table through a CLEAR
+        rng = np.random.default_rng(23)
+        img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.int64) \
+            .astype(np.uint8)
+        t = codecs.encode_tiff(img, compression="lzw", rows_per_strip=64)
+        assert np.array_equal(codecs.decode_tiff(t), img)
+
+    def test_lzw_truncated_stream(self):
+        img = _img()
+        t = codecs.encode_tiff(img, compression="lzw", rows_per_strip=100)
+        with pytest.raises(ValueError):
+            codecs.decode_tiff(t[: len(t) - 25])
 
     def test_decode_payload_and_resize_wiring(self, spark):
         from go_simple_embedding_database_spark.operators.multimodal import (
