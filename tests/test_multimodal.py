@@ -166,6 +166,8 @@ class TestMixedFormatPipeline:
             "gif_anim": ("video", codecs.encode_gif(frames)),
             "avi_mjpeg": ("video", codecs.encode_avi_mjpeg(frames)),
             "wav_pcm": ("audio", wav),
+            "tiff_lzw": ("image", codecs.encode_tiff(
+                img, compression="lzw", predictor=2)),
             "mp4_like": ("video", b"\x00\x00\x00\x18ftypisom" + bytes(64)),
         }
 
@@ -179,7 +181,7 @@ class TestMixedFormatPipeline:
         out = {r.media_id: r for r in decode_media(df).collect()}
         assert len(out) == len(rows)
         # true dimensions for every real container
-        for k in ("ppm", "jpeg_base", "jpeg_prog"):
+        for k in ("ppm", "jpeg_base", "jpeg_prog", "tiff_lzw"):
             assert (out[k].width, out[k].height, out[k].n_frames) == (12, 16, 1)
         assert (out["gif_anim"].width, out["gif_anim"].n_frames) == (12, 6)
         assert (out["avi_mjpeg"].width, out["avi_mjpeg"].n_frames) == (12, 6)

@@ -492,3 +492,31 @@ def test_png_all_depths_roundtrip(data):
                                        filters=filters, interlace=interlace))
         assert np.array_equal(out[:, :, 0],
                               (g * (255 // top)).astype(np.uint8))
+
+
+@SETTINGS
+@given(st.data())
+def test_tiff_roundtrip_any_shape_compression(data):
+    """TIFF encode->decode is exact for any raster across byte order,
+    strip size, compression scheme and predictor — pins the IFD writer/
+    reader pair, both LZW's early-change width growth and PackBits RLE,
+    and the differencing predictor's mod-256 cumsum inverse."""
+    from go_simple_embedding_database_spark.functions import codecs
+
+    h = data.draw(st.integers(1, 16), label="h")
+    w = data.draw(st.integers(1, 16), label="w")
+    be = data.draw(st.booleans(), label="big_endian")
+    rps = data.draw(st.sampled_from([1, 3, 100]), label="rows_per_strip")
+    comp = data.draw(st.sampled_from(["none", "lzw", "packbits"]),
+                     label="compression")
+    pred = data.draw(st.sampled_from([1, 2]), label="predictor")
+    gray = data.draw(st.booleans(), label="gray")
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1),
+                                          label="seed"))
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, size=shape, dtype=np.int64).astype(np.uint8)
+    t = codecs.encode_tiff(img, big_endian=be, rows_per_strip=rps,
+                           compression=comp, predictor=pred)
+    out = codecs.decode_image(t)
+    expect = np.repeat(img[:, :, None], 3, axis=2) if gray else img
+    assert np.array_equal(out, expect)
