@@ -3,7 +3,8 @@
 The container ships no PIL/ffmpeg/torchaudio, so the codec layer is
 self-contained: real decoders for the container formats implementable
 with the stdlib + numpy alone — binary PPM/PGM (netpbm P6/P5), 24/32-bit
-uncompressed BMP, PCM WAV, 8-bit PNG incl. Adam7 interlace (DEFLATE is
+uncompressed BMP, WAV (8/16/24/32-bit PCM, IEEE float,
+WAVE_FORMAT_EXTENSIBLE), 8-bit PNG incl. Adam7 interlace (DEFLATE is
 stdlib ``zlib``; the scanline unfiltering is implemented here), and baseline
 sequential JPEG (ITU-T T.81: Huffman entropy decode, dequantize, 8x8
 IDCT, chroma upsampling, YCbCr->RGB — all implemented here; the IDCT and
@@ -402,33 +403,56 @@ def resize_nearest(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """bytes -> (sample_rate, samples float64 in [-1, 1], shape (n, ch)).
-    PCM 8/16-bit only (format tag 1); raises ValueError otherwise."""
+    PCM 8/16/24/32-bit (format tag 1), IEEE float 32/64 (tag 3), and
+    WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) wrapping either; raises
+    ValueError otherwise."""
     if sniff_format(payload) != "wav":
         raise ValueError("not a RIFF/WAVE payload")
     pos, n = 12, len(payload)
     fmt = None
     data = None
+    sub_fmt = None
     while pos + 8 <= n:
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            if len(body) >= 26:     # extensible: real tag leads the GUID
+                sub_fmt = struct.unpack_from("<H", body, 24)[0]
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, channels, rate, _, _, bits = fmt
-    if audio_fmt != 1 or bits not in (8, 16) or channels < 1:
-        raise ValueError(
-            f"only 8/16-bit PCM supported (fmt={audio_fmt}, bits={bits})")
-    if bits == 16:
-        raw = np.frombuffer(data[: len(data) - len(data) % (2 * channels)],
-                            dtype="<i2").astype(np.float64) / 32768.0
+    if audio_fmt == 0xFFFE and sub_fmt is not None:
+        audio_fmt = sub_fmt
+    if channels < 1:
+        raise ValueError("WAV with zero channels")
+    frame = bits // 8 * channels
+    data = data[: len(data) - (len(data) % frame if frame else 0)]
+    if audio_fmt == 3 and bits in (32, 64):      # IEEE float
+        dt = "<f4" if bits == 32 else "<f8"
+        raw = np.frombuffer(data, dtype=dt).astype(np.float64)
+    elif audio_fmt == 1 and bits == 8:
+        raw = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+               - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 16:
+        raw = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif audio_fmt == 1 and bits == 24:
+        b3 = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        v = (b3[:, 0].astype(np.int64)
+             | (b3[:, 1].astype(np.int64) << 8)
+             | (b3[:, 2].astype(np.int64) << 16))
+        v -= (v >> 23) << 24                      # sign-extend 24 bits
+        raw = v.astype(np.float64) / 8388608.0
+    elif audio_fmt == 1 and bits == 32:
+        raw = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
     else:
-        raw = (np.frombuffer(data[: len(data) - len(data) % channels],
-                             dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        raise ValueError(
+            f"unsupported WAV (fmt={audio_fmt}, bits={bits}) — "
+            "8/16/24/32-bit PCM or 32/64-bit IEEE float only")
     return rate, raw.reshape(-1, channels)
 
 

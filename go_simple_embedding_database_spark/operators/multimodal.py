@@ -3,7 +3,8 @@
 The Spark-side plumbing is REAL and tested: schemas, Arrow batch shapes,
 ``mapInPandas`` signatures, partitioning for CPU-heavy decode. The codec
 step is REAL for every format the dependency-free ``functions.codecs``
-layer covers (binary PPM/PGM, 24/32-bit BMP, PCM WAV, PNG at every
+layer covers (binary PPM/PGM, 24/32-bit BMP, WAV incl. float and
+24/32-bit PCM, PNG at every
 legal bit depth incl. Adam7 interlace via stdlib zlib,
 baseline sequential JPEG via an in-repo
 T.81 Huffman+IDCT decoder — baseline AND progressive SOF2,
@@ -52,7 +53,8 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
     (functions/codecs.py) covers — binary PPM/PGM, uncompressed 24/32-bit
     BMP, TIFF (uncompressed/LZW/PackBits), PNG (all legal depths, incl. Adam7),
     baseline and progressive JPEG (pixel
-    raster + 4x4 luma-grid feature), PCM WAV (sample stream +
+    raster + 4x4 luma-grid feature), WAV at every common PCM/float
+depth (sample stream +
     RMS-envelope feature), Motion-JPEG AVI and animated GIF (true frame
     count + first-frame feature). Anything else (MP3, MP4 —
     beyond a stdlib+numpy implementation) falls back to the

@@ -395,3 +395,59 @@ class TestPngCodec:
         assert np.array_equal(
             codecs.decode_image(bytes(resized.payload)),
             codecs.resize_nearest(arr.astype(np.uint8), 3, 3))
+
+
+def _wav_generic(samples, fmt_tag, bits, rate=8000, channels=1,
+                 extensible=False):
+    """Build a WAV with arbitrary format tag / bit depth for decode tests."""
+    s = np.asarray(samples, dtype=np.float64)
+    if fmt_tag == 3:
+        data = s.astype("<f4" if bits == 32 else "<f8").tobytes()
+    elif bits == 24:
+        v = np.round(s * 8388607).astype(np.int64)
+        b = np.zeros((v.size, 3), dtype=np.uint8)
+        u = v & 0xFFFFFF
+        b[:, 0], b[:, 1], b[:, 2] = u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF
+        data = b.tobytes()
+    elif bits == 32:
+        data = np.round(s * 2147483647).astype("<i4").tobytes()
+    else:
+        raise AssertionError
+    block = bits // 8 * channels
+    if extensible:
+        fmt = struct.pack("<HHIIHH", 0xFFFE, channels, rate,
+                          rate * block, block, bits)
+        fmt += struct.pack("<HHI", 22, bits, 0x4)
+        fmt += struct.pack("<H", fmt_tag) + bytes(14)   # GUID head = tag
+    else:
+        fmt = struct.pack("<HHIIHH", fmt_tag, channels, rate,
+                          rate * block, block, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+class TestWavDepthsAndFloat:
+    def test_float32_float64_and_deep_pcm(self):
+        t = np.linspace(0, 1, 200)
+        s = 0.5 * np.sin(2 * np.pi * 5 * t)
+        for tag, bits, tol in ((3, 32, 1e-6), (3, 64, 1e-12),
+                               (1, 24, 2e-7), (1, 32, 1e-9)):
+            rate, out = codecs.decode_wav(_wav_generic(s, tag, bits))
+            assert rate == 8000 and out.shape == (200, 1), (tag, bits)
+            assert np.abs(out[:, 0] - s).max() < tol, (tag, bits)
+
+    def test_extensible_wrapper_and_negative_24bit(self):
+        s = np.array([-1.0, -0.5, 0.0, 0.5, 0.99])
+        _, out = codecs.decode_wav(
+            _wav_generic(s, 1, 24, extensible=True))
+        assert np.abs(out[:, 0] - s).max() < 2e-6
+        _, out2 = codecs.decode_wav(
+            _wav_generic(s, 3, 32, extensible=True))
+        assert np.abs(out2[:, 0] - s).max() < 1e-6
+
+    def test_unsupported_still_quarantines(self):
+        wav = bytearray(_wav_generic(np.zeros(4), 3, 32))
+        struct.pack_into("<H", wav, wav.find(b"fmt ") + 8, 7)  # mu-law tag
+        with pytest.raises(ValueError, match="unsupported WAV"):
+            codecs.decode_wav(bytes(wav))
