@@ -2749,9 +2749,13 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch_topk (broadcast queries + two-stage bucketed window), not a
     # scan per query id — M queries cost the same scan as one
     # (VERDICT r02 #4). records_id keeps the shuffle slim: only
-    # (query_id, vec_id, score) moves, never the embeddings.
+    # (query_id, vec_id, score) moves, never the embeddings — and
+    # attach_payload=False skips the winners-to-records payload join
+    # (recall consumes ids only; the join would be a second corpus scan
+    # Catalyst cannot prune — VERDICT r03 #3).
     exact = batch_topk(emb, qset, 10, records_id="vec_id",
-                       tie_break=["vec_id"]).select("query_id", "vec_id")
+                       tie_break=["vec_id"],
+                       attach_payload=False).select("query_id", "vec_id")
     # IVF side, batched too: one tiny centroid-ranking job for all
     # queries, ONE pruned read of the union of probed cells (partition
     # pruning still applies), per-query candidates restricted via a

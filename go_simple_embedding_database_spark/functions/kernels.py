@@ -87,6 +87,35 @@ def cosine_similarity(x: Column, y: Column, *, strict: bool = False) -> Column:
     return sim
 
 
+def cosine_py(x: list[float], y: list[float]) -> float:
+    """Bit-exact pure-Python twin of ``cosine_similarity`` for TINY
+    driver-side relations (ranking a handful of IVF centroids against a
+    query batch — ``operators.ann.ivf_query_index_batch``).
+
+    Exactness argument: the Catalyst kernel is a sequential left fold of
+    correctly-rounded f64 ops (``aggregate`` over ``zip_with`` — each
+    ``acc + a*b`` step is one IEEE-754 multiply then one add), and this
+    loop performs the identical op sequence, so every intermediate — and
+    therefore the comparison order any top-k derives — is bit-identical.
+    numpy is deliberately NOT used here: its pairwise-summation dot
+    product rounds differently from a left fold.
+
+    Zero-norm → 0.0 (reference parity, utils/utils.go:19-21)."""
+    import math
+
+    dot = 0.0
+    for a, b in zip(x, y):
+        dot = dot + float(a) * float(b)
+    nx = 0.0
+    for a in x:
+        nx = nx + float(a) * float(a)
+    ny = 0.0
+    for b in y:
+        ny = ny + float(b) * float(b)
+    den = math.sqrt(nx) * math.sqrt(ny)
+    return 0.0 if den == 0.0 else dot / den
+
+
 def cosine_similarity_pandas(dim: int):
     """Benchmark-only alternative: vectorized numpy pandas_udf.
 

@@ -341,10 +341,19 @@ def ivf_query_index_batch(spark, path: str, queries: DataFrame, k: int,
     ONE pruned read of the cells table.
 
     The per-query ``ivf_query_index`` opens its nprobe cell partitions
-    per call — M queries cost M reads. Here: (1) one tiny job ranks the
-    centroids against every query at once (``batch_topk`` — the same
-    cosine kernel and tie order as the per-query path, so probe sets are
-    identical); (2) the cells table is read ONCE filtered to the UNION
+    per call — M queries cost M reads. Here: (1) centroids are ranked
+    against every query ON THE DRIVER — both relations are tiny by
+    construction (an IVF centroid table is the index's in-memory routing
+    layer; the query batch is a request working set), and the partition-
+    pruned cells read below needs the probe list driver-side anyway, so
+    a Spark job here would buy distribution nobody needs at the price of
+    a whole scheduler round-trip (measured ~1 s of the ann_recall gate
+    query at sf0.1 — VERDICT r03 #3). ``kernels.cosine_py`` is the
+    bit-exact fold twin of the Catalyst kernel and the sort key is the
+    per-query path's exact tie order (score desc, centroid_id asc), so
+    probe sets are identical (pinned by
+    tests/test_ann.py::test_ivf_query_index_batch_equals_per_query);
+    (2) the cells table is read ONCE filtered to the UNION
     of probed cells (still partition pruning — `cell IN (...)` at the
     file-listing level); (3) a broadcast (query, cell) pair relation
     restricts each query's candidates to ITS probed cells; (4) the
@@ -356,16 +365,19 @@ def ivf_query_index_batch(spark, path: str, queries: DataFrame, k: int,
     """
     from pyspark.sql.types import StructField, StructType
 
-    from go_simple_embedding_database_spark.operators.topk import (
-        batch_topk, bucketed_topk)
+    from go_simple_embedding_database_spark.functions.kernels import cosine_py
+    from go_simple_embedding_database_spark.operators.topk import bucketed_topk
 
-    cent = (spark.read.parquet(f"{path}/centroids")
-            .select("centroid_id", F.col("centroid").alias(vec_col)))
-    probes = batch_topk(cent, queries, nprobe, records_vec=vec_col,
-                        queries_vec=queries_vec, query_id=query_id,
-                        tie_break=["centroid_id"])
-    pairs = [(r[query_id], r["centroid_id"])
-             for r in probes.select(query_id, "centroid_id").collect()]
+    cent_rows = (spark.read.parquet(f"{path}/centroids")
+                 .select("centroid_id", "centroid").collect())
+    q_rows = queries.select(query_id, queries_vec).collect()
+    pairs = []
+    for qr in q_rows:
+        ranked = sorted(
+            ((cosine_py(qr[queries_vec], cr["centroid"]), cr["centroid_id"])
+             for cr in cent_rows),
+            key=lambda t: (-t[0], t[1]))
+        pairs.extend((qr[query_id], cid) for _, cid in ranked[:nprobe])
     probed_cells = sorted({c for _, c in pairs})
     # Empty probe set (empty query batch OR empty index): isin([]) is
     # unbuildable; the empty relation is the correct result either way.
@@ -475,25 +487,26 @@ def topk_recall(reference: DataFrame, candidate: DataFrame,
     path that legitimately emits a candidate twice (multi-band LSH union,
     two candidate sources) must not double-count hits into recall > 1.
 
-    The reference relation is referenced TWICE in the returned plan (the
-    hit join and the denominator) and Spark reuses exchanges, not
-    arbitrary subplans — so it is materialized via lazy localCheckpoint:
-    the (usually expensive) exact top-k pipeline runs once, its k x
-    |queries| winners are tiny, and the checkpoint blocks self-release
-    with the result. Without it, the exact side's corpus scan runs once
-    PER REFERENCE (measured as 2x the embeddings scans in ann_recall's
-    plan).
+    Plan shape: ONE pass over the reference — a left join marks each
+    reference row hit/missed and a single groupBy counts both n_ref
+    (count(*)) and n_hit (count of the non-null hit marker) together.
+    The earlier two-aggregate formulation (hits join + separate
+    denominator) read the reference twice and needed a localCheckpoint
+    to stop the (usually expensive) exact top-k pipeline from running
+    once per consumer; referencing it ONCE removes both the second
+    subtree and the checkpoint job (VERDICT r03 #3 — ~0.5 s of the
+    ann_recall gate query at sf0.1). Queries missing entirely from
+    ``candidate`` simply match no rows — n_hit 0, recall 0.0, not NULL.
     """
-    r = (reference.select(F.col(query_col), F.col(id_col)).dropDuplicates(
-        [query_col, id_col]).localCheckpoint(eager=False))
-    c = candidate.select(F.col(query_col), F.col(id_col)).dropDuplicates(
+    r = reference.select(F.col(query_col), F.col(id_col)).dropDuplicates(
         [query_col, id_col])
-    hits = (r.join(c, [query_col, id_col])
-            .groupBy(query_col).agg(F.count("*").alias("n_hit")))
-    denom = r.groupBy(query_col).agg(F.count("*").alias("n_ref"))
-    return (denom.join(hits, query_col, "left")
-            .select(F.col(query_col),
-                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-                    "n_ref",
-                    F.round(F.coalesce("n_hit", F.lit(0)).cast("double") /
+    c = (candidate.select(F.col(query_col), F.col(id_col))
+         .dropDuplicates([query_col, id_col])
+         .withColumn("_hit", F.lit(1)))
+    return (r.join(c, [query_col, id_col], "left")
+            .groupBy(query_col)
+            .agg(F.count("_hit").alias("n_hit"),
+                 F.count("*").alias("n_ref"))
+            .select(F.col(query_col), "n_hit", "n_ref",
+                    F.round(F.col("n_hit").cast("double") /
                             F.col("n_ref").cast("double"), 6).alias("recall")))

@@ -97,6 +97,7 @@ def batch_topk(
     tie_break: list[str] | None = None,
     records_id: str | None = None,
     buckets: int | None = None,
+    attach_payload: bool = True,
 ) -> DataFrame:
     """Top-k per query for a whole DataFrame of queries in ONE scan.
 
@@ -117,6 +118,13 @@ def batch_topk(
     winners against the records table: the wide columns are never
     shuffled at all. Pass it at scale; the default path shuffles whole
     scored rows, acceptable when the payload is narrow.
+
+    ``attach_payload=False`` (only meaningful with ``records_id``) skips
+    that re-attach join and returns the slim winners
+    (query_id, records_id, score, tie columns) directly — for callers
+    that only consume ids/scores (recall evaluation), the payload join
+    is a whole extra corpus scan Catalyst cannot prune away (an inner
+    join is not removable even when its columns go unused).
     """
     joined = records.crossJoin(F.broadcast(queries))
     scored = joined.withColumn(
@@ -139,6 +147,8 @@ def batch_topk(
         [query_id, records_id, score_col] + (tie_break or [])))
     slim = scored.select(*slim_cols)
     winners = bucketed_topk(slim, query_id, order, k, records_id, nb)
+    if not attach_payload:
+        return winners
     out = records.join(
         F.broadcast(winners.select(*dict.fromkeys([records_id, query_id, score_col]))),
         records_id)

@@ -393,12 +393,11 @@ def test_ann_recall_exact_side_single_corpus_scan(spark, sf_dir):
     """VERDICT r02 #4: the exact reference side must cost ONE corpus
     scan for the whole query batch, not one per query id. Asserted on
     the exact-side construction ann_recall uses (batch_topk with
-    records_id), BEFORE topk_recall's localCheckpoint — the checkpoint
-    collapses the subtree to Scan ExistingRDD in the full query's plan,
-    which would make a count there vacuous. With 8 query ids the
+    records_id and attach_payload=False). With 8 query ids the
     per-query-loop shape would show >= 8 embeddings scans; the batched
-    plan shows exactly 3 (slim corpus scan, broadcast query-set scan,
-    winners join-back scan) independent of batch size."""
+    slim plan shows exactly 2 (slim corpus scan, broadcast query-set
+    scan — the winners join-back scan is gone with the payload join,
+    VERDICT r03 #3) independent of batch size."""
     from pyspark.sql import functions as F
 
     from go_simple_embedding_database_spark.operators.topk import batch_topk
@@ -410,9 +409,10 @@ def test_ann_recall_exact_side_single_corpus_scan(spark, sf_dir):
             .select(F.col("vec_id").alias("query_id"),
                     F.col("embedding").alias("query_embedding")))
     exact = batch_topk(emb, qset, 10, records_id="vec_id",
-                       tie_break=["vec_id"]).select("query_id", "vec_id")
+                       tie_break=["vec_id"],
+                       attach_payload=False).select("query_id", "vec_id")
     p = formatted_plan(exact)
     n_emb_scans = p.count("embeddings.parquet")
-    assert n_emb_scans <= 3, (
-        f"expected batched exact side (<=3 embeddings scans for ANY "
+    assert n_emb_scans <= 2, (
+        f"expected batched slim exact side (<=2 embeddings scans for ANY "
         f"batch size), saw {n_emb_scans}")
