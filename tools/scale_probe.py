@@ -26,6 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+# The deep tier (VERDICT r03 #6): the dedup/ANN pair family re-probed at
+# 100x, where a banding scheme whose selectivity merely SURVIVES 10x can
+# still collapse (bucket populations grow linearly, within-bucket
+# candidates quadratically).
+DEEP_REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_DEEP_REPLICAS", "100"))
 
 
 def _synthesize(spark, out_dir: str) -> None:
@@ -84,6 +89,95 @@ def _pair_flagships():
         "dedup_simhash_pairs": q["dedup_simhash_pairs"],
         "dedup_containment": q["dedup_containment"],
     }
+
+
+def _synthesize_docs_copies(spark, out_dir: str, replicas: int) -> None:
+    """Exact-copy documents (id-offset replicas) — for fixed-k scan
+    operators (bm25_search) whose output size does not depend on pair
+    structure, so copy replication cannot inflate it."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = spark.range(replicas).select(F.col("id").alias("_r"))
+    (docs.crossJoin(reps)
+     .select((F.col("doc_id") + F.col("_r") * n_doc).alias("doc_id"),
+             "text", "lang", "source", "n_chars")
+     .repartition(64)
+     .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet"))
+
+
+def _synthesize_perm_embeddings(spark, out_dir: str, replicas: int) -> None:
+    """Replicated embeddings under a per-replica SIGNED COORDINATE
+    PERMUTATION: within each replica the map is an isometry (cosine
+    preserved exactly — replica-internal near-dup structure is that of
+    the original corpus), while cross-replica similarities are
+    sign-scrambled toward 0, so near-dup pair output stays ~linear in
+    replicas (the embedding-space twin of _synthesize_disjoint's word
+    tagging). Replica 0 is the identity; permutations/signs are seeded
+    per replica (deterministic). vec_id stride 10**7 keeps any fixture
+    id arithmetic (e.g. the +100000 planted-copy offset) collision-free."""
+    import random
+
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vec_type = emb.schema["embedding"].dataType
+    dim = len(emb.select("embedding").first()[0])
+    rows = []
+    for r in range(replicas):
+        if r == 0:
+            perm, signs = list(range(dim)), [1.0] * dim
+        else:
+            rng = random.Random(f"emb-perm-{r}")
+            perm = list(range(dim))
+            rng.shuffle(perm)
+            signs = [rng.choice([-1.0, 1.0]) for _ in range(dim)]
+        rows.append((r, perm, signs))
+    reps = spark.createDataFrame(
+        rows, "_r long, _perm array<int>, _signs array<double>")
+    permuted = F.expr(
+        f"transform(sequence(1, {dim}), i -> "
+        f"element_at(embedding, element_at(_perm, i) + 1)"
+        f" * element_at(_signs, i))").cast(vec_type)
+    (emb.crossJoin(F.broadcast(reps))
+     .select((F.col("vec_id") + F.col("_r") * 10**7).alias("vec_id"),
+             permuted.alias("embedding"), "label")
+     .repartition(64)
+     .write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet"))
+
+
+def _deep_scan_flagships():
+    """Fixed-output scan/sketch operators probed to 100x on exact-copy
+    documents (bm25: top-15 whatever the corpus size) and the SemDeDup
+    pair stage on signed-permutation embedding replicas.
+
+    semantic_gemm_cells probes the OPERATOR at its contract's operating
+    point — SemDeDup chooses k so cells stay small, so the probe holds
+    the cell population ~constant (hash cells, k ∝ corpus) and measures
+    the per-cell GEMM pair stage. The gate query's fixed k=8 would grow
+    cells 100x and the GEMM quadratically — a property of the fixture's
+    configuration, not of the plan (the kmeans FIT's own scaling is
+    probed by kmeans_cells in the flagship family; assignment against
+    k ∝ N centroids is the IVF routing problem, probed by ann_ivf)."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    from go_simple_embedding_database_spark.operators.dedup import (
+        cosine_neardup_pairs_gemm)
+
+    def semantic_gemm(spark, d):
+        emb = (spark.read.parquet(f"{d}/embeddings.parquet")
+               .select("vec_id",
+                       F.col("embedding").cast("array<double>")
+                       .alias("embedding")))
+        n_cells = max(1, emb.count() // 250)
+        cells = emb.withColumn(
+            "cluster_id", F.pmod(F.xxhash64("vec_id"), F.lit(n_cells)))
+        return cosine_neardup_pairs_gemm(
+            cells, vec_col="embedding", id_col="vec_id", threshold=0.98,
+            block_col="cluster_id")
+
+    return {"bm25_search": em.queries()["bm25_search"]}, \
+        {"semantic_gemm_cells": semantic_gemm}
 
 
 def _synthesize_events(spark, out_dir: str) -> None:
@@ -159,12 +253,18 @@ def main() -> None:
         df.select(F.count(F.coalesce(F.col(df.columns[0]).cast("string"),
                                      F.lit("")))).collect()
 
-    def probe(flagships, dir_1x, dir_10x, results, count_rows=False):
+    def probe_scales(flagships, dirs, results, count_rows=False, runs=3):
+        """``dirs`` is [(label, path), ...] with the first entry the 1x
+        baseline. Best-of-``runs`` per (operator, scale) — the r03 record
+        wrote a 4.91x containment ratio that re-measured at 2.7-3.0x in
+        fresh sessions (best-of-2 let one co-tenant-noisy pair of runs
+        define a round's official ratio; VERDICT r03 #2/#5)."""
+        base_label = dirs[0][0]
         for name, fn in flagships.items():
             times, rows = {}, {}
-            for label, d in (("1x", dir_1x), (f"{REPLICAS}x", dir_10x)):
+            for label, d in dirs:
                 best = None
-                for _ in range(2):
+                for _ in range(runs):
                     spark.catalog.clearCache()
                     spark._jvm.System.gc()
                     t0 = time.perf_counter()
@@ -174,12 +274,19 @@ def main() -> None:
                 times[label] = round(best, 3)
                 if count_rows:
                     rows[f"rows_{label}"] = fn(spark, d).count()
-            ratio = round(times[f"{REPLICAS}x"] / times["1x"], 2)
-            results[name] = {**times, "ratio": ratio, **rows}
-            extra = (f" rows {rows.get('rows_1x')}->{rows.get(f'rows_{REPLICAS}x')}"
-                     if count_rows else "")
-            print(f"{name}: 1x={times['1x']}s {REPLICAS}x="
-                  f"{times[f'{REPLICAS}x']}s ratio={ratio}{extra}", flush=True)
+            ratios = {
+                ("ratio" if label == f"{REPLICAS}x" else f"ratio_{label}"):
+                    round(times[label] / times[base_label], 2)
+                for label, _ in dirs[1:]}
+            results[name] = {**times, **ratios, **rows}
+            desc = " ".join(f"{label}={times[label]}s" for label, _ in dirs)
+            print(f"{name}: {desc} {ratios}"
+                  + (f" rows={[rows[f'rows_{label}'] for label, _ in dirs]}"
+                     if count_rows else ""), flush=True)
+
+    def probe(flagships, dir_1x, dir_10x, results, count_rows=False):
+        probe_scales(flagships, [("1x", dir_1x), (f"{REPLICAS}x", dir_10x)],
+                     results, count_rows=count_rows)
 
     scratch = tempfile.mkdtemp(prefix="gsed_scale_")
     results = {}
@@ -199,22 +306,60 @@ def main() -> None:
     finally:
         shutil.rmtree(sev, ignore_errors=True)
 
-    # pair-producing dedup family: both scales use the word-tagged corpus
-    # (1 replica vs REPLICAS replicas) so tokenization cost is identical
-    # and only the data volume changes; row counts prove output stayed
-    # ~linear (the prerequisite for the time ratio to mean anything).
+    # pair-producing dedup family: all scales use the word-tagged corpus
+    # (1 vs REPLICAS vs DEEP_REPLICAS replicas) so tokenization cost is
+    # identical and only the data volume changes; row counts prove output
+    # stayed ~linear (the prerequisite for the time ratio to mean
+    # anything). The 100x tier (VERDICT r03 #6) runs best-of-2 — each
+    # operator is tens of seconds there and the tier exists to expose
+    # selectivity collapse (x10-or-worse blowups), not 10% noise.
     pair_results = {}
     s1 = tempfile.mkdtemp(prefix="gsed_scale_pair1_")
     s10 = tempfile.mkdtemp(prefix="gsed_scale_pair10_")
+    s100 = tempfile.mkdtemp(prefix="gsed_scale_pair100_")
     try:
         _synthesize_disjoint(spark, s1, 1)
         _synthesize_disjoint(spark, s10, REPLICAS)
-        probe(_pair_flagships(), s1, s10, pair_results, count_rows=True)
+        probe_scales(_pair_flagships(),
+                     [("1x", s1), (f"{REPLICAS}x", s10)],
+                     pair_results, count_rows=True)
+        _synthesize_disjoint(spark, s100, DEEP_REPLICAS)
+        deep_pairs = {}
+        probe_scales(_pair_flagships(),
+                     [("1x", s1), (f"{DEEP_REPLICAS}x", s100)],
+                     deep_pairs, count_rows=True, runs=2)
+        for name, rec in deep_pairs.items():
+            pair_results[name][f"{DEEP_REPLICAS}x"] = rec[f"{DEEP_REPLICAS}x"]
+            pair_results[name][f"ratio_{DEEP_REPLICAS}x"] = round(
+                rec[f"{DEEP_REPLICAS}x"] / pair_results[name]["1x"], 2)
+            pair_results[name][f"rows_{DEEP_REPLICAS}x"] = rec[
+                f"rows_{DEEP_REPLICAS}x"]
     finally:
         shutil.rmtree(s1, ignore_errors=True)
         shutil.rmtree(s10, ignore_errors=True)
-    out = {"replicas": REPLICAS, "results": results,
-           "event_results": event_results, "pair_results": pair_results}
+        shutil.rmtree(s100, ignore_errors=True)
+
+    # deep tier for the non-pair dedup/ANN flagships: bm25 on exact-copy
+    # docs (fixed top-k output), the SemDeDup pair stage on
+    # signed-permutation embedding replicas (linear pair output).
+    deep_results = {}
+    db = tempfile.mkdtemp(prefix="gsed_scale_bm25_")
+    de = tempfile.mkdtemp(prefix="gsed_scale_semb_")
+    try:
+        bm25_fns, sem_fns = _deep_scan_flagships()
+        _synthesize_docs_copies(spark, db, DEEP_REPLICAS)
+        probe_scales(bm25_fns, [("1x", SF_DIR), (f"{DEEP_REPLICAS}x", db)],
+                     deep_results, runs=2)
+        _synthesize_perm_embeddings(spark, de, DEEP_REPLICAS)
+        probe_scales(sem_fns, [("1x", SF_DIR), (f"{DEEP_REPLICAS}x", de)],
+                     deep_results, count_rows=True, runs=2)
+    finally:
+        shutil.rmtree(db, ignore_errors=True)
+        shutil.rmtree(de, ignore_errors=True)
+    out = {"replicas": REPLICAS, "deep_replicas": DEEP_REPLICAS,
+           "runs": {"default": 3, "deep": 2},
+           "results": results, "event_results": event_results,
+           "pair_results": pair_results, "deep_results": deep_results}
     print(json.dumps(out))
     # In-repo auditable artifact, same pattern as SELFCHECK/FETCHCHECK.
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
