@@ -64,8 +64,8 @@ _BMP_DIB_SIZES = frozenset({40, 52, 56, 108, 124})
 
 def sniff_format(payload: bytes) -> str | None:
     """Container format sniff: 'ppm' | 'pgm' | 'bmp' | 'wav' | 'png' |
-    'jpeg' | 'gif' | 'avi', or None for anything this codec layer cannot
-    really decode.
+    'jpeg' | 'gif' | 'avi' | 'tiff' | 'mp4' | 'mp3', or None for bytes
+    this codec layer can neither decode nor parse.
 
     Deliberately STRICTER than the bare magic bytes: a media column can
     legitimately carry arbitrary bytes (text wrapped as payloads in
@@ -104,6 +104,21 @@ def sniff_format(payload: bytes) -> str | None:
         return "gif"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if payload[4:8] == b"ftyp":
+        # ISO-BMFF: a sane first-box size is the text guard — ASCII text
+        # at offset 0 reads as a big-endian size >= 0x20202020 (~539 MB),
+        # which can never fit inside the payload it came from
+        size = struct.unpack_from(">I", payload, 0)[0]
+        if 8 <= size <= len(payload):
+            return "mp4"
+    if payload[:3] == b"ID3" and len(payload) >= 10 and all(
+            b < 0x80 for b in payload[6:10]):
+        return "mp3"
+    if payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0 and \
+            _mp3_frame_header(payload, 0) is not None:
+        # frame sync + a fully-valid header (version/layer/bitrate/rate
+        # fields); the leading 0xFF cannot occur in text
+        return "mp3"
     return None
 
 
@@ -1802,10 +1817,11 @@ def encode_gif(frames: list[np.ndarray], interlace: bool = False) -> bytes:
 
 
 # --------------------------------------------------------------------------
-# TIFF (baseline, uncompressed) — the scan-corpus format: IFD walk in
-# either byte order, strip assembly, 8-bit gray/RGB(A). Compressed
-# variants (LZW/PackBits/JPEG-in-TIFF) raise ValueError — the
-# quarantine path, like every other unsupported shape.
+# TIFF — the scan-corpus format: IFD walk in either byte order, strip
+# assembly, 8-bit gray/RGB(A); uncompressed, LZW and PackBits strips
+# (with the horizontal predictor). Other compressions (JPEG-in-TIFF,
+# Deflate) raise ValueError — the quarantine path, like every other
+# unsupported shape.
 # --------------------------------------------------------------------------
 
 # TIFF tag ids the baseline reader needs
@@ -2177,3 +2193,245 @@ def encode_tiff(arr: np.ndarray, big_endian: bool = False,
     for s in strips:
         out += s
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# MP3 / MP4 container parsing — metadata only. The sample data inside
+# (MPEG audio granules, H.264/AAC access units) is codec-compressed
+# beyond a stdlib+numpy implementation, so decode routes to
+# quarantine-WITH-metadata (operators/multimodal.py): duration, track
+# dimensions, sample/frame counts and codec fourccs are parsed for real
+# from the container structure; pixels/samples are not faked.
+# --------------------------------------------------------------------------
+
+# bitrate (kbps) by [version-group][layer][index 1..14]; group 0 = MPEG1,
+# group 1 = MPEG2/2.5 (ISO 11172-3 / 13818-3 tables)
+_MP3_BITRATE_KBPS = {
+    (0, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (0, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (0, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (1, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (1, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (1, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+# sample rate (Hz) by version bits (00=2.5, 10=2, 11=1) and rate index
+_MP3_RATES = {
+    3: (44100, 48000, 32000),    # MPEG1
+    2: (22050, 24000, 16000),    # MPEG2
+    0: (11025, 12000, 8000),     # MPEG2.5
+}
+
+
+def _mp3_frame_header(payload: bytes, i: int):
+    """Validate and size one MPEG audio frame header at offset ``i``.
+    Returns (frame_len, samples_per_frame, sample_rate, channels,
+    bitrate_kbps) or None if any field is invalid. Free-format frames
+    (bitrate index 0) return None — their length is not derivable from
+    the header."""
+    if i + 4 > len(payload):
+        return None
+    b1, b2, b3 = payload[i], payload[i + 1], payload[i + 2]
+    if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+        return None
+    version = (b2 >> 3) & 0x03          # 00=2.5  01=reserved  10=2  11=1
+    layer_bits = (b2 >> 1) & 0x03       # 00=reserved 01=III 10=II 11=I
+    if version == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits              # 1, 2 or 3
+    br_idx = (b3 >> 4) & 0x0F
+    sr_idx = (b3 >> 2) & 0x03
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    group = 0 if version == 3 else 1
+    bitrate = _MP3_BITRATE_KBPS[(group, layer)][br_idx - 1] * 1000
+    rate = _MP3_RATES[version][sr_idx]
+    padding = (b3 >> 1) & 0x01
+    if layer == 1:
+        samples = 384
+        frame_len = (12 * bitrate // rate + padding) * 4
+    else:
+        samples = 1152 if (layer == 2 or group == 0) else 576
+        frame_len = samples // 8 * bitrate // rate + padding
+    channels = 1 if (payload[i + 3] >> 6) == 3 else 2
+    return frame_len, samples, rate, channels, bitrate // 1000
+
+
+def parse_mp3(payload: bytes) -> dict:
+    """MPEG audio (MP3) container metadata by frame-header scanning: skip
+    a leading ID3v2 tag (syncsafe size), then walk contiguous frame
+    headers, each sized from its bitrate/sample-rate/padding fields.
+    Returns {sample_rate, channels, n_frames, duration_sec,
+    bitrate_kbps} — bitrate_kbps is the mean over frames (VBR streams
+    vary per frame). Trailing ID3v1 ('TAG', 128 bytes) and post-stream
+    junk end the scan; zero valid frames raise ValueError (the
+    quarantine path)."""
+    if payload is None or len(payload) < 4:
+        raise ValueError("not an MP3 payload")
+    payload = bytes(payload)
+    i = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        s = payload[6:10]
+        if any(b >= 0x80 for b in s):
+            raise ValueError("malformed ID3v2 syncsafe size")
+        i = 10 + ((s[0] << 21) | (s[1] << 14) | (s[2] << 7) | s[3])
+    n_frames = 0
+    total_samples = 0
+    kbps_sum = 0
+    rate = channels = None
+    while i + 4 <= len(payload):
+        hdr = _mp3_frame_header(payload, i)
+        if hdr is None:
+            break
+        frame_len, samples, r, ch, kbps = hdr
+        if rate is None:
+            rate, channels = r, ch
+        n_frames += 1
+        total_samples += samples
+        kbps_sum += kbps
+        i += frame_len
+    if n_frames == 0:
+        raise ValueError("no valid MPEG audio frame found")
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "duration_sec": total_samples / rate,
+        "bitrate_kbps": kbps_sum / n_frames,
+    }
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for the ISO-BMFF boxes in
+    data[start:end]. Handles 64-bit largesize (size==1) and
+    to-end-of-file (size==0) boxes; a box overrunning its container
+    raises ValueError."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack_from(">I", data, i)[0]
+        fourcc = data[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                raise ValueError("mp4: truncated largesize box header")
+            size = struct.unpack_from(">Q", data, i + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            raise ValueError(f"mp4: box {fourcc!r} overruns its container")
+        yield fourcc, i + hdr, i + size
+        i += size
+
+
+def _mp4_child(data: bytes, start: int, end: int, fourcc: bytes):
+    for f, b, e in _mp4_boxes(data, start, end):
+        if f == fourcc:
+            return b, e
+    return None
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV/M4A) metadata: box walk to moov/mvhd for the
+    movie timescale+duration, and per trak: tkhd display dimensions
+    (16.16 fixed point), mdia/hdlr handler type ('vide'/'soun'),
+    mdia/minf/stbl/stsd first sample-entry fourcc (the codec), and
+    stbl/stsz sample count. Returns {brand, duration_sec, n_tracks,
+    tracks: [{handler, codec, width, height, n_samples}]}. A payload
+    without a moov box (streaming-fragmented without an initialization
+    segment) raises ValueError — the quarantine path."""
+    if payload is None or len(payload) < 16 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload")
+    payload = bytes(payload)
+    brand = payload[8:12].decode("latin-1")
+    moov = _mp4_child(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("mp4: no moov box (fragmented or truncated)")
+    mb, me = moov
+    duration_sec = None
+    mvhd = _mp4_child(payload, mb, me, b"mvhd")
+    if mvhd is not None:
+        vb, _ = mvhd
+        version = payload[vb]
+        if version == 1:
+            timescale = struct.unpack_from(">I", payload, vb + 20)[0]
+            duration = struct.unpack_from(">Q", payload, vb + 24)[0]
+        else:
+            timescale = struct.unpack_from(">I", payload, vb + 12)[0]
+            duration = struct.unpack_from(">I", payload, vb + 16)[0]
+        if timescale:
+            duration_sec = duration / timescale
+    tracks = []
+    for f, tb, te in _mp4_boxes(payload, mb, me):
+        if f != b"trak":
+            continue
+        track = {"handler": None, "codec": None, "width": None,
+                 "height": None, "n_samples": None}
+        tkhd = _mp4_child(payload, tb, te, b"tkhd")
+        if tkhd is not None:
+            _, ke = tkhd
+            w = struct.unpack_from(">I", payload, ke - 8)[0] >> 16
+            h = struct.unpack_from(">I", payload, ke - 4)[0] >> 16
+            track["width"], track["height"] = (w or None), (h or None)
+        mdia = _mp4_child(payload, tb, te, b"mdia")
+        if mdia is not None:
+            db, de = mdia
+            hdlr = _mp4_child(payload, db, de, b"hdlr")
+            if hdlr is not None:
+                hb, _ = hdlr
+                track["handler"] = payload[hb + 8 : hb + 12].decode("latin-1")
+            minf = _mp4_child(payload, db, de, b"minf")
+            if minf is not None:
+                stbl = _mp4_child(payload, minf[0], minf[1], b"stbl")
+                if stbl is not None:
+                    sb, se = stbl
+                    stsd = _mp4_child(payload, sb, se, b"stsd")
+                    if stsd is not None:
+                        eb, ee = stsd
+                        if struct.unpack_from(">I", payload, eb + 4)[0] >= 1 \
+                                and eb + 16 <= ee:
+                            track["codec"] = payload[eb + 12 : eb + 16] \
+                                .decode("latin-1")
+                    stsz = _mp4_child(payload, sb, se, b"stsz")
+                    if stsz is not None:
+                        zb, _ = stsz
+                        track["n_samples"] = struct.unpack_from(
+                            ">I", payload, zb + 8)[0]
+        tracks.append(track)
+    return {"brand": brand, "duration_sec": duration_sec,
+            "n_tracks": len(tracks), "tracks": tracks}
+
+
+def gif_frame_count(payload: bytes) -> int:
+    """Count a GIF's frames by walking the image-descriptor / sub-block
+    structure only — no LZW decode, no compositing (the metadata path's
+    answer to 'how many frames' at O(bytes) instead of O(pixels);
+    parity with full decode_gif pinned in tests/test_codecs_gif.py)."""
+    if sniff_format(payload) != "gif":
+        raise ValueError("not a GIF payload")
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 0x07))
+    count = 0
+    n = len(payload)
+    while pos < n:
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:                       # trailer
+            break
+        if block == 0x21:                       # extension: label + subblocks
+            pos += 1
+            _, pos = _gif_subblocks(payload, pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > n:
+            raise ValueError("truncated GIF image descriptor")
+        lflags = payload[pos + 8]
+        pos += 9
+        if lflags & 0x80:                       # local color table
+            pos += 3 * (2 << (lflags & 0x07))
+        pos += 1                                # LZW minimum code size
+        _, pos = _gif_subblocks(payload, pos)
+        count += 1
+    return count
