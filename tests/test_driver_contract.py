@@ -16,63 +16,59 @@ ROWS_ONLY_BY_DESIGN = {
                               # error bound pinned in test_oracle_parity
 }
 
-# Queries whose implementation / oracle / library dependency changed in
-# round 3 (or are new in round 3) — every one MUST sit inside the gate
-# window so this round's CORRECTNESS file records it.
-CHANGED_ROUND3 = {
-    "gate_canary",            # new: gate-normalization canary
-    # the six round-2 hash mismatches, fixed (HUGEINT casts + integer
-    # hardening):
-    "corpus_upsert", "events_rolling_7d", "pack_sequences",
-    "token_budget", "kmeans_cells", "span_dedup",
-    # implementation changes:
-    "dedup_simhash_pairs", "dedup_simhash",   # 60-bit fingerprint
-    "ann_recall",                             # batch_topk reroute
-    "split_contamination",                    # pre-explode checkpoint
-    "pii_scrub",                              # phone-pattern digit floor
-    "pagerank_suppliers", "dedup_containment",
-    "frequent_tokens",                        # localCheckpoint discipline
-    "multimodal_decode",                      # real PPM/BMP/WAV/PNG codecs
-    "tfidf_top_terms",                        # tf materialization (2.7x)
-    "dedup_jaccard",                          # prefix-filter candidate join
-    "split_leakage_safe",                     # depends on the jaccard join
-    "dedup_keep",                             # min_by aggregate, not window
-    "pipeline_clean_corpus",                  # depends on exact_dedup_keep
-}
-
-# Queries with a green official CORRECTNESS row (r01 or r02 — r02 wins
-# where both exist) whose implementation is byte-identical since that
-# row. Only these may sit outside the round-3 window.
-OFFICIALLY_GREEN_UNCHANGED = {
-    # r01 green, unchanged since (rotated to the tail in round 2 already)
-    "topk_small_collection", "point_lookup", "collections_catalog",
-    "crud_query", "text_language_id", "text_stats", "text_quality",
-    "dedup_minhash", "dedup_winnow", "dedup_cosine",
-    "embedding_centroids", "shipping_priority", "events_asof",
-    "events_range_join", "revenue_rollup", "top_orders_per_customer",
-    "source_length_stats", "ann_lsh_join",
-    "events_windowed", "multimodal_metadata", "text_chunks",
-    "events_sessionize", "record_pretty",
-    "ingest_violations", "pricing_summary", "segment_revenue",
-    "events_salted_agg", "set_ops_customers", "semi_anti_customers",
+# Round-5 window (VERDICT r04 #1, carried from r03 #1): rotate
+# oldest-official-row-first. These 41 queries' newest official
+# CORRECTNESS row dates from r01/r02 — they sat in the tail through the
+# byte-identical r03/r04 windows — so every one MUST sit inside the r05
+# window to land a fresh official row.
+STALE_OFFICIAL_R01_R02 = {
+    "ingest_embed", "dedup_exact", "approx_distinct_users", "crud_query",
+    "text_language_id", "dedup_minhash", "dedup_winnow", "dedup_cosine",
+    "embedding_centroids", "user_event_pivot", "bucketed_join_revenue",
+    "ingest_violations", "text_stats", "text_quality", "events_asof",
+    "topk_small_collection", "events_range_join", "ann_lsh_join",
+    "multimodal_metadata", "events_salted_agg", "revenue_rollup",
+    "top_orders_per_customer", "events_windowed", "text_chunks",
+    "events_sessionize", "point_lookup", "collections_catalog",
+    "record_pretty", "source_length_stats", "pricing_summary",
+    "segment_revenue", "set_ops_customers", "semi_anti_customers",
     "user_moving_avg", "order_percentiles", "cube_revenue",
     "train_split_counts", "promo_revenue", "events_json_props",
-    "monthly_revenue_growth",
-    # r02 green, unchanged in round 3
-    "user_event_pivot", "bucketed_join_revenue", "big_orders_customers",
+    "monthly_revenue_growth", "shipping_priority",
+}
+
+# Queries whose implementation / oracle / library dependency changes in
+# round 5 — every one MUST sit inside the gate window so this round's
+# CORRECTNESS file records it.
+CHANGED_ROUND5 = {
+    "gate_canary",            # gate-normalization canary, always first
+    "multimodal_decode",      # MP3/MP4/GIF-frame-count routing wired in
+    "ann_ivf", "ann_quantized", "ann_recall",  # IVF driver-ranking scale
+                                               # gate; cosine_py poisoning
+    "batch_topk", "topk_cosine", "cosine_kernel_pairs",  # kernel deps
+    "dedup_containment",      # fresh row for the re-measured direct join
+}
+
+# Green in BOTH the r03 AND r04 official gates on byte-identical
+# implementations. Only these may sit outside the round-5 window.
+OFFICIAL_R03_R04_UNCHANGED = {
+    "corpus_upsert", "events_rolling_7d", "pack_sequences",
+    "token_budget", "kmeans_cells", "span_dedup", "dedup_simhash_pairs",
+    "dedup_simhash", "split_contamination", "pii_scrub",
+    "pagerank_suppliers", "frequent_tokens", "dedup_jaccard",
+    "dedup_keep", "pipeline_clean_corpus", "big_orders_customers",
     "nation_acctbal_outliers", "ngram_vocab", "udtf_chunks",
     "balanced_sample", "local_supplier_revenue", "dedup_clusters",
-    "user_activity_streaks", "order_value_histogram",
-    "similarity_join_knn", "ann_ivf", "ann_quantized", "text_repetition",
-    "event_funnel", "events_retention", "mixture_sample", "snapshot_diff",
-    "events_pmi", "zorder_layout",
-    "user_spend_trend", "incremental_revenue", "semantic_dedup",
-    "bm25_search", "quality_unigram", "incremental_dedup",
-    "weighted_sample", "topk_cosine", "batch_topk", "cosine_kernel_pairs",
-    "ingest_embed", "dedup_exact",
-    # r02 row recorded as rows-only by design
-    "approx_distinct_users",
+    "tfidf_top_terms", "user_activity_streaks", "order_value_histogram",
+    "similarity_join_knn", "text_repetition", "event_funnel",
+    "events_retention", "mixture_sample", "snapshot_diff", "events_pmi",
+    "split_leakage_safe", "zorder_layout", "user_spend_trend",
+    "incremental_revenue", "semantic_dedup", "bm25_search",
+    "quality_unigram", "incremental_dedup", "weighted_sample",
 }
+
+# Everything that must be inside the 50-slot window this round.
+WINDOW_ROUND5 = STALE_OFFICIAL_R01_R02 | CHANGED_ROUND5
 
 
 def test_every_query_has_an_oracle_or_documented_exemption():
@@ -85,32 +81,38 @@ def test_every_query_has_an_oracle_or_documented_exemption():
 
 def test_declared_sets_cover_the_surface_exactly():
     q = set(em.queries())
-    assert CHANGED_ROUND3 | OFFICIALLY_GREEN_UNCHANGED == q, (
-        f"undeclared queries: "
-        f"{q - CHANGED_ROUND3 - OFFICIALLY_GREEN_UNCHANGED} / stale "
-        f"declarations: {(CHANGED_ROUND3 | OFFICIALLY_GREEN_UNCHANGED) - q}")
-    assert not (CHANGED_ROUND3 & OFFICIALLY_GREEN_UNCHANGED), (
-        "a query cannot be both changed and green-unchanged")
+    declared = WINDOW_ROUND5 | OFFICIAL_R03_R04_UNCHANGED
+    assert declared == q, (
+        f"undeclared queries: {q - declared} / stale declarations: "
+        f"{declared - q}")
+    assert not (WINDOW_ROUND5 & OFFICIAL_R03_R04_UNCHANGED), (
+        "a query cannot be both in-window and tail-green")
+    assert not (STALE_OFFICIAL_R01_R02 & CHANGED_ROUND5), (
+        "a query cannot be both stale-rotated and changed")
 
 
-def test_changed_queries_sit_inside_the_gate_window():
+def test_window_queries_sit_inside_the_gate_window():
     """The driver checks the FIRST 50 entries (observed cap, rounds 1-2).
-    Every query changed this round must land an official row."""
+    Every stale-official and changed-this-round query must land a fresh
+    official row."""
     names = list(em.queries().keys())
     window = set(names[:50])
-    outside = CHANGED_ROUND3 - window
+    outside = WINDOW_ROUND5 - window
     assert not outside, (
-        f"changed queries fall outside the 50-entry window: "
+        f"required queries fall outside the 50-entry window: "
         f"{sorted(outside)}")
 
 
-def test_tail_queries_all_have_official_rows():
+def test_tail_queries_all_have_fresh_official_rows():
+    """After the r05 rotation no query's newest official row may be
+    older than r03 — the tail must consist solely of queries green in
+    the r03/r04 gates on byte-identical code."""
     names = list(em.queries().keys())
     tail = set(names[50:])
-    unofficial = tail - OFFICIALLY_GREEN_UNCHANGED
+    unofficial = tail - OFFICIAL_R03_R04_UNCHANGED
     assert not unofficial, (
-        f"queries without an official correctness row fall outside the "
-        f"50-entry window: {sorted(unofficial)}")
+        f"queries whose newest official row predates r03 fall outside "
+        f"the 50-entry window: {sorted(unofficial)}")
 
 
 def test_callables_and_sql_are_well_formed():
@@ -150,6 +152,6 @@ def test_window_marker_is_exact():
     names = list(em.queries().keys())
     assert names[0] == "gate_canary"
     for i, n in enumerate(names):
-        if n in CHANGED_ROUND3:
-            assert i < 50, f"{n} (changed) at index {i} — outside the gate"
-    assert names[50] in OFFICIALLY_GREEN_UNCHANGED
+        if n in WINDOW_ROUND5:
+            assert i < 50, f"{n} (required) at index {i} — outside the gate"
+    assert names[50] in OFFICIAL_R03_R04_UNCHANGED
