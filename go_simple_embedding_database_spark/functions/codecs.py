@@ -52,6 +52,9 @@ __all__ = [
     "decode_wav",
     "image_feature",
     "audio_feature",
+    "parse_mp3",
+    "parse_mp4",
+    "gif_frame_count",
 ]
 
 _PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
@@ -645,53 +648,71 @@ def _jpeg_entropy_segments(payload: bytes, start: int) -> tuple[list[bytes], int
 
 
 def _jpeg_seq_scan(segments: list[bytes], mapping, comps, blocks, huff,
-                   restart_interval: int, mcus_x: int, mcus_y: int) -> None:
-    """Sequential (baseline) interleaved scan: DC+AC per block, MCU
-    order, restart-aware."""
-    mcu = 0
-    n_mcus = mcus_x * mcus_y
+                   restart_interval: int, mcus_x: int, mcus_y: int,
+                   hmax: int, vmax: int, w_img: int, h_img: int) -> None:
+    """Sequential (baseline) scan: DC+AC per block, restart-aware.
+    A multi-component scan is interleaved — MCU order over the padded
+    grid. A SINGLE-component scan is non-interleaved per T.81 A.2.2:
+    MCU = one data unit, walked over the component's REAL block grid
+    (exactly as the progressive DC/AC scans already do via
+    _jpeg_comp_grid) — a gray baseline JPEG declaring 2x2 sampling
+    factors codes ceil(w/8)*ceil(h/8) blocks, not 4 per 16x16 MCU."""
+    if len(mapping) == 1:
+        ci, dc_id, ac_id = mapping[0]
+        nbx, nby = _jpeg_comp_grid(comps, ci, hmax, vmax, w_img, h_img)
+        units = [((ci, dc_id, ac_id, blocks[ci][by, bx]),)
+                 for by in range(nby) for bx in range(nbx)]
+    else:
+        units = []
+        for mcu_i in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu_i, mcus_x)
+            unit = []
+            for ci, dc_id, ac_id in mapping:
+                _, ch, cv, _ = comps[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        unit.append((ci, dc_id, ac_id,
+                                     blocks[ci][my * cv + by, mx * ch + bx]))
+            units.append(tuple(unit))
+    n_units = len(units)
     expected_segments = (
-        -(-n_mcus // restart_interval) if restart_interval else 1)
+        -(-n_units // restart_interval) if restart_interval else 1)
     if len(segments) < expected_segments:
         raise ValueError("JPEG entropy stream missing restart segments")
+    done = 0
     for seg_bytes in segments:
-        if mcu >= n_mcus:
+        if done >= n_units:
             break
         reader = _JpegBitReader(seg_bytes)
         pred = [0] * len(comps)                # DC predictors reset at RST
-        seg_budget = restart_interval if restart_interval else n_mcus
-        for _ in range(min(seg_budget, n_mcus - mcu)):
-            my, mx = divmod(mcu, mcus_x)
-            for ci, dc_id, ac_id in mapping:
-                _, ch, cv, _ = comps[ci]
+        seg_budget = restart_interval if restart_interval else n_units
+        for _ in range(min(seg_budget, n_units - done)):
+            for ci, dc_id, ac_id, z in units[done]:
                 dc_tbl = huff.get((0, dc_id))
                 ac_tbl = huff.get((1, ac_id))
                 if dc_tbl is None or ac_tbl is None:
                     raise ValueError("scan references undefined Huffman table")
-                for by in range(cv):
-                    for bx in range(ch):
-                        z = blocks[ci][my * cv + by, mx * ch + bx]
-                        t = reader.huff_decode(dc_tbl)
-                        if t > 11:
-                            raise ValueError("bad JPEG DC category")
-                        pred[ci] += _jpeg_extend(reader.receive(t), t)
-                        z[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.huff_decode(ac_tbl)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:     # ZRL: skip 16 zeros
-                                    k += 16
-                                    continue
-                                break           # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run past block end")
-                            z[k] = _jpeg_extend(reader.receive(s), s)
-                            k += 1
-            mcu += 1
-    if mcu < n_mcus:
+                t = reader.huff_decode(dc_tbl)
+                if t > 11:
+                    raise ValueError("bad JPEG DC category")
+                pred[ci] += _jpeg_extend(reader.receive(t), t)
+                z[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = reader.huff_decode(ac_tbl)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:             # ZRL: skip 16 zeros
+                            k += 16
+                            continue
+                        break                   # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    z[k] = _jpeg_extend(reader.receive(s), s)
+                    k += 1
+            done += 1
+    if done < n_units:
         raise ValueError("truncated JPEG entropy stream")
 
 
@@ -961,7 +982,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 if ns != len(comps) or (ss, se, ah, al) != (0, 63, 0, 0):
                     raise ValueError("malformed baseline JPEG scan header")
                 _jpeg_seq_scan(segments, mapping, comps, blocks, huff,
-                               restart_interval, mcus_x, mcus_y)
+                               restart_interval, mcus_x, mcus_y,
+                               hmax, vmax, w_img, h_img)
             elif ss == 0:                       # progressive DC scan
                 if se != 0:
                     raise ValueError("progressive DC scan with Se != 0")
@@ -2198,10 +2220,12 @@ def encode_tiff(arr: np.ndarray, big_endian: bool = False,
 # --------------------------------------------------------------------------
 # MP3 / MP4 container parsing — metadata only. The sample data inside
 # (MPEG audio granules, H.264/AAC access units) is codec-compressed
-# beyond a stdlib+numpy implementation, so decode routes to
-# quarantine-WITH-metadata (operators/multimodal.py): duration, track
-# dimensions, sample/frame counts and codec fourccs are parsed for real
-# from the container structure; pixels/samples are not faked.
+# beyond a stdlib+numpy implementation, so operators/multimodal.py
+# routes these sniffs to quarantine-WITH-metadata rows (feature NULL,
+# container metadata real): duration, track dimensions, sample/frame
+# counts and codec fourccs are parsed for real from the container
+# structure by parse_mp3/parse_mp4 below; pixels/samples are not faked.
+# Malformed containers raise ValueError — the plain-quarantine path.
 # --------------------------------------------------------------------------
 
 # bitrate (kbps) by [version-group][layer][index 1..14]; group 0 = MPEG1,
@@ -2274,6 +2298,12 @@ def parse_mp3(payload: bytes) -> dict:
         if any(b >= 0x80 for b in s):
             raise ValueError("malformed ID3v2 syncsafe size")
         i = 10 + ((s[0] << 21) | (s[1] << 14) | (s[2] << 7) | s[3])
+        if payload[5] & 0x10:
+            # ID3v2.4 footer flag: the 10-byte footer is NOT included in
+            # the syncsafe size (ID3v2.4.0 §3.1) — skip it too, or the
+            # frame scan starts inside the footer and a valid file
+            # spuriously quarantines
+            i += 10
     n_frames = 0
     total_samples = 0
     kbps_sum = 0
@@ -2330,6 +2360,16 @@ def _mp4_child(data: bytes, start: int, end: int, fourcc: bytes):
     return None
 
 
+def _mp4_read(fmt: str, data: bytes, off: int, end: int, what: str) -> int:
+    """Bounds-checked big-endian field read inside a box body ending at
+    ``end``. Overruns raise ValueError — not IndexError/struct.error —
+    so ``except ValueError`` quarantine callers behave as documented."""
+    size = struct.calcsize(fmt)
+    if off < 0 or off + size > end:
+        raise ValueError(f"mp4: truncated {what}")
+    return struct.unpack_from(fmt, data, off)[0]
+
+
 def parse_mp4(payload: bytes) -> dict:
     """ISO-BMFF (MP4/MOV/M4A) metadata: box walk to moov/mvhd for the
     movie timescale+duration, and per trak: tkhd display dimensions
@@ -2350,14 +2390,14 @@ def parse_mp4(payload: bytes) -> dict:
     duration_sec = None
     mvhd = _mp4_child(payload, mb, me, b"mvhd")
     if mvhd is not None:
-        vb, _ = mvhd
-        version = payload[vb]
+        vb, ve = mvhd
+        version = _mp4_read(">B", payload, vb, ve, "mvhd version")
         if version == 1:
-            timescale = struct.unpack_from(">I", payload, vb + 20)[0]
-            duration = struct.unpack_from(">Q", payload, vb + 24)[0]
+            timescale = _mp4_read(">I", payload, vb + 20, ve, "mvhd v1")
+            duration = _mp4_read(">Q", payload, vb + 24, ve, "mvhd v1")
         else:
-            timescale = struct.unpack_from(">I", payload, vb + 12)[0]
-            duration = struct.unpack_from(">I", payload, vb + 16)[0]
+            timescale = _mp4_read(">I", payload, vb + 12, ve, "mvhd v0")
+            duration = _mp4_read(">I", payload, vb + 16, ve, "mvhd v0")
         if timescale:
             duration_sec = duration / timescale
     tracks = []
@@ -2368,16 +2408,20 @@ def parse_mp4(payload: bytes) -> dict:
                  "height": None, "n_samples": None}
         tkhd = _mp4_child(payload, tb, te, b"tkhd")
         if tkhd is not None:
-            _, ke = tkhd
-            w = struct.unpack_from(">I", payload, ke - 8)[0] >> 16
-            h = struct.unpack_from(">I", payload, ke - 4)[0] >> 16
+            kb, ke = tkhd
+            if ke - kb < 8:
+                raise ValueError("mp4: truncated tkhd")
+            w = _mp4_read(">I", payload, ke - 8, ke, "tkhd") >> 16
+            h = _mp4_read(">I", payload, ke - 4, ke, "tkhd") >> 16
             track["width"], track["height"] = (w or None), (h or None)
         mdia = _mp4_child(payload, tb, te, b"mdia")
         if mdia is not None:
             db, de = mdia
             hdlr = _mp4_child(payload, db, de, b"hdlr")
             if hdlr is not None:
-                hb, _ = hdlr
+                hb, he = hdlr
+                if hb + 12 > he:
+                    raise ValueError("mp4: truncated hdlr")
                 track["handler"] = payload[hb + 8 : hb + 12].decode("latin-1")
             minf = _mp4_child(payload, db, de, b"minf")
             if minf is not None:
@@ -2387,15 +2431,15 @@ def parse_mp4(payload: bytes) -> dict:
                     stsd = _mp4_child(payload, sb, se, b"stsd")
                     if stsd is not None:
                         eb, ee = stsd
-                        if struct.unpack_from(">I", payload, eb + 4)[0] >= 1 \
-                                and eb + 16 <= ee:
+                        if _mp4_read(">I", payload, eb + 4, ee,
+                                     "stsd") >= 1 and eb + 16 <= ee:
                             track["codec"] = payload[eb + 12 : eb + 16] \
                                 .decode("latin-1")
                     stsz = _mp4_child(payload, sb, se, b"stsz")
                     if stsz is not None:
-                        zb, _ = stsz
-                        track["n_samples"] = struct.unpack_from(
-                            ">I", payload, zb + 8)[0]
+                        zb, ze = stsz
+                        track["n_samples"] = _mp4_read(
+                            ">I", payload, zb + 8, ze, "stsz")
         tracks.append(track)
     return {"brand": brand, "duration_sec": duration_sec,
             "n_tracks": len(tracks), "tracks": tracks}

@@ -12,12 +12,19 @@ GIF87a/89a incl. animation via an in-repo
 LZW decoder, baseline TIFF (uncompressed/LZW/PackBits),
 Motion-JPEG AVI video: actual pixel/sample decode,
 luma-grid / RMS-envelope features, nearest-neighbor resize,
-real frame extraction). Formats whose codecs remain out of
-stdlib+numpy reach (MP3, MP4) fall back
-to a deterministic sha256 fake — so every downstream operator (dedup by
-perceptual hash, ANN over media embeddings) stays exercisable on
-arbitrary bytes. Swapping the fallback for a real compressed-format
-decoder changes ONE function; the distributed plan is already correct.
+real frame extraction). Formats whose SAMPLE DATA remains out of
+stdlib+numpy reach (MP3, MP4 — MPEG audio granules, H.264/AAC access
+units) route to quarantine-WITH-metadata: the container structure is
+parsed for real (functions/codecs.parse_mp3/parse_mp4 — duration,
+track dimensions, sample/frame counts, codec fourcc) and the feature
+is NULL, never faked — downstream filters see them in the quarantine
+set (``feature IS NULL``) while schedulers/planners still get true
+durations and dimensions. Bytes that sniff as NO known container fall
+back to a deterministic sha256 fake — so every downstream operator
+(dedup by perceptual hash, ANN over media embeddings) stays
+exercisable on arbitrary bytes. Swapping the fallback for a real
+compressed-format decoder changes ONE function; the distributed plan
+is already correct.
 
 Design for 100 TB of media:
 - payloads stay ``binary`` columns in Parquet — no driver materialization;
@@ -42,8 +49,14 @@ FEATURE_DIM = 16
 
 DECODED_SCHEMA = (
     "media_id string, modality string, width int, height int, "
-    "n_frames int, feature array<double>"
+    "n_frames int, duration_sec double, codec string, "
+    "feature array<double>"
 )
+
+# every branch of _decode_payload fills these; branches that cannot know
+# a field leave it None rather than faking it
+_DECODE_FIELDS = ("width", "height", "n_frames", "duration_sec", "codec",
+                  "feature")
 
 
 def _decode_payload(payload: bytes, modality: str) -> dict:
@@ -56,15 +69,17 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
     raster + 4x4 luma-grid feature), WAV at every common PCM/float
 depth (sample stream +
     RMS-envelope feature), Motion-JPEG AVI and animated GIF (true frame
-    count + first-frame feature). Anything else (MP3, MP4 —
-    beyond a stdlib+numpy implementation) falls back to the
+    count + first-frame feature). MP3/MP4 containers route to
+    quarantine-WITH-metadata: real container parse (parse_mp3/parse_mp4
+    — duration, track dims, sample counts, codec fourcc), feature NULL,
+    never faked. Bytes sniffing as NO known container fall back to the
     deterministic sha256 fake so arbitrary bytes stay exercisable
     end-to-end; swapping the fallback for a real compressed-format
     decoder remains a one-function change.
 
     Raises ValueError on empty payloads and on recognized-but-corrupt
-    payloads (truncated raster, compressed BMP, non-PCM WAV) — the
-    quarantine path."""
+    payloads (truncated raster, compressed BMP, non-PCM WAV, malformed
+    MP3/MP4 boxes) — the plain quarantine path (all fields NULL)."""
     from go_simple_embedding_database_spark.functions import codecs
 
     if payload is None or len(payload) == 0:
@@ -82,15 +97,24 @@ depth (sample stream +
             "width": int(w),
             "height": int(h),
             "n_frames": len(frames),
+            "duration_sec": None,
+            "codec": "MJPG",
             "feature": codecs.image_feature(first, FEATURE_DIM),
         }
     if kind == "gif":
-        # animated GIF: REAL LZW decode + composite; true frame count
-        w, h, frames = codecs.decode_gif(payload)
+        # animated GIF: true frame count by the O(bytes) structure walk
+        # (no LZW, no compositing), first-frame feature by a decode
+        # bounded to ONE frame — a 10,000-frame animation costs one
+        # frame of pixel work, not 10,000 (count/decode parity pinned
+        # in tests/test_codecs_gif.py)
+        n = codecs.gif_frame_count(payload)
+        w, h, frames = codecs.decode_gif(payload, max_frames=1)
         return {
             "width": int(w),
             "height": int(h),
-            "n_frames": len(frames),
+            "n_frames": n,
+            "duration_sec": None,
+            "codec": None,
             "feature": codecs.image_feature(frames[0], FEATURE_DIM),
         }
     if kind in ("ppm", "pgm", "bmp", "png", "jpeg", "tiff"):
@@ -99,6 +123,8 @@ depth (sample stream +
             "width": int(rgb.shape[1]),
             "height": int(rgb.shape[0]),
             "n_frames": 1,
+            "duration_sec": None,
+            "codec": None,
             "feature": codecs.image_feature(rgb, FEATURE_DIM),
         }
     if kind == "wav":
@@ -108,7 +134,39 @@ depth (sample stream +
             "height": None,
             # frame ~= centisecond granule: sample count over rate/100
             "n_frames": int(max(1, samples.shape[0] * 100 // max(rate, 1))),
+            "duration_sec": samples.shape[0] / rate if rate else None,
+            "codec": None,
             "feature": codecs.audio_feature(samples, FEATURE_DIM),
+        }
+    if kind == "mp3":
+        # quarantine-WITH-metadata: the MPEG audio frames themselves are
+        # beyond a stdlib+numpy decode, but the container metadata is
+        # parsed for REAL — feature stays NULL (the quarantine marker),
+        # never faked
+        meta = codecs.parse_mp3(payload)
+        return {
+            "width": None,
+            "height": None,
+            "n_frames": int(meta["n_frames"]),
+            "duration_sec": float(meta["duration_sec"]),
+            "codec": None,
+            "feature": None,
+        }
+    if kind == "mp4":
+        # quarantine-WITH-metadata, same contract as mp3: REAL box walk
+        # (mvhd duration, tkhd dims, stsd codec fourcc, stsz sample
+        # count) from the primary track — video if present, else first
+        meta = codecs.parse_mp4(payload)
+        track = next((t for t in meta["tracks"] if t["handler"] == "vide"),
+                     meta["tracks"][0] if meta["tracks"] else None)
+        t = track or {}
+        return {
+            "width": t.get("width"),
+            "height": t.get("height"),
+            "n_frames": t.get("n_samples"),
+            "duration_sec": meta["duration_sec"],
+            "codec": t.get("codec"),
+            "feature": None,
         }
     digest = hashlib.sha256(payload).digest()
     width = 16 + digest[0] % 240        # fake 16..255 px
@@ -121,6 +179,8 @@ depth (sample stream +
         "width": int(width),
         "height": int(height),
         "n_frames": int(n_frames),
+        "duration_sec": None,
+        "codec": None,
         "feature": (raw / norm if norm else raw).tolist(),
     }
 
@@ -129,8 +189,10 @@ def decode_media(df: DataFrame, on_error: str = "quarantine") -> DataFrame:
     """Decode + feature-extract every media row via mapInPandas (one Arrow
     batch per Python call). ``on_error='quarantine'`` turns decode failures
     into NULL-feature rows (filter ``feature IS NULL`` for the quarantine
-    set); ``'raise'`` propagates — a single corrupt file should not kill a
-    100 TB decode unless you ask it to."""
+    set — MP3/MP4 rows land there too, but with REAL container metadata:
+    ``feature IS NULL AND n_frames IS NOT NULL`` selects the
+    parsed-but-undecodable subset); ``'raise'`` propagates — a single
+    corrupt file should not kill a 100 TB decode unless you ask it to."""
     from go_simple_embedding_database_spark.session import ensure_parallelism
 
     if on_error not in ("quarantine", "raise"):
@@ -139,8 +201,8 @@ def decode_media(df: DataFrame, on_error: str = "quarantine") -> DataFrame:
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_id": [], "modality": [], "width": [], "height": [],
-                   "n_frames": [], "feature": []}
+            out = {"media_id": [], "modality": [],
+                   **{f: [] for f in _DECODE_FIELDS}}
             for mid, modality, payload in zip(pdf["media_id"], pdf["modality"],
                                               pdf["payload"]):
                 try:
@@ -153,14 +215,11 @@ def decode_media(df: DataFrame, on_error: str = "quarantine") -> DataFrame:
                     # one-function decoder swap.
                     if on_error == "raise":
                         raise
-                    d = {"width": None, "height": None, "n_frames": None,
-                         "feature": None}
+                    d = {f: None for f in _DECODE_FIELDS}
                 out["media_id"].append(mid)
                 out["modality"].append(modality)
-                out["width"].append(d["width"])
-                out["height"].append(d["height"])
-                out["n_frames"].append(d["n_frames"])
-                out["feature"].append(d["feature"])
+                for f in _DECODE_FIELDS:
+                    out[f].append(d[f])
             yield pd.DataFrame(out)
 
     return df.select("media_id", "modality", "payload").mapInPandas(

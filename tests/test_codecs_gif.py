@@ -170,6 +170,34 @@ class TestGifCompositing:
             codecs.decode_gif(bytes(gif))
 
 
+class TestGifFrameCount:
+    """gif_frame_count: O(bytes) structure walk, no LZW, no compositing —
+    the metadata-path frame counter _decode_payload uses so an animation's
+    count never costs a full decode. Parity with decode_gif pinned here
+    (the docstring's contract)."""
+
+    def test_parity_with_full_decode(self):
+        for n in (1, 2, 6):
+            imgs = [_quantized(7, 9, seed=s) for s in range(n)]
+            gif = codecs.encode_gif(imgs)
+            assert codecs.gif_frame_count(gif) == n
+            assert codecs.gif_frame_count(gif) == \
+                len(codecs.decode_gif(gif)[2])
+
+    def test_parity_interlaced(self):
+        gif = codecs.encode_gif([_quantized(16, 8, seed=5)], interlace=True)
+        assert codecs.gif_frame_count(gif) == 1
+
+    def test_not_gif_raises(self):
+        with pytest.raises(ValueError):
+            codecs.gif_frame_count(b"not a gif, just some text bytes")
+
+    def test_truncated_raises(self):
+        gif = codecs.encode_gif([_quantized(4, 4)])
+        with pytest.raises(ValueError):
+            codecs.gif_frame_count(gif[: gif.find(b"\x2c") + 3])
+
+
 class TestMultimodalWiring:
     def test_decode_payload_gif(self):
         from go_simple_embedding_database_spark.operators.multimodal import (

@@ -519,3 +519,34 @@ class TestReviewRegressions:
         struct.pack_into("<II", avi, a + 8 + 32, 0, 0)
         w, h, _ = codecs.decode_avi_mjpeg(bytes(avi))
         assert (w, h) == (16, 8)
+
+
+class TestSingleComponentScan:
+    """T.81 A.2.2: a scan with ns == 1 is NON-interleaved — one data
+    unit per MCU over the component's own block grid, regardless of the
+    declared sampling factors. A gray baseline JPEG declaring 2x2
+    sampling must decode pixel-identically to its 1x1 twin: the sampling
+    factors only matter relative to hmax/vmax, and with one component
+    they cancel (ADVICE r03/r04 regression — the old decoder walked it
+    MCU-interleaved and misdecoded or spuriously quarantined)."""
+
+    def test_gray_declared_2x2_sampling_decodes_identically(self):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+        plain = codecs.encode_jpeg(img, quality=90)
+        sof = plain.find(b"\xff\xc0")
+        assert plain[sof + 11] == 0x11          # encoder emits 1x1
+        patched = bytearray(plain)
+        patched[sof + 11] = 0x22                # declare 2x2 — same stream
+        assert np.array_equal(codecs.decode_image(plain),
+                              codecs.decode_image(bytes(patched)))
+
+    def test_gray_declared_2x2_with_restart_markers(self):
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+        plain = codecs.encode_jpeg(img, quality=85, restart_interval=2)
+        sof = plain.find(b"\xff\xc0")
+        patched = bytearray(plain)
+        patched[sof + 11] = 0x22
+        assert np.array_equal(codecs.decode_image(plain),
+                              codecs.decode_image(bytes(patched)))

@@ -168,7 +168,12 @@ class TestMixedFormatPipeline:
             "wav_pcm": ("audio", wav),
             "tiff_lzw": ("image", codecs.encode_tiff(
                 img, compression="lzw", predictor=2)),
+            # sniffs as mp4 but has no moov (fragmented/truncated) ->
+            # plain quarantine under the r05 quarantine-with-metadata
+            # routing (parse_mp3/parse_mp4 wired in)
             "mp4_like": ("video", b"\x00\x00\x00\x18ftypisom" + bytes(64)),
+            # sniffs as NOTHING -> the deterministic sha fake
+            "opaque": ("video", b"completely unrecognizable payload bytes"),
         }
 
     def test_one_pass_mixed_decode(self, spark):
@@ -191,7 +196,11 @@ class TestMixedFormatPipeline:
         fb = np.array(out["jpeg_base"].feature)
         fp = np.array(out["jpeg_prog"].feature)
         assert float(fb @ fp) > 0.999
-        # the undecodable container fell back to the deterministic fake
-        # (it still gets a unit-norm feature, never an exception)
-        f = np.array(out["mp4_like"].feature)
+        # a recognized-but-moov-less mp4 container quarantines (all NULL
+        # — never an exception, never a faked feature)
+        assert out["mp4_like"].feature is None
+        assert out["mp4_like"].n_frames is None
+        # truly unrecognizable bytes still fall back to the
+        # deterministic unit-norm sha fake
+        f = np.array(out["opaque"].feature)
         assert abs(float(f @ f) - 1.0) < 1e-9
