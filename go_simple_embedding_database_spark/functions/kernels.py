@@ -9,8 +9,10 @@ Why higher-order functions and not a UDF: ``zip_with`` + ``aggregate``
 compile into the JVM expression tree — the whole similarity scan stays
 inside whole-stage codegen with zero Python/Arrow boundary. On a 100 TB
 scan this is the difference between a saturated CPU pipeline and an
-Arrow-serialization bottleneck. A vectorized numpy ``pandas_udf`` variant
-is provided for comparison benchmarking only.
+Arrow-serialization bottleneck. (A vectorized numpy ``pandas_udf``
+variant existed through round 4 for boundary-cost comparison; it was
+never in a production plan and was dropped as dead weight — VERDICT r04
+item 8.)
 """
 
 from __future__ import annotations
@@ -100,9 +102,16 @@ def cosine_py(x: list[float], y: list[float]) -> float:
     numpy is deliberately NOT used here: its pairwise-summation dot
     product rounds differently from a left fold.
 
-    Zero-norm → 0.0 (reference parity, utils/utils.go:19-21)."""
+    Zero-norm → 0.0 (reference parity, utils/utils.go:19-21).
+    Length mismatch → ValueError: the Catalyst kernel's ``zip_with``
+    poisons the fold to NULL, making mismatches VISIBLE — a silent
+    zip-truncation here would instead rank centroids by a truncated dot
+    product (ADVICE r04)."""
     import math
 
+    if len(x) != len(y):
+        raise ValueError(
+            f"cosine_py: length mismatch ({len(x)} vs {len(y)})")
     dot = 0.0
     for a, b in zip(x, y):
         dot = dot + float(a) * float(b)
@@ -114,26 +123,3 @@ def cosine_py(x: list[float], y: list[float]) -> float:
         ny = ny + float(b) * float(b)
     den = math.sqrt(nx) * math.sqrt(ny)
     return 0.0 if den == 0.0 else dot / den
-
-
-def cosine_similarity_pandas(dim: int):
-    """Benchmark-only alternative: vectorized numpy pandas_udf.
-
-    Kept to measure the Arrow-boundary cost against the codegen kernel —
-    not used in any production plan (the codegen kernel wins by avoiding
-    JVM→Python transfer entirely).
-    """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def _cos(x: pd.Series, y: pd.Series) -> pd.Series:
-        xa = np.vstack(x.to_numpy())
-        ya = np.vstack(y.to_numpy())
-        dots = np.einsum("ij,ij->i", xa, ya)
-        norms = np.linalg.norm(xa, axis=1) * np.linalg.norm(ya, axis=1)
-        out = np.where(norms == 0.0, 0.0, dots / np.where(norms == 0, 1, norms))
-        return pd.Series(out)
-
-    return _cos

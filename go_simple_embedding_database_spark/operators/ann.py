@@ -332,11 +332,24 @@ def ivf_query_index(spark, path: str, qvec: list[float], k: int,
                               score_col=score_col, tie_break=[id_col])
 
 
+# Driver-side centroid ranking runs kernels.cosine_py — pure Python,
+# deliberately (bit-exact left fold; numpy's pairwise summation rounds
+# differently), which makes it ~100x slower per element than numpy.
+# Above this |centroids| * |queries| * dim element-op budget (~a few
+# hundred ms of single-threaded driver compute) the ranking falls back
+# to the Spark batch_topk path: same kernel semantics (cosine_py is the
+# bit-exact twin of the Catalyst kernel), same total order (score desc,
+# centroid_id asc), so the probe sets are identical — pinned by
+# tests/test_ann.py::test_ivf_batch_driver_and_spark_ranking_agree.
+IVF_DRIVER_RANK_MAX_OPS = 2_000_000
+
+
 def ivf_query_index_batch(spark, path: str, queries: DataFrame, k: int,
                           nprobe: int = 2, vec_col: str = "embedding",
                           id_col: str = "vec_id", score_col: str = "score",
                           query_id: str = "query_id",
-                          queries_vec: str = "query_embedding") -> DataFrame:
+                          queries_vec: str = "query_embedding",
+                          driver_rank_max_ops: int | None = None) -> DataFrame:
     """Query a materialized IVF index for a WHOLE batch of queries with
     ONE pruned read of the cells table.
 
@@ -352,7 +365,12 @@ def ivf_query_index_batch(spark, path: str, queries: DataFrame, k: int,
     bit-exact fold twin of the Catalyst kernel and the sort key is the
     per-query path's exact tie order (score desc, centroid_id asc), so
     probe sets are identical (pinned by
-    tests/test_ann.py::test_ivf_query_index_batch_equals_per_query);
+    tests/test_ann.py::test_ivf_query_index_batch_equals_per_query).
+    SCALE GATE: above ``IVF_DRIVER_RANK_MAX_OPS`` element-ops
+    (|centroids| * |queries| * dim — a real IVF's 10^3-10^4 centroids
+    times a 10^3-query batch would be MINUTES of single-threaded
+    driver Python) the ranking runs as a Spark ``batch_topk`` over the
+    centroid relation instead, bit-identically;
     (2) the cells table is read ONCE filtered to the UNION
     of probed cells (still partition pruning — `cell IN (...)` at the
     file-listing level); (3) a broadcast (query, cell) pair relation
@@ -368,16 +386,38 @@ def ivf_query_index_batch(spark, path: str, queries: DataFrame, k: int,
     from go_simple_embedding_database_spark.functions.kernels import cosine_py
     from go_simple_embedding_database_spark.operators.topk import bucketed_topk
 
-    cent_rows = (spark.read.parquet(f"{path}/centroids")
-                 .select("centroid_id", "centroid").collect())
+    centroids_df = (spark.read.parquet(f"{path}/centroids")
+                    .select("centroid_id", "centroid"))
+    cent_rows = centroids_df.collect()
     q_rows = queries.select(query_id, queries_vec).collect()
-    pairs = []
-    for qr in q_rows:
-        ranked = sorted(
-            ((cosine_py(qr[queries_vec], cr["centroid"]), cr["centroid_id"])
-             for cr in cent_rows),
-            key=lambda t: (-t[0], t[1]))
-        pairs.extend((qr[query_id], cid) for _, cid in ranked[:nprobe])
+    dim = len(cent_rows[0]["centroid"]) if cent_rows else 0
+    budget = (IVF_DRIVER_RANK_MAX_OPS if driver_rank_max_ops is None
+              else driver_rank_max_ops)
+    if len(cent_rows) * len(q_rows) * dim <= budget:
+        pairs = []
+        for qr in q_rows:
+            ranked = sorted(
+                ((cosine_py(qr[queries_vec], cr["centroid"]),
+                  cr["centroid_id"])
+                 for cr in cent_rows),
+                key=lambda t: (-t[0], t[1]))
+            pairs.extend((qr[query_id], cid) for _, cid in ranked[:nprobe])
+    else:
+        # scale fallback: identical ranking as a Spark job — the
+        # Catalyst kernel is cosine_py's bit-exact twin and the order
+        # (score desc, centroid_id asc) matches, so the probe pairs are
+        # the ones the Python loop would produce. Only |Q| * nprobe
+        # winner pairs come back to the driver (needed for the
+        # partition-pruning cell filter below), never |C| * |Q| scores.
+        from go_simple_embedding_database_spark.operators.topk import (
+            batch_topk)
+        winners = batch_topk(
+            centroids_df, queries.select(query_id, queries_vec), nprobe,
+            records_vec="centroid", queries_vec=queries_vec,
+            query_id=query_id, tie_break=["centroid_id"],
+            records_id="centroid_id", attach_payload=False)
+        pairs = [(r[query_id], r["centroid_id"])
+                 for r in winners.select(query_id, "centroid_id").collect()]
     probed_cells = sorted({c for _, c in pairs})
     # Empty probe set (empty query batch OR empty index): isin([]) is
     # unbuildable; the empty relation is the correct result either way.

@@ -306,3 +306,49 @@ def test_quantized_index_empty_source_queries_empty(spark, embeddings,
     out = ann.quantized_topk_indexed(
         spark, idx, spark.read.parquet(src), [0.0] * 64, 5)
     assert out.count() == 0
+
+
+def test_ivf_batch_driver_and_spark_ranking_agree(spark, tmp_path):
+    """The scale gate (ann.IVF_DRIVER_RANK_MAX_OPS): a 1k-centroid index
+    crosses what the driver should rank in pure Python at a real batch
+    size, so ivf_query_index_batch falls back to Spark batch_topk for
+    the centroid ranking. The fallback must be BIT-IDENTICAL to the
+    driver path (same kernel fold, same score-desc/centroid_id-asc tie
+    order => same probe cells => same rows), pinned here by running the
+    same batch under both budgets against a synthetic 1,000-centroid
+    index."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    dim = 8
+    cents = [(int(i), [float(v) for v in rng.standard_normal(dim)])
+             for i in range(1000)]
+    vecs = [(int(i), [float(v) for v in rng.standard_normal(dim)])
+            for i in range(60)]
+    cent_df = spark.createDataFrame(
+        cents, "centroid_id int, centroid array<double>")
+    emb = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    path = str(tmp_path / "ivf1k")
+    ann.ivf_write_index(emb, cent_df, path)
+    qset = (emb.filter(F.col("vec_id") < 6)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_embedding")))
+    # driver path: 1000 * 6 * 8 = 48k element-ops, under the default gate
+    driver = ann.ivf_query_index_batch(spark, path, qset, 5, nprobe=3)
+    # forced fallback: budget 0 pushes the ranking through batch_topk
+    sparkside = ann.ivf_query_index_batch(spark, path, qset, 5, nprobe=3,
+                                          driver_rank_max_ops=0)
+    d = sorted((r.query_id, r.vec_id, r.score) for r in driver.collect())
+    s = sorted((r.query_id, r.vec_id, r.score) for r in sparkside.collect())
+    assert d == s and len(d) > 0
+    # and both equal the per-query reference path
+    want = []
+    by_id = dict(vecs)
+    for qid in range(6):
+        for r in ann.ivf_query_index(spark, path, by_id[qid], 5,
+                                     nprobe=3).collect():
+            want.append((qid, r.vec_id, r.score))
+    assert d == sorted(want)
+    # the documented default gate really is |C|*|Q|*dim element-ops
+    assert 1000 * 6 * dim < ann.IVF_DRIVER_RANK_MAX_OPS
+    assert 1000 * 1000 * 64 > ann.IVF_DRIVER_RANK_MAX_OPS

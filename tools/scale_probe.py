@@ -253,13 +253,21 @@ def main() -> None:
         df.select(F.count(F.coalesce(F.col(df.columns[0]).cast("string"),
                                      F.lit("")))).collect()
 
-    def probe_scales(flagships, dirs, results, count_rows=False, runs=3):
+    def probe_scales(flagships, dirs, results, count_rows=False, runs=3,
+                     cached_base=None):
         """``dirs`` is [(label, path), ...] with the first entry the 1x
         baseline. Best-of-``runs`` per (operator, scale) — the r03 record
         wrote a 4.91x containment ratio that re-measured at 2.7-3.0x in
         fresh sessions (best-of-2 let one co-tenant-noisy pair of runs
-        define a round's official ratio; VERDICT r03 #2/#5)."""
-        base_label = dirs[0][0]
+        define a round's official ratio; VERDICT r03 #2/#5).
+
+        ``cached_base`` maps operator -> an already-measured baseline
+        time; when given, ``dirs`` lists ONLY the scaled dirs and the
+        baseline is not re-measured (ADVICE r04: the deep pair tier was
+        re-running the 1x best-of-2 plus a row-count execution per
+        operator only to discard them)."""
+        base_label = None if cached_base is not None else dirs[0][0]
+        scaled = dirs if cached_base is not None else dirs[1:]
         for name, fn in flagships.items():
             times, rows = {}, {}
             for label, d in dirs:
@@ -274,10 +282,14 @@ def main() -> None:
                 times[label] = round(best, 3)
                 if count_rows:
                     rows[f"rows_{label}"] = fn(spark, d).count()
+            base_time = (cached_base[name] if cached_base is not None
+                         else times[base_label])
             ratios = {
-                ("ratio" if label == f"{REPLICAS}x" else f"ratio_{label}"):
-                    round(times[label] / times[base_label], 2)
-                for label, _ in dirs[1:]}
+                ("ratio" if (cached_base is None
+                             and label == f"{REPLICAS}x")
+                 else f"ratio_{label}"):
+                    round(times[label] / base_time, 2)
+                for label, _ in scaled}
             results[name] = {**times, **ratios, **rows}
             desc = " ".join(f"{label}={times[label]}s" for label, _ in dirs)
             print(f"{name}: {desc} {ratios}"
@@ -325,15 +337,20 @@ def main() -> None:
                      pair_results, count_rows=True)
         _synthesize_disjoint(spark, s100, DEEP_REPLICAS)
         deep_pairs = {}
-        probe_scales(_pair_flagships(),
-                     [("1x", s1), (f"{DEEP_REPLICAS}x", s100)],
-                     deep_pairs, count_rows=True, runs=2)
+        dlabel = f"{DEEP_REPLICAS}x"
+        # reuse the best-of-3 1x baseline just measured above — no
+        # discarded re-measure (ADVICE r04)
+        probe_scales(_pair_flagships(), [(dlabel, s100)],
+                     deep_pairs, count_rows=True, runs=2,
+                     cached_base={n: rec["1x"]
+                                  for n, rec in pair_results.items()})
+        # namespace the merged keys when DEEP_REPLICAS == REPLICAS, else
+        # the deep row silently overwrites the default tier's (ADVICE r04)
+        dkey = f"deep_{dlabel}" if DEEP_REPLICAS == REPLICAS else dlabel
         for name, rec in deep_pairs.items():
-            pair_results[name][f"{DEEP_REPLICAS}x"] = rec[f"{DEEP_REPLICAS}x"]
-            pair_results[name][f"ratio_{DEEP_REPLICAS}x"] = round(
-                rec[f"{DEEP_REPLICAS}x"] / pair_results[name]["1x"], 2)
-            pair_results[name][f"rows_{DEEP_REPLICAS}x"] = rec[
-                f"rows_{DEEP_REPLICAS}x"]
+            pair_results[name][dkey] = rec[dlabel]
+            pair_results[name][f"ratio_{dkey}"] = rec[f"ratio_{dlabel}"]
+            pair_results[name][f"rows_{dkey}"] = rec[f"rows_{dlabel}"]
     finally:
         shutil.rmtree(s1, ignore_errors=True)
         shutil.rmtree(s10, ignore_errors=True)
