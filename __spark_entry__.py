@@ -2950,15 +2950,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (r5-a) the 41 queries whose newest official CORRECTNESS row dates
            from round 1 or 2 (they sat in the tail through the identical
            r03/r04 windows) — rotated in so every official row is fresh;
-    (r5-b) the 8 queries whose implementation or library dependency
-           changes in round 5: the multimodal decode path gains real
-           MP3/MP4/GIF-frame-count routing (codecs.py parsers wired into
-           operators/multimodal.py), the IVF batch path gains a
-           scale gate on its driver-side centroid ranking (ann.py),
-           and kernels.cosine_py gains length-mismatch poisoning —
-           pulling in multimodal_decode, ann_ivf, ann_quantized,
-           ann_recall, batch_topk, topk_cosine, cosine_kernel_pairs,
-           dedup_containment (fresh row for its re-measured join);
+    (r5-b) the 2 queries whose implementation changes in round 5 —
+           multimodal_decode (real MP3/MP4/GIF-frame-count routing:
+           codecs.py parsers wired into operators/multimodal.py) and
+           ann_recall (ivf_query_index_batch gains a scale gate on its
+           driver-side centroid ranking; kernels.cosine_py gains
+           length-mismatch errors) — plus 6 freshness fill-ins from the
+           similarity family the round touched most (ann_ivf,
+           ann_quantized, batch_topk, topk_cosine, cosine_kernel_pairs,
+           dedup_containment — the last for a fresh row behind its
+           re-measured join);
     (tail) the 41 r03/r04-window queries, every one green in the
            IDENTICAL r03 AND r04 official gates on byte-identical code;
            tests/test_oracle_parity.py re-checks ALL entries every CI

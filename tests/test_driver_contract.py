@@ -43,9 +43,12 @@ STALE_OFFICIAL_R01_R02 = {
 CHANGED_ROUND5 = {
     "gate_canary",            # gate-normalization canary, always first
     "multimodal_decode",      # MP3/MP4/GIF-frame-count routing wired in
-    "ann_ivf", "ann_quantized", "ann_recall",  # IVF driver-ranking scale
-                                               # gate; cosine_py poisoning
-    "batch_topk", "topk_cosine", "cosine_kernel_pairs",  # kernel deps
+    "ann_recall",             # ivf_query_index_batch scale gate +
+                              # cosine_py length-mismatch errors
+    # freshness fill-ins (implementations unchanged this round; they
+    # complete the 50-slot window from the similarity family):
+    "ann_ivf", "ann_quantized", "batch_topk", "topk_cosine",
+    "cosine_kernel_pairs",
     "dedup_containment",      # fresh row for the re-measured direct join
 }
 

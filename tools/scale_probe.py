@@ -172,8 +172,13 @@ def _deep_scan_flagships():
         n_cells = max(1, emb.count() // 250)
         cells = emb.withColumn(
             "cluster_id", F.pmod(F.xxhash64("vec_id"), F.lit(n_cells)))
+        # threshold 0.35 ≈ 2.8σ of a random 64-dim cosine (σ = 1/8): a
+        # fraction of a percent of in-cell pairs clear it, so rows_NX is
+        # NONZERO and must scale ~linearly with the corpus (cells ∝ N,
+        # cell size constant) — the 0.98 production default emits zero
+        # pairs on random vectors, proving nothing about output volume
         return cosine_neardup_pairs_gemm(
-            cells, vec_col="embedding", id_col="vec_id", threshold=0.98,
+            cells, vec_col="embedding", id_col="vec_id", threshold=0.35,
             block_col="cluster_id")
 
     return {"bm25_search": em.queries()["bm25_search"]}, \
