@@ -289,3 +289,56 @@ class TestMultimodalRouting:
             "media_id string, modality string, payload binary")
         with pytest.raises(Exception):
             decode_media(df, on_error="raise").collect()
+
+
+class TestEdgeCases:
+    def test_mp3_mpeg2_layer3_576_samples(self):
+        """MPEG2 Layer III frames carry 576 samples (ISO 13818-3), not
+        1152 — duration math must use the per-version count."""
+        # version bits 10 (MPEG2), layer III, no CRC -> b2 = 0xF3
+        # br_idx 6 -> 48 kbps in the MPEG2-L3 table; sr_idx 0 -> 22050 Hz
+        b2, b3 = 0xF3, (6 << 4) | (0 << 2) | 0
+        hdr = bytes([0xFF, b2, b3, 0x00])
+        info = codecs._mp3_frame_header(hdr, 0)
+        assert info is not None
+        flen, samples, rate, _, kbps = info
+        assert (samples, rate, kbps) == (576, 22050, 48)
+        m = codecs.parse_mp3((hdr + b"\x00" * (flen - 4)) * 2)
+        assert m["n_frames"] == 2
+        assert m["duration_sec"] == pytest.approx(2 * 576 / 22050)
+
+    def test_mp4_size_zero_box_extends_to_eof(self):
+        """A box with size==0 runs to end-of-file (ISO-BMFF §4.2) — legal
+        for the last top-level box."""
+        full = mp4_fixture()
+        moov_at = full.find(b"moov") - 4
+        patched = bytearray(full)
+        import struct as _s
+        _s.pack_into(">I", patched, moov_at, 0)
+        assert codecs.parse_mp4(bytes(patched)) == codecs.parse_mp4(full)
+
+    def test_resize_media_audio_mp3_passes_through(self, spark):
+        """resize_media's audio contract is format-agnostic: a non-empty
+        mp3 payload passes through unchanged with NULL dims."""
+        from go_simple_embedding_database_spark.operators.multimodal import (
+            resize_media)
+        payload = id3v2() + mp3_frame() * 2
+        df = spark.createDataFrame(
+            [("a", "audio", bytearray(payload))],
+            "media_id string, modality string, payload binary")
+        r = resize_media(df, 8, 8).collect()[0]
+        assert bytes(r.payload) == payload
+        assert r.width is None and r.height is None
+
+    def test_frame_sample_plan_covers_mp4_metadata(self, spark):
+        """frame_sample_plan explodes over decode_media's n_frames; an
+        mp4 video row (quarantine-with-metadata, REAL stsz count) now
+        yields a real sampling plan even though pixels are undecodable."""
+        from go_simple_embedding_database_spark.operators.multimodal import (
+            frame_sample_plan)
+        df = spark.createDataFrame(
+            [("v", "video", bytearray(mp4_fixture()))],
+            "media_id string, modality string, payload binary")
+        rows = sorted(r.frame_no for r in
+                      frame_sample_plan(df, every_nth=50).collect())
+        assert rows == [0, 50, 100]                # stsz n_samples = 150
