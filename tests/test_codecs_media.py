@@ -342,3 +342,96 @@ class TestEdgeCases:
         rows = sorted(r.frame_no for r in
                       frame_sample_plan(df, every_nth=50).collect())
         assert rows == [0, 50, 100]                # stsz n_samples = 150
+
+
+class TestQuarantineContractFuzz:
+    """The quarantine contract, fuzzed: whatever bytes arrive, the
+    parsers either return metadata or raise ValueError — never
+    IndexError/struct.error/KeyError (which would escape the
+    ``except ValueError`` quarantine path ADVICE r04 exercised by hand)
+    and never hang. Seeds cover the adversarial shapes found so far:
+    truncated boxes, lying sizes, bodies shorter than their fields."""
+
+    def _assert_value_error_only(self, fn, payload):
+        try:
+            fn(payload)
+        except ValueError:
+            pass
+
+    def test_parse_mp4_fuzz(self):
+        import numpy as np
+        rng = np.random.default_rng(97)
+        good = mp4_fixture()
+        for trial in range(400):
+            p = bytearray(good)
+            mode = trial % 4
+            if mode == 0:                       # truncate anywhere
+                p = p[: int(rng.integers(0, len(p) + 1))]
+            elif mode == 1:                     # flip random bytes
+                for _ in range(int(rng.integers(1, 6))):
+                    p[int(rng.integers(0, len(p)))] = int(rng.integers(0, 256))
+            elif mode == 2:                     # random tail after ftyp
+                n = int(rng.integers(0, 80))
+                p = bytearray(FTYP) + bytes(rng.integers(0, 256, n,
+                                                         dtype=np.uint8))
+            else:                               # lying box sizes
+                off = int(rng.integers(0, max(1, len(p) - 4)))
+                p[off:off + 4] = int(rng.integers(0, 2**32,
+                                                  dtype=np.uint64)).to_bytes(
+                    4, "big")
+            self._assert_value_error_only(codecs.parse_mp4, bytes(p))
+
+    def test_parse_mp3_fuzz(self):
+        import numpy as np
+        rng = np.random.default_rng(41)
+        good = id3v2(footer=True) + mp3_frame() * 3
+        for trial in range(400):
+            p = bytearray(good)
+            mode = trial % 3
+            if mode == 0:
+                p = p[: int(rng.integers(0, len(p) + 1))]
+            elif mode == 1:
+                for _ in range(int(rng.integers(1, 6))):
+                    p[int(rng.integers(0, len(p)))] = int(rng.integers(0, 256))
+            else:                               # raw junk, 0xFF-seeded
+                n = int(rng.integers(4, 120))
+                p = bytearray(b"\xff") + bytes(rng.integers(0, 256, n,
+                                                            dtype=np.uint8))
+            self._assert_value_error_only(codecs.parse_mp3, bytes(p))
+
+    def test_gif_frame_count_fuzz(self):
+        import numpy as np
+        rng = np.random.default_rng(7)
+        img = np.zeros((6, 6, 3), dtype=np.uint8)
+        good = codecs.encode_gif([img, img + 64])
+        for trial in range(300):
+            p = bytearray(good)
+            if trial % 2 == 0:
+                p = p[: int(rng.integers(13, len(p) + 1))]
+            else:
+                for _ in range(int(rng.integers(1, 5))):
+                    p[int(rng.integers(13, len(p)))] = int(rng.integers(0, 256))
+            self._assert_value_error_only(codecs.gif_frame_count, bytes(p))
+
+    def test_decode_payload_fuzz_never_escapes_quarantine(self):
+        """End-to-end: the decode entry point itself (what mapInPandas
+        wraps) raises nothing but ValueError-compatible exceptions for
+        arbitrary mutated media bytes — the quarantine catch is
+        ``except Exception`` so anything non-crashing passes, but a hang
+        or a MemoryError here would kill a 100 TB decode."""
+        import numpy as np
+
+        from go_simple_embedding_database_spark.operators.multimodal import (
+            _decode_payload)
+        rng = np.random.default_rng(3)
+        seeds = [mp4_fixture(), id3v2() + mp3_frame() * 2,
+                 codecs.encode_gif([np.zeros((4, 4, 3), dtype=np.uint8)])]
+        for trial in range(300):
+            p = bytearray(seeds[trial % len(seeds)])
+            p = p[: int(rng.integers(1, len(p) + 1))]
+            for _ in range(int(rng.integers(0, 4))):
+                p[int(rng.integers(0, len(p)))] = int(rng.integers(0, 256))
+            try:
+                _decode_payload(bytes(p), "video")
+            except Exception:
+                pass                             # quarantine-compatible
