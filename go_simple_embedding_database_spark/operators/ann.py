@@ -389,11 +389,17 @@ def ivf_query_index_batch(spark, path: str, queries: DataFrame, k: int,
     centroids_df = (spark.read.parquet(f"{path}/centroids")
                     .select("centroid_id", "centroid"))
     cent_rows = centroids_df.collect()
-    q_rows = queries.select(query_id, queries_vec).collect()
     dim = len(cent_rows[0]["centroid"]) if cent_rows else 0
     budget = (IVF_DRIVER_RANK_MAX_OPS if driver_rank_max_ops is None
               else driver_rank_max_ops)
-    if len(cent_rows) * len(q_rows) * dim <= budget:
+    # The budget also bounds what the driver MATERIALIZES: collect at
+    # most max_q + 1 query rows (one extra to detect overflow) rather
+    # than the whole batch — a gate that first pulled all of |Q| to the
+    # driver to decide |Q| is too big would defeat itself.
+    max_q = budget // max(1, len(cent_rows) * dim)
+    q_rows = (queries.select(query_id, queries_vec)
+              .limit(max_q + 1).collect()) if max_q > 0 else []
+    if q_rows and len(q_rows) <= max_q:
         pairs = []
         for qr in q_rows:
             ranked = sorted(
@@ -402,6 +408,10 @@ def ivf_query_index_batch(spark, path: str, queries: DataFrame, k: int,
                  for cr in cent_rows),
                 key=lambda t: (-t[0], t[1]))
             pairs.extend((qr[query_id], cid) for _, cid in ranked[:nprobe])
+    elif not q_rows and max_q > 0:
+        # empty query batch, proven by the capped collect — the empty
+        # relation is the correct result; skip the Spark ranking job
+        pairs = []
     else:
         # scale fallback: identical ranking as a Spark job — the
         # Catalyst kernel is cosine_py's bit-exact twin and the order

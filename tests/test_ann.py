@@ -352,3 +352,26 @@ def test_ivf_batch_driver_and_spark_ranking_agree(spark, tmp_path):
     # the documented default gate really is |C|*|Q|*dim element-ops
     assert 1000 * 6 * dim < ann.IVF_DRIVER_RANK_MAX_OPS
     assert 1000 * 1000 * 64 > ann.IVF_DRIVER_RANK_MAX_OPS
+
+
+def test_ivf_batch_capped_collect_overflow_falls_back(spark, embeddings,
+                                                      centroids, tmp_path):
+    """The gate bounds what the driver MATERIALIZES, not just what it
+    computes: with a budget admitting only 2 queries, a 4-query batch
+    must overflow the capped limit-collect and take the Spark ranking —
+    returning exactly the unlimited driver path's rows."""
+    path = str(tmp_path / "ivfcap")
+    ann.ivf_write_index(embeddings, centroids, path)
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    qset = (emb.filter(F.col("vec_id").isin([3, 7, 11, 19]))
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_embedding")))
+    dim = len(emb.first().embedding)
+    n_cent = spark.read.parquet(f"{path}/centroids").count()
+    two_q_budget = 2 * n_cent * dim            # max_q == 2 < 4 queries
+    capped = ann.ivf_query_index_batch(spark, path, qset, 10, nprobe=2,
+                                       driver_rank_max_ops=two_q_budget)
+    full = ann.ivf_query_index_batch(spark, path, qset, 10, nprobe=2)
+    assert sorted((r.query_id, r.vec_id, r.score) for r in capped.collect()) \
+        == sorted((r.query_id, r.vec_id, r.score) for r in full.collect())
