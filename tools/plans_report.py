@@ -263,7 +263,12 @@ COMMENTARY: dict[str, tuple[str, str]] = {
         "carry (node, rank) longs only, and the supplier dimension "
         "broadcasts at the end. Integer ranks make the whole loop "
         "deterministic under any partitioning — no float drift to mask "
-        "a plan change."),
+        "a plan change. Measured sf0.1 breakdown (r05): ~3.1 s "
+        "lineitem-orders edge build + distinct, ~2.2 s edge/degree/node "
+        "state materialization, ~0.3 s per superstep — the wall-clock is "
+        "the two one-off materializations plus n_iter chained rounds, "
+        "all of which amortize at scale (state is built once per graph, "
+        "not per round)."),
     "dedup_exact": (
         "Exact dedup by content hash",
         "One `Exchange hashpartitioning(content_hash)` with partial_min/"
