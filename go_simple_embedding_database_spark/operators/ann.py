@@ -399,6 +399,7 @@ def ivf_query_index_batch(spark, path: str, queries: DataFrame, k: int,
     max_q = budget // max(1, len(cent_rows) * dim)
     q_rows = (queries.select(query_id, queries_vec)
               .limit(max_q + 1).collect()) if max_q > 0 else []
+    pair_df = None
     if q_rows and len(q_rows) <= max_q:
         pairs = []
         for qr in q_rows:
@@ -408,39 +409,46 @@ def ivf_query_index_batch(spark, path: str, queries: DataFrame, k: int,
                  for cr in cent_rows),
                 key=lambda t: (-t[0], t[1]))
             pairs.extend((qr[query_id], cid) for _, cid in ranked[:nprobe])
+        probed_cells = sorted({c for _, c in pairs})
     elif not q_rows and max_q > 0:
         # empty query batch, proven by the capped collect — the empty
         # relation is the correct result; skip the Spark ranking job
-        pairs = []
+        pairs, probed_cells = [], []
     else:
         # scale fallback: identical ranking as a Spark job — the
         # Catalyst kernel is cosine_py's bit-exact twin and the order
         # (score desc, centroid_id asc) matches, so the probe pairs are
-        # the ones the Python loop would produce. Only |Q| * nprobe
-        # winner pairs come back to the driver (needed for the
-        # partition-pruning cell filter below), never |C| * |Q| scores.
+        # the ones the Python loop would produce. The winner pair
+        # relation STAYS a DataFrame (checkpointed — it feeds both the
+        # distinct-cells pull and the candidate join; unmaterialized,
+        # the ranking would run twice): the driver materializes only
+        # the DISTINCT probed cells, bounded by |C|, never |Q| * nprobe
+        # pairs and never |C| * |Q| scores.
         from go_simple_embedding_database_spark.operators.topk import (
             batch_topk)
-        winners = batch_topk(
+        pair_df = batch_topk(
             centroids_df, queries.select(query_id, queries_vec), nprobe,
             records_vec="centroid", queries_vec=queries_vec,
             query_id=query_id, tie_break=["centroid_id"],
-            records_id="centroid_id", attach_payload=False)
-        pairs = [(r[query_id], r["centroid_id"])
-                 for r in winners.select(query_id, "centroid_id").collect()]
-    probed_cells = sorted({c for _, c in pairs})
+            records_id="centroid_id", attach_payload=False) \
+            .select(query_id, F.col("centroid_id").alias("cell")) \
+            .localCheckpoint(eager=False)
+        probed_cells = sorted(
+            r.cell for r in pair_df.select("cell").distinct().collect())
     # Empty probe set (empty query batch OR empty index): isin([]) is
     # unbuildable; the empty relation is the correct result either way.
     cell_filter = (F.col("cell").isin(probed_cells) if probed_cells
                    else F.lit(False))
     cells = _read_cells(spark, path).filter(cell_filter)
-    # Explicit schema (not inference): an EMPTY query batch must yield an
-    # empty result, and schema inference raises on an empty row list.
-    pair_schema = StructType([
-        StructField(query_id, queries.schema[query_id].dataType),
-        StructField("cell", cells.schema["cell"].dataType),
-    ])
-    pair_df = spark.createDataFrame(pairs, pair_schema)
+    if pair_df is None:
+        # Explicit schema (not inference): an EMPTY query batch must
+        # yield an empty result, and schema inference raises on an
+        # empty row list.
+        pair_schema = StructType([
+            StructField(query_id, queries.schema[query_id].dataType),
+            StructField("cell", cells.schema["cell"].dataType),
+        ])
+        pair_df = spark.createDataFrame(pairs, pair_schema)
     scored = (cells.join(F.broadcast(pair_df), "cell")
               .join(F.broadcast(queries), query_id)
               .withColumn(score_col, cosine_similarity(F.col(vec_col),
