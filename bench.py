@@ -112,7 +112,13 @@ def main() -> None:
         "metric": "sum_of_query_times",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
-        "n_runs": _N_RUNS,
+        # n_runs_max, not n_runs: queries slower than no_retry_sec stop
+        # after ONE run (their 'median' is that single sample — see
+        # n_runs_per_query / the raw 'runs' arrays in BENCH.json), so a
+        # flat "n_runs: 3" would misdescribe them (ADVICE r05).
+        "n_runs_max": _N_RUNS,
+        "no_retry_sec": _NO_RETRY_SEC,
+        "n_runs_per_query": {n: len(r) for n, r in all_runs.items()},
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
     }

@@ -55,6 +55,8 @@ __all__ = [
     "parse_mp3",
     "parse_mp4",
     "gif_frame_count",
+    "gif_scan",
+    "avi_frame_period_usec",
 ]
 
 _PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
@@ -1490,6 +1492,30 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]]:
     return int(width), int(height), frames
 
 
+def avi_frame_period_usec(payload: bytes) -> int | None:
+    """Read ``avih.dwMicroSecPerFrame`` (the declared frame period) from
+    an AVI header, or None when absent/zero. Header-only walk: recurses
+    into LIST bodies but returns at the first ``avih`` — never touches
+    the movi data, so it is O(header bytes) regardless of video size."""
+    if sniff_format(payload) != "avi":
+        raise ValueError("not a RIFF/AVI payload")
+
+    def walk(start: int, end: int) -> int | None:
+        for fourcc, ltype, b0, b1 in _riff_chunks(payload, start, end):
+            if fourcc == b"avih" and b1 - b0 >= 4:
+                return struct.unpack_from("<I", payload, b0)[0]
+            if ltype == b"movi":
+                continue
+            if ltype is not None:
+                found = walk(b0, b1)
+                if found is not None:
+                    return found
+        return None
+
+    usec = walk(12, len(payload))
+    return usec if usec else None
+
+
 def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10,
                      quality: int = 85) -> bytes:
     """List of HxWx3 uint8 frames -> Motion-JPEG AVI bytes (test harness
@@ -1795,7 +1821,8 @@ def _gif_lzw_encode(min_code_size: int, indices: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def encode_gif(frames: list[np.ndarray], interlace: bool = False) -> bytes:
+def encode_gif(frames: list[np.ndarray], interlace: bool = False,
+               delay_cs: int = 0) -> bytes:
     """List of HxWx3 uint8 frames -> animated GIF bytes (test harness for
     the decode path). Builds one global palette from the distinct colors
     across all frames — lossless round-trip; >256 distinct colors raise
@@ -1824,7 +1851,8 @@ def encode_gif(frames: list[np.ndarray], interlace: bool = False) -> bytes:
                        dtype=np.uint8).reshape(h, w)
         if interlace:
             idx = idx[_gif_interlace_rows(h)]
-        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"      # GCE: no disposal
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) \
+            + b"\x00\x00"                               # GCE: no disposal
         out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
                            0x40 if interlace else 0)
         out.append(min_code)
@@ -2445,11 +2473,14 @@ def parse_mp4(payload: bytes) -> dict:
             "n_tracks": len(tracks), "tracks": tracks}
 
 
-def gif_frame_count(payload: bytes) -> int:
-    """Count a GIF's frames by walking the image-descriptor / sub-block
-    structure only — no LZW decode, no compositing (the metadata path's
-    answer to 'how many frames' at O(bytes) instead of O(pixels);
-    parity with full decode_gif pinned in tests/test_codecs_gif.py)."""
+def gif_scan(payload: bytes) -> tuple[int, float | None]:
+    """Walk a GIF's image-descriptor / extension / sub-block structure
+    once — no LZW decode, no compositing — returning ``(n_frames,
+    duration_sec)``. Duration is the sum of Graphic Control Extension
+    delay fields (GIF89a §23, centiseconds, little-endian) and ``None``
+    when no GCE carries a delay (a static GIF has no duration). Same
+    O(bytes) cost as counting alone; parity with full decode_gif pinned
+    in tests/test_codecs_gif.py."""
     if sniff_format(payload) != "gif":
         raise ValueError("not a GIF payload")
     flags = payload[10]
@@ -2457,6 +2488,8 @@ def gif_frame_count(payload: bytes) -> int:
     if flags & 0x80:
         pos += 3 * (2 << (flags & 0x07))
     count = 0
+    delay_cs = 0
+    saw_delay = False
     n = len(payload)
     while pos < n:
         block = payload[pos]
@@ -2464,8 +2497,13 @@ def gif_frame_count(payload: bytes) -> int:
         if block == 0x3B:                       # trailer
             break
         if block == 0x21:                       # extension: label + subblocks
+            label = payload[pos] if pos < n else None
             pos += 1
-            _, pos = _gif_subblocks(payload, pos)
+            body, pos = _gif_subblocks(payload, pos)
+            # GCE: packed(1) delay_lo delay_hi transparent_idx
+            if label == 0xF9 and len(body) >= 3:
+                delay_cs += body[1] | (body[2] << 8)
+                saw_delay = True
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
@@ -2478,4 +2516,9 @@ def gif_frame_count(payload: bytes) -> int:
         pos += 1                                # LZW minimum code size
         _, pos = _gif_subblocks(payload, pos)
         count += 1
-    return count
+    return count, (delay_cs / 100.0 if saw_delay else None)
+
+
+def gif_frame_count(payload: bytes) -> int:
+    """Frame count by the O(bytes) structure walk (see gif_scan)."""
+    return gif_scan(payload)[0]

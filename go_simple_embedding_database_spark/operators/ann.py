@@ -392,49 +392,65 @@ def ivf_query_index_batch(spark, path: str, queries: DataFrame, k: int,
     dim = len(cent_rows[0]["centroid"]) if cent_rows else 0
     budget = (IVF_DRIVER_RANK_MAX_OPS if driver_rank_max_ops is None
               else driver_rank_max_ops)
-    # The budget also bounds what the driver MATERIALIZES: collect at
-    # most max_q + 1 query rows (one extra to detect overflow) rather
-    # than the whole batch — a gate that first pulled all of |Q| to the
-    # driver to decide |Q| is too big would defeat itself.
-    max_q = budget // max(1, len(cent_rows) * dim)
-    q_rows = (queries.select(query_id, queries_vec)
-              .limit(max_q + 1).collect()) if max_q > 0 else []
     pair_df = None
-    if q_rows and len(q_rows) <= max_q:
-        pairs = []
-        for qr in q_rows:
-            ranked = sorted(
-                ((cosine_py(qr[queries_vec], cr["centroid"]),
-                  cr["centroid_id"])
-                 for cr in cent_rows),
-                key=lambda t: (-t[0], t[1]))
-            pairs.extend((qr[query_id], cid) for _, cid in ranked[:nprobe])
-        probed_cells = sorted({c for _, c in pairs})
-    elif not q_rows and max_q > 0:
-        # empty query batch, proven by the capped collect — the empty
-        # relation is the correct result; skip the Spark ranking job
+    if not cent_rows:
+        # Empty index: nothing can be probed — the empty relation is the
+        # correct result, decided BEFORE touching the query batch. With
+        # |C| = 0 the ops budget below degenerates to max_q = budget, and
+        # the capped collect would pull up to budget + 1 query rows just
+        # to return nothing (ADVICE r05).
         pairs, probed_cells = [], []
     else:
-        # scale fallback: identical ranking as a Spark job — the
-        # Catalyst kernel is cosine_py's bit-exact twin and the order
-        # (score desc, centroid_id asc) matches, so the probe pairs are
-        # the ones the Python loop would produce. The winner pair
-        # relation STAYS a DataFrame (checkpointed — it feeds both the
-        # distinct-cells pull and the candidate join; unmaterialized,
-        # the ranking would run twice): the driver materializes only
-        # the DISTINCT probed cells, bounded by |C|, never |Q| * nprobe
-        # pairs and never |C| * |Q| scores.
-        from go_simple_embedding_database_spark.operators.topk import (
-            batch_topk)
-        pair_df = batch_topk(
-            centroids_df, queries.select(query_id, queries_vec), nprobe,
-            records_vec="centroid", queries_vec=queries_vec,
-            query_id=query_id, tie_break=["centroid_id"],
-            records_id="centroid_id", attach_payload=False) \
-            .select(query_id, F.col("centroid_id").alias("cell")) \
-            .localCheckpoint(eager=False)
-        probed_cells = sorted(
-            r.cell for r in pair_df.select("cell").distinct().collect())
+        # The budget also bounds what the driver MATERIALIZES: collect at
+        # most max_q + 1 query rows (one extra to detect overflow) rather
+        # than the whole batch — a gate that first pulled all of |Q| to
+        # the driver to decide |Q| is too big would defeat itself.
+        max_q = budget // max(1, len(cent_rows) * dim)
+        q_rows = (queries.select(query_id, queries_vec)
+                  .limit(max_q + 1).collect()) if max_q > 0 else []
+        if q_rows and len(q_rows) <= max_q:
+            pairs = []
+            for qr in q_rows:
+                ranked = sorted(
+                    ((cosine_py(qr[queries_vec], cr["centroid"]),
+                      cr["centroid_id"])
+                     for cr in cent_rows),
+                    key=lambda t: (-t[0], t[1]))
+                pairs.extend(
+                    (qr[query_id], cid) for _, cid in ranked[:nprobe])
+            probed_cells = sorted({c for _, c in pairs})
+        elif not q_rows and max_q > 0:
+            # empty query batch, proven by the capped collect — the empty
+            # relation is the correct result; skip the Spark ranking job
+            pairs, probed_cells = [], []
+        else:
+            # scale fallback: identical ranking as a Spark job — the
+            # Catalyst kernel is cosine_py's bit-exact twin and the order
+            # (score desc, centroid_id asc) matches, so the probe pairs
+            # are the ones the Python loop would produce. The winner pair
+            # relation STAYS a DataFrame (checkpointed — it feeds both
+            # the distinct-cells pull and the candidate join;
+            # unmaterialized, the ranking would run twice). What the gate
+            # bounds is driver CPU: the single-threaded |C| * |Q| * dim
+            # ranking loop never runs above budget, and the only
+            # driver-side RESULT materialization is the distinct probed
+            # cells (≤ |C|) pulled for partition pruning. It does NOT
+            # bound broadcast memory — F.broadcast(pair_df) below still
+            # builds the |Q| * nprobe pair relation through the driver
+            # (as any broadcast does), and F.broadcast(queries) ships the
+            # query batch, both inherent to the broadcast-join plan shape
+            # (a request working set, not a data-scale relation).
+            from go_simple_embedding_database_spark.operators.topk import (
+                batch_topk)
+            pair_df = batch_topk(
+                centroids_df, queries.select(query_id, queries_vec),
+                nprobe, records_vec="centroid", queries_vec=queries_vec,
+                query_id=query_id, tie_break=["centroid_id"],
+                records_id="centroid_id", attach_payload=False) \
+                .select(query_id, F.col("centroid_id").alias("cell")) \
+                .localCheckpoint(eager=False)
+            probed_cells = sorted(
+                r.cell for r in pair_df.select("cell").distinct().collect())
     # Empty probe set (empty query batch OR empty index): isin([]) is
     # unbuildable; the empty relation is the correct result either way.
     cell_filter = (F.col("cell").isin(probed_cells) if probed_cells

@@ -93,11 +93,14 @@ depth (sample stream +
         # deterministic, and frame 0 is the thumbnail convention.
         w, h, frames = codecs.decode_avi_mjpeg(payload)
         first = codecs.decode_image(frames[0])
+        # duration from the avih frame period × the TRUE movi frame count
+        # (the header's dwTotalFrames lies more often than movi does)
+        usec = codecs.avi_frame_period_usec(payload)
         return {
             "width": int(w),
             "height": int(h),
             "n_frames": len(frames),
-            "duration_sec": None,
+            "duration_sec": len(frames) * usec / 1e6 if usec else None,
             "codec": "MJPG",
             "feature": codecs.image_feature(first, FEATURE_DIM),
         }
@@ -107,13 +110,15 @@ depth (sample stream +
         # bounded to ONE frame — a 10,000-frame animation costs one
         # frame of pixel work, not 10,000 (count/decode parity pinned
         # in tests/test_codecs_gif.py)
-        n = codecs.gif_frame_count(payload)
+        n, duration = codecs.gif_scan(payload)
         w, h, frames = codecs.decode_gif(payload, max_frames=1)
         return {
             "width": int(w),
             "height": int(h),
             "n_frames": n,
-            "duration_sec": None,
+            # sum of GCE delays from the same O(bytes) walk as the frame
+            # count; None for static GIFs (no GCE delay present)
+            "duration_sec": duration,
             "codec": None,
             "feature": codecs.image_feature(frames[0], FEATURE_DIM),
         }
@@ -246,9 +251,13 @@ def frame_sample_plan(df: DataFrame, every_nth: int = 10) -> DataFrame:
     decoded = decode_media(df)
     # Only VIDEO rows have frames to sample — without the modality filter
     # every image (n_frames=1) and audio row would expand into fake frame
-    # rows for the downstream extractor.
+    # rows for the downstream extractor. n_frames must be > 0, not merely
+    # non-NULL: a spec-legal MP4 with stsz sample_count=0 parses to
+    # n_frames=0, and sequence(0, -1, every_nth) would kill the whole job
+    # with IllegalArgumentException — one empty track must not end a
+    # 100 TB scan.
     return (decoded
-            .filter((F.col("modality") == "video") & F.col("n_frames").isNotNull())
+            .filter((F.col("modality") == "video") & (F.col("n_frames") > 0))
             .select(
                 "media_id",
                 F.explode(

@@ -293,6 +293,14 @@ def test_ivf_index_empty_source_queries_empty(spark, embeddings, tmp_path):
                        F.col("embedding").cast("array<double>")
                        .alias("query_embedding"))
     assert ann.ivf_query_index_batch(spark, path, qset, 5).count() == 0
+    # NON-empty batch against the empty index: the short-circuit decides
+    # "nothing probeable" from |C| = 0 alone — before the capped query
+    # collect, which with |C| = 0 would degenerate to max_q = budget and
+    # pull the whole batch just to return nothing (ADVICE r05)
+    live = embeddings.select(F.col("vec_id").alias("query_id"),
+                             F.col("embedding").cast("array<double>")
+                             .alias("query_embedding")).limit(7)
+    assert ann.ivf_query_index_batch(spark, path, live, 5).count() == 0
 
 
 def test_quantized_index_empty_source_queries_empty(spark, embeddings,

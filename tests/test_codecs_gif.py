@@ -198,13 +198,45 @@ class TestGifFrameCount:
             codecs.gif_frame_count(gif[: gif.find(b"\x2c") + 3])
 
 
+class TestGifDuration:
+    """gif_scan's duration: sum of GCE delay fields (GIF89a §23,
+    centiseconds) in the SAME O(bytes) walk as the frame count — the
+    mp3/mp4 metadata contract applied to GIF (VERDICT r05 #6)."""
+
+    def test_known_delays_sum(self):
+        imgs = [_quantized(5, 5, seed=s) for s in range(4)]
+        n, dur = codecs.gif_scan(codecs.encode_gif(imgs, delay_cs=25))
+        assert (n, dur) == (4, 1.0)                 # 4 × 250 ms
+
+    def test_delay_zero_is_zero_not_none(self):
+        # delay=0 GCEs are present → duration 0.0 ("as fast as possible"),
+        # distinct from a GIF with no GCE at all
+        _, dur = codecs.gif_scan(codecs.encode_gif([_quantized(4, 4)] * 2))
+        assert dur == 0.0
+
+    def test_no_gce_is_none(self):
+        # strip the 8-byte delay-0 GCEs -> structurally valid GIF with no
+        # GCE (the GIF87a shape): duration must be None, not 0.0
+        gif = codecs.encode_gif([_quantized(4, 4)])
+        bare = gif.replace(b"\x21\xf9\x04\x00\x00\x00\x00\x00", b"")
+        assert len(bare) == len(gif) - 8
+        n, dur = codecs.gif_scan(bare)
+        assert (n, dur) == (1, None)
+
+    def test_count_matches_frame_count(self):
+        gif = codecs.encode_gif([_quantized(6, 6, seed=s) for s in range(3)],
+                                delay_cs=10)
+        assert codecs.gif_scan(gif)[0] == codecs.gif_frame_count(gif)
+
+
 class TestMultimodalWiring:
     def test_decode_payload_gif(self):
         from go_simple_embedding_database_spark.operators.multimodal import (
             _decode_payload)
         imgs = [_quantized(10, 12, seed=s) for s in range(5)]
-        out = _decode_payload(codecs.encode_gif(imgs), "video")
+        out = _decode_payload(codecs.encode_gif(imgs, delay_cs=8), "video")
         assert (out["width"], out["height"], out["n_frames"]) == (12, 10, 5)
+        assert out["duration_sec"] == pytest.approx(0.4)   # 5 × 80 ms
         assert out["feature"] == codecs.image_feature(imgs[0], 16)
 
     def test_extract_frames_gif(self, spark):

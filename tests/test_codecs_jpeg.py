@@ -260,12 +260,25 @@ class TestAviMjpeg:
             codecs.encode_avi_mjpeg([np.zeros((8, 8, 3), dtype=np.uint8),
                                      np.zeros((16, 8, 3), dtype=np.uint8)])
 
+    def test_frame_period_header_only(self):
+        avi = codecs.encode_avi_mjpeg(_frames(3), fps=25)
+        assert codecs.avi_frame_period_usec(avi) == 40_000     # 1e6/25
+        # zeroed period (unset muxer field) -> None, not duration 0
+        z = bytearray(avi)
+        i = z.find(b"avih") + 8
+        z[i : i + 4] = b"\x00\x00\x00\x00"
+        assert codecs.avi_frame_period_usec(bytes(z)) is None
+        with pytest.raises(ValueError):
+            codecs.avi_frame_period_usec(b"not an avi")
+
     def test_decode_payload_video_is_real(self):
         from go_simple_embedding_database_spark.operators.multimodal import (
             _decode_payload)
-        avi = codecs.encode_avi_mjpeg(_frames(12), quality=90)
+        avi = codecs.encode_avi_mjpeg(_frames(12), fps=10, quality=90)
         out = _decode_payload(avi, "video")
         assert (out["width"], out["height"], out["n_frames"]) == (32, 24, 12)
+        # duration = true movi frame count x avih frame period (r05 #8)
+        assert out["duration_sec"] == pytest.approx(1.2)
         # feature = first frame's luma grid, matching the direct compute
         _, _, jpegs = codecs.decode_avi_mjpeg(avi)
         direct = codecs.image_feature(codecs.decode_image(jpegs[0]), 16)

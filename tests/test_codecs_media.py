@@ -343,6 +343,21 @@ class TestEdgeCases:
                       frame_sample_plan(df, every_nth=50).collect())
         assert rows == [0, 50, 100]                # stsz n_samples = 150
 
+    def test_frame_sample_plan_skips_zero_sample_track(self, spark):
+        """A spec-legal MP4 whose stsz declares sample_count=0 parses to
+        n_frames=0; frame_sample_plan must DROP that row (nothing to
+        sample) rather than evaluate sequence(0, -1, n) and kill the
+        whole job with IllegalArgumentException (ADVICE r05 medium)."""
+        from go_simple_embedding_database_spark.operators.multimodal import (
+            frame_sample_plan)
+        df = spark.createDataFrame(
+            [("empty", "video", bytearray(mp4_fixture(trak(n_samples=0)))),
+             ("ok", "video", bytearray(mp4_fixture()))],
+            "media_id string, modality string, payload binary")
+        rows = frame_sample_plan(df, every_nth=50).collect()
+        assert sorted({r.media_id for r in rows}) == ["ok"]
+        assert sorted(r.frame_no for r in rows) == [0, 50, 100]
+
 
 class TestQuarantineContractFuzz:
     """The quarantine contract, fuzzed: whatever bytes arrive, the

@@ -9,52 +9,34 @@ inside the gate's 50-entry window."""
 
 import __spark_entry__ as em
 
-# The only queries allowed to run rows-only (no DuckDB oracle), each with
-# a documented reason and a compensating in-repo check.
-ROWS_ONLY_BY_DESIGN = {
-    "approx_distinct_users",  # HLL sketch values are engine-specific;
-                              # error bound pinned in test_oracle_parity
-}
+# The only queries allowed to run rows-only (no DuckDB oracle). Round 6
+# emptied the set: approx_distinct_users now exports (exact count,
+# bounded-error verdict) instead of the engine-specific sketch value, so
+# it carries a full DuckDB oracle (VERDICT r05 #2).
+ROWS_ONLY_BY_DESIGN = set()
 
-# Round-5 window (VERDICT r04 #1, carried from r03 #1): rotate
-# oldest-official-row-first. These 41 queries' newest official
-# CORRECTNESS row dates from r01/r02 — they sat in the tail through the
-# byte-identical r03/r04 windows — so every one MUST sit inside the r05
-# window to land a fresh official row.
-STALE_OFFICIAL_R01_R02 = {
-    "ingest_embed", "dedup_exact", "approx_distinct_users", "crud_query",
-    "text_language_id", "dedup_minhash", "dedup_winnow", "dedup_cosine",
-    "embedding_centroids", "user_event_pivot", "bucketed_join_revenue",
-    "ingest_violations", "text_stats", "text_quality", "events_asof",
-    "topk_small_collection", "events_range_join", "ann_lsh_join",
-    "multimodal_metadata", "events_salted_agg", "revenue_rollup",
-    "top_orders_per_customer", "events_windowed", "text_chunks",
-    "events_sessionize", "point_lookup", "collections_catalog",
-    "record_pretty", "source_length_stats", "pricing_summary",
-    "segment_revenue", "set_ops_customers", "semi_anti_customers",
-    "user_moving_avg", "order_percentiles", "cube_revenue",
-    "train_split_counts", "promo_revenue", "events_json_props",
-    "monthly_revenue_growth", "shipping_priority",
-}
-
-# Queries whose implementation / oracle / library dependency changes in
-# round 5 — every one MUST sit inside the gate window so this round's
-# CORRECTNESS file records it.
-CHANGED_ROUND5 = {
+# Queries whose implementation / oracle changes in round 6 — every one
+# MUST sit inside the gate window so this round's CORRECTNESS file
+# records it.
+CHANGED_ROUND6 = {
     "gate_canary",            # gate-normalization canary, always first
-    "multimodal_decode",      # MP3/MP4/GIF-frame-count routing wired in
-    "ann_recall",             # ivf_query_index_batch scale gate +
-                              # cosine_py length-mismatch errors
+    "multimodal_decode",      # GIF duration_sec (GCE delays), AVI
+                              # duration (avih period), frame_sample_plan
+                              # n_frames>0 guard
+    "approx_distinct_users",  # restructured: bounded-error verdict
+                              # column + new DuckDB oracle
     # freshness fill-ins (implementations unchanged this round; they
-    # complete the 50-slot window from the similarity family):
-    "ann_ivf", "ann_quantized", "batch_topk", "topk_cosine",
-    "cosine_kernel_pairs",
-    "dedup_containment",      # fresh row for the re-measured direct join
+    # complete the 50-slot window):
+    "multimodal_metadata", "ann_recall", "topk_cosine",
+    "ingest_embed",           # r05 noise-suspect timing under A/B
+    "dedup_containment",      # df-cutoff sweep lands in SCALE.json
+    "crud_query",
 }
 
-# Green in BOTH the r03 AND r04 official gates on byte-identical
-# implementations. Only these may sit outside the round-5 window.
-OFFICIAL_R03_R04_UNCHANGED = {
+# Round-6 rotation (standing policy, VERDICT r05 #1): these 41 queries'
+# newest official CORRECTNESS row dates from r04 (they were the r05
+# tail) — every one MUST sit inside the r06 window for a fresh row.
+STALE_OFFICIAL_R04 = {
     "corpus_upsert", "events_rolling_7d", "pack_sequences",
     "token_budget", "kmeans_cells", "span_dedup", "dedup_simhash_pairs",
     "dedup_simhash", "split_contamination", "pii_scrub",
@@ -70,8 +52,26 @@ OFFICIAL_R03_R04_UNCHANGED = {
     "quality_unigram", "incremental_dedup", "weighted_sample",
 }
 
+# Green in the r05 official gate on byte-identical implementations.
+# Only these may sit outside the round-6 window.
+OFFICIAL_R05_UNCHANGED = {
+    "dedup_exact", "text_language_id", "dedup_minhash", "dedup_winnow",
+    "dedup_cosine", "embedding_centroids", "user_event_pivot",
+    "bucketed_join_revenue", "ingest_violations", "text_stats",
+    "text_quality", "events_asof", "topk_small_collection",
+    "events_range_join", "ann_lsh_join", "events_salted_agg",
+    "revenue_rollup", "top_orders_per_customer", "events_windowed",
+    "text_chunks", "events_sessionize", "point_lookup",
+    "collections_catalog", "record_pretty", "source_length_stats",
+    "pricing_summary", "segment_revenue", "set_ops_customers",
+    "semi_anti_customers", "user_moving_avg", "order_percentiles",
+    "cube_revenue", "train_split_counts", "promo_revenue",
+    "events_json_props", "monthly_revenue_growth", "shipping_priority",
+    "ann_ivf", "ann_quantized", "batch_topk", "cosine_kernel_pairs",
+}
+
 # Everything that must be inside the 50-slot window this round.
-WINDOW_ROUND5 = STALE_OFFICIAL_R01_R02 | CHANGED_ROUND5
+WINDOW_ROUND6 = STALE_OFFICIAL_R04 | CHANGED_ROUND6
 
 
 def test_every_query_has_an_oracle_or_documented_exemption():
@@ -84,13 +84,13 @@ def test_every_query_has_an_oracle_or_documented_exemption():
 
 def test_declared_sets_cover_the_surface_exactly():
     q = set(em.queries())
-    declared = WINDOW_ROUND5 | OFFICIAL_R03_R04_UNCHANGED
+    declared = WINDOW_ROUND6 | OFFICIAL_R05_UNCHANGED
     assert declared == q, (
         f"undeclared queries: {q - declared} / stale declarations: "
         f"{declared - q}")
-    assert not (WINDOW_ROUND5 & OFFICIAL_R03_R04_UNCHANGED), (
+    assert not (WINDOW_ROUND6 & OFFICIAL_R05_UNCHANGED), (
         "a query cannot be both in-window and tail-green")
-    assert not (STALE_OFFICIAL_R01_R02 & CHANGED_ROUND5), (
+    assert not (STALE_OFFICIAL_R04 & CHANGED_ROUND6), (
         "a query cannot be both stale-rotated and changed")
 
 
@@ -100,21 +100,21 @@ def test_window_queries_sit_inside_the_gate_window():
     official row."""
     names = list(em.queries().keys())
     window = set(names[:50])
-    outside = WINDOW_ROUND5 - window
+    outside = WINDOW_ROUND6 - window
     assert not outside, (
         f"required queries fall outside the 50-entry window: "
         f"{sorted(outside)}")
 
 
 def test_tail_queries_all_have_fresh_official_rows():
-    """After the r05 rotation no query's newest official row may be
-    older than r03 — the tail must consist solely of queries green in
-    the r03/r04 gates on byte-identical code."""
+    """After the r06 rotation no query's newest official row may be
+    older than r05 — the tail must consist solely of queries green in
+    the r05 gate on byte-identical code."""
     names = list(em.queries().keys())
     tail = set(names[50:])
-    unofficial = tail - OFFICIAL_R03_R04_UNCHANGED
+    unofficial = tail - OFFICIAL_R05_UNCHANGED
     assert not unofficial, (
-        f"queries whose newest official row predates r03 fall outside "
+        f"queries whose newest official row predates r05 fall outside "
         f"the 50-entry window: {sorted(unofficial)}")
 
 
@@ -155,6 +155,6 @@ def test_window_marker_is_exact():
     names = list(em.queries().keys())
     assert names[0] == "gate_canary"
     for i, n in enumerate(names):
-        if n in WINDOW_ROUND5:
+        if n in WINDOW_ROUND6:
             assert i < 50, f"{n} (required) at index {i} — outside the gate"
-    assert names[50] in OFFICIAL_R03_R04_UNCHANGED
+    assert names[50] in OFFICIAL_R05_UNCHANGED

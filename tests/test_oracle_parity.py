@@ -58,11 +58,13 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 def test_approx_distinct_error_bound(spark):
-    """The rows-only HLL query: every group's sketch estimate must land
-    within 10% of the exact count at rsd=0.02 (generous bound — the HLL++
-    guarantee is probabilistic)."""
+    """Every group's HLL++ estimate must land within 10% of the exact
+    count at rsd=0.02 (generous bound — the guarantee is probabilistic).
+    Since round 6 the query EXPORTS this verdict (within_10pct), so the
+    official gate's hash-match is the same assertion; this twin keeps the
+    failure message local and also pins non-empty groups."""
     rows = entry_mod.queries()["approx_distinct_users"](spark, SF_DIR).collect()
-    assert rows and all(r.rel_err <= 0.10 for r in rows)
+    assert rows and all(r.within_10pct == 1 for r in rows)
     assert all(r.n_exact > 0 for r in rows)
 
 

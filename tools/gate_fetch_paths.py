@@ -21,23 +21,18 @@ green. Run:
     python tools/gate_fetch_paths.py            # sf0.01, full surface
 
 Known result (recorded in FETCHCHECK.json): fetchall and arrow agree
-with Spark on all 90 oracle-checked queries. The pandas path diverges on
-exactly 5 — ``events_asof`` / ``user_moving_avg`` / ``monthly_revenue_
-growth`` (a nullable BIGINT/DOUBLE output column: pandas widens to
-float64 and turns SQL NULL into NaN, which no value-normalization can
-un-conflate with a real NaN), ``incremental_revenue`` (DATE →
-datetime64[ns] Timestamp, which string-normalizes with a time part),
-and ``gate_canary`` — BY DESIGN: its null_int and date probes carry
-exactly these two hazards so a pandas-fetching gate is identifiable
-from the canary row alone in the official CORRECTNESS file. The others
-are pandas CLIENT conversions, not engine disagreements; all four hold
-green official gate rows (r01/r02), which proves the driver does not
-fetch through pandas. The divergences are kept visible here rather
-than papered over by contorting the queries (an as-of join whose
-unmatched rows can't be NULL stops demonstrating unmatched handling).
-If a future round shows these flipping to hash_match=false together,
-the driver switched to a pandas fetch and the fix is NULL-free/
-date-free output columns, not arithmetic.
+with Spark on all 91 oracle-checked queries (approx_distinct_users
+gained its bounded-error oracle in round 6). The pandas path diverges
+on exactly the 5 queries in ``KNOWN_PANDAS_DIVERGENCES`` below — each
+named in the artifact with the reason its divergence is accepted
+(VERDICT r05 #5). They are pandas CLIENT conversions, not engine
+disagreements; all hold green official gate rows, which proves the
+driver does not fetch through pandas. The divergences are kept visible
+here rather than papered over by contorting the queries (an as-of join
+whose unmatched rows can't be NULL stops demonstrating unmatched
+handling). If a future round shows these flipping to hash_match=false
+together, the driver switched to a pandas fetch and the fix is
+NULL-free/date-free output columns, not arithmetic.
 """
 
 from __future__ import annotations
@@ -84,6 +79,36 @@ def _norm_np(v):
     return _norm(v)
 
 
+# Accepted pandas-path divergences, each with the reason it is ALLOWED
+# to differ (VERDICT r05 #5: the artifact itself must carry the names and
+# reasons, not just a count). These are CLIENT conversions in the pandas
+# fetch path, not engine disagreements — fetchall/arrow stay green, and
+# each query holds a green official gate row, proving the driver does not
+# fetch through pandas. Any divergence NOT in this dict is recorded as
+# unexplained and must be investigated.
+KNOWN_PANDAS_DIVERGENCES: dict[str, str] = {
+    "gate_canary": (
+        "BY DESIGN: the canary's null_int and date probes carry exactly "
+        "the two pandas hazards (NULL->NaN widening, DATE->Timestamp) so "
+        "a pandas-fetching gate is identifiable from the canary row alone "
+        "in the official CORRECTNESS file."),
+    "events_asof": (
+        "nullable BIGINT/DOUBLE output column (unmatched as-of rows): "
+        "pandas widens to float64 and turns SQL NULL into NaN, which no "
+        "value-normalization can un-conflate with a real NaN. Making the "
+        "column NULL-free would stop demonstrating unmatched handling."),
+    "user_moving_avg": (
+        "nullable numeric output column: pandas NULL->NaN float64 "
+        "widening, same client conversion as events_asof."),
+    "monthly_revenue_growth": (
+        "nullable numeric output column (first month has no prior-month "
+        "growth): pandas NULL->NaN float64 widening."),
+    "incremental_revenue": (
+        "DATE output column: pandas converts to datetime64[ns] Timestamp, "
+        "which string-normalizes with a spurious midnight time part."),
+}
+
+
 def main() -> None:
     import duckdb
 
@@ -122,6 +147,9 @@ def main() -> None:
         report[name] = verdicts
         if not all(verdicts.values()):
             bad += 1
+            verdicts["reason"] = KNOWN_PANDAS_DIVERGENCES.get(
+                name, "UNEXPLAINED — not an accepted pandas client "
+                      "conversion; investigate before shipping")
             print(f"DIVERGES {name}: {verdicts}", flush=True)
         else:
             print(f"ok {name}", flush=True)
@@ -133,8 +161,13 @@ def main() -> None:
         if not (verdicts["fetchall"] and verdicts["arrow"]):
             hard_bad.append(name)
 
+    divergent = {n: v["reason"] for n, v in report.items() if "reason" in v}
     out = {"sf_dir": SF_DIR, "n_queries": len(report),
            "n_divergent": bad, "n_exact_path_divergent": len(hard_bad),
+           # headline summary: every divergent query named with the reason
+           # its pandas-path difference is accepted (or UNEXPLAINED)
+           "divergent": divergent,
+           "n_unexplained": sum("UNEXPLAINED" in r for r in divergent.values()),
            "results": report}
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "FETCHCHECK.json")

@@ -65,17 +65,31 @@ def main() -> int:
         env = {**os.environ, **extra_env}
         t0 = time.time()
         print(f"== {name} ({' '.join(argv[1:])}) ==", flush=True)
-        proc = subprocess.run(argv, cwd=ROOT, env=env,
-                              stdout=subprocess.DEVNULL,
-                              stderr=subprocess.DEVNULL)
+        # Capture output to a per-step log (NOT devnull: a failed step
+        # must leave diagnostics — ADVICE r05) and print the tail on
+        # failure. Steps stay quiet on success; the logs live under
+        # /tmp so they never pollute the repo.
+        log_path = os.path.join("/tmp", f"refresh_{name}.log")
+        with open(log_path, "wb") as log:
+            proc = subprocess.run(argv, cwd=ROOT, env=env,
+                                  stdout=log, stderr=subprocess.STDOUT)
         dt = time.time() - t0
         path = os.path.join(ROOT, artifact)
         fresh = os.path.exists(path) and os.path.getmtime(path) >= t0
         status = ("ok" if proc.returncode == 0 and fresh
                   else f"FAILED (rc={proc.returncode}, fresh={fresh})")
-        print(f"   {status} in {dt:.0f}s -> {artifact}", flush=True)
+        print(f"   {status} in {dt:.0f}s -> {artifact}  [log: {log_path}]",
+              flush=True)
         if "FAILED" in status:
             failures.append(name)
+            try:
+                with open(log_path, "rb") as f:
+                    tail = f.read()[-4000:].decode("utf-8", "replace")
+                print(f"---- {name} output tail ----\n{tail}\n"
+                      f"---- end {name} tail ----", file=sys.stderr)
+            except OSError as e:
+                print(f"   (could not read {log_path}: {e})",
+                      file=sys.stderr)
     if failures:
         print(f"FAILED steps: {failures}", file=sys.stderr)
         return 1

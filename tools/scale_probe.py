@@ -185,6 +185,72 @@ def _deep_scan_flagships():
         {"semantic_gemm_cells": semantic_gemm}
 
 
+def _containment_sweep(spark, dirs, cutoffs=(25, 50, 100, 200),
+                       threshold=0.5):
+    """df-cutoff headroom sweep for containment_pairs (VERDICT r05 #4):
+    the family's worst 100x scaler runs in a LINEAR join-volume regime at
+    the fixed default cutoff — this measures, per corpus scale and per
+    cutoff, the three quantities that bound it instead of asserting them:
+
+    - ``join_volume``: Σ_{g: df(g) <= c} df(g)² — the self-join's exact
+      candidate-pair count, computed from one gram-df aggregation;
+    - ``pairs`` + ``sec``: output volume and wall time (ONE timed run per
+      cutoff — the sweep exposes regime changes, not 10% noise; the
+      default cutoff's best-of-2 lives in pair_results). The timed sink
+      is a parquet write (the pair sets feed the recall join below), so
+      sweep times are comparable within the sweep, not with pair_results;
+    - ``recall_vs_df<max>``: fraction of the most-permissive cutoff's
+      pairs recovered at cutoff c — what the cutoff COSTS, so the
+      volume/recall trade as the corpus grows is on the record.
+    """
+    from pyspark.sql import functions as F
+
+    from go_simple_embedding_database_spark.functions.text import shingles
+    from go_simple_embedding_database_spark.operators.dedup import (
+        containment_pairs)
+
+    ref_c = max(cutoffs)
+    out = {"cutoffs": list(cutoffs), "threshold": threshold,
+           "timed_runs": 1, "note": "timed sink = parquet write"}
+    for label, d in dirs:
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        dfs = (docs.select(F.explode(shingles(F.col("text"), 3)).alias("_g"))
+               .groupBy("_g").agg(F.count("*").alias("_df")))
+        vol = dfs.agg(*[
+            F.sum(F.when(F.col("_df") <= c, F.col("_df") * F.col("_df")))
+            .alias(f"v{c}") for c in cutoffs]).collect()[0]
+        entry = {}
+        scratch = tempfile.mkdtemp(prefix="gsed_cont_sweep_")
+        try:
+            for c in cutoffs:
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
+                t0 = time.perf_counter()
+                (containment_pairs(docs, threshold=threshold, max_df=c)
+                 .write.mode("overwrite").parquet(f"{scratch}/c{c}"))
+                dt = time.perf_counter() - t0
+                entry[f"cutoff_{c}"] = {
+                    "sec": round(dt, 3),
+                    "pairs": spark.read.parquet(f"{scratch}/c{c}").count(),
+                    "join_volume": int(vol[f"v{c}"] or 0),
+                }
+            ref = spark.read.parquet(f"{scratch}/c{ref_c}")
+            ref_n = ref.count()
+            for c in cutoffs:
+                inter = (spark.read.parquet(f"{scratch}/c{c}")
+                         .join(ref.select("id_a", "id_b"), ["id_a", "id_b"])
+                         .count())
+                entry[f"cutoff_{c}"][f"recall_vs_df{ref_c}"] = (
+                    round(inter / ref_n, 4) if ref_n else None)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+        out[label] = entry
+        print(f"containment_sweep {label}: "
+              + " ".join(f"df<={c}: {entry[f'cutoff_{c}']}" for c in cutoffs),
+              flush=True)
+    return out
+
+
 def _synthesize_events(spark, out_dir: str) -> None:
     """10x events: user_id and event_id offset per replica, timestamps and
     per-user histories untouched — 10x the users, identical per-user
@@ -356,6 +422,11 @@ def main() -> None:
             pair_results[name][dkey] = rec[dlabel]
             pair_results[name][f"ratio_{dkey}"] = rec[f"ratio_{dlabel}"]
             pair_results[name][f"rows_{dkey}"] = rec[f"rows_{dlabel}"]
+        # df-cutoff headroom sweep on the same disjoint corpora
+        # (VERDICT r05 #4) — measures, per scale, the join volume /
+        # output / recall trade as the cutoff moves around the default.
+        containment_sweep = _containment_sweep(
+            spark, [(f"{REPLICAS}x", s10), (dlabel, s100)])
     finally:
         shutil.rmtree(s1, ignore_errors=True)
         shutil.rmtree(s10, ignore_errors=True)
@@ -381,7 +452,8 @@ def main() -> None:
     out = {"replicas": REPLICAS, "deep_replicas": DEEP_REPLICAS,
            "runs": {"default": 3, "deep": 2},
            "results": results, "event_results": event_results,
-           "pair_results": pair_results, "deep_results": deep_results}
+           "pair_results": pair_results, "deep_results": deep_results,
+           "containment_sweep": containment_sweep}
     print(json.dumps(out))
     # In-repo auditable artifact, same pattern as SELFCHECK/FETCHCHECK.
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
