@@ -119,6 +119,15 @@ def main() -> None:
         "n_runs_max": _N_RUNS,
         "no_retry_sec": _NO_RETRY_SEC,
         "n_runs_per_query": {n: len(r) for n, r in all_runs.items()},
+        # VERDICT r05 #3 A/B verdict (see ABCHECK.json for the raw runs):
+        # the r04->r05 'regressions' on snapshot_diff (0.35->0.77) and
+        # ingest_embed (0.61->0.95) re-measured at median-of-9 steady
+        # state 0.69 / 0.61 s on code byte-identical since r04 — pure
+        # measurement variance (r04's single-shots were lucky draws,
+        # r05's medians included cold first runs), not a regression.
+        "ab_commentary": "snapshot_diff/ingest_embed r05 deltas = noise; "
+                         "ABCHECK.json median-of-9: 0.69/0.61 s, code "
+                         "unchanged since r04",
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
     }
