@@ -2264,6 +2264,39 @@ def _oracle_dedup_containment() -> str:
             f"FROM ({inner}) _c")
 
 
+def _q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation duplicates: a's full text is a proper character prefix
+    of b's (feed truncation / crawler byte limits — exact-hash dedup
+    misses these entirely). Bucketed on the first-64-chars key with a
+    max_bucket boilerplate guard; per-bucket join fanout <= max_bucket²
+    (operators/dedup.py:prefix_truncation_pairs)."""
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    return dd.prefix_truncation_pairs(_docs_par(spark, sf_dir),
+                                      min_len=64, max_bucket=50)
+
+
+def _oracle_dedup_prefix() -> str:
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    return dd.prefix_truncation_pairs_sql("documents", "text", "doc_id",
+                                          min_len=64, max_bucket=50)
+
+
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: fraction of a doc's distinct 3-gram
+    shingles first seen (min doc_id) in that doc — the marginal-
+    contribution score for curriculum ordering / dedup-aware sampling
+    (operators/retrieval.py:ngram_novelty)."""
+    from go_simple_embedding_database_spark.operators.retrieval import (
+        ngram_novelty)
+    return ngram_novelty(_docs_par(spark, sf_dir), n=3)
+
+
+def _oracle_ngram_novelty() -> str:
+    from go_simple_embedding_database_spark.operators.retrieval import (
+        ngram_novelty_sql)
+    return ngram_novelty_sql("documents", "text", "doc_id", n=3)
+
+
 def _q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: near-dup clusters (the verified
     Jaccard pairs → connected components) are split as UNITS — the md5
@@ -2966,16 +2999,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
            multimodal_decode (GIF duration_sec from GCE delays, AVI
            duration from the avih frame period, frame_sample_plan's
            n_frames>0 guard) and approx_distinct_users (restructured to
-           export a bounded-error verdict and gain a DuckDB oracle);
+           export a bounded-error verdict and gain a DuckDB oracle) —
+           plus the 2 queries NEW in round 6: dedup_prefix (truncation-
+           duplicate pairs) and ngram_novelty (first-occurrence gram
+           attribution);
     (r6-b) the 41 queries whose newest official row dates from r04
            (they were the r05 tail) — rotated in so every official row
            is r05-or-newer;
-    (r6-c) 6 freshness fill-ins completing the 50-slot window:
-           multimodal_metadata + ann_recall + topk_cosine (the families
-           round 6 touched), ingest_embed (one of the two r05
-           noise-suspect timings being A/B'd), dedup_containment (its
-           df-cutoff sweep lands in SCALE.json this round), crud_query;
-    (tail) the 41 remaining queries — every one green in the r05
+    (r6-c) 4 freshness fill-ins completing the 50-slot window:
+           multimodal_metadata + ann_recall (the families round 6
+           touched), ingest_embed (one of the two r05 noise-suspect
+           timings A/B'd this round — ABCHECK.json), dedup_containment
+           (its df-cutoff sweep lands in SCALE.json this round);
+    (tail) the 43 remaining queries — every one green in the r05
            official gate on byte-identical code;
            tests/test_oracle_parity.py re-checks ALL entries every CI
            run regardless of the window, and tools/self_correctness.py
@@ -2983,9 +3019,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (r6-0) gate-normalization canary — permanently first in window
         "gate_canary": _q_gate_canary,
-        # (r6-a) changed this round
+        # (r6-a) changed / new this round
         "multimodal_decode": _q_multimodal_decode,
         "approx_distinct_users": _q_approx_distinct_users,
+        "dedup_prefix": _q_dedup_prefix,
+        "ngram_novelty": _q_ngram_novelty,
         # (r6-b) r04 official rows (the r05 tail), rotated in
         "corpus_upsert": _q_corpus_upsert,
         "events_rolling_7d": _q_events_rolling_7d,
@@ -3031,14 +3069,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r6-c) freshness fill-ins (implementations unchanged)
         "multimodal_metadata": _q_multimodal_metadata,
         "ann_recall": _q_ann_recall,
-        "topk_cosine": _q_topk_cosine,
         "ingest_embed": _q_ingest_embed,
         "dedup_containment": _q_dedup_containment,
-        "crud_query": _q_crud_query,
         # ---- gate window ends here (50 entries above; pinned by
         # tests/test_driver_contract.py::test_window_marker_is_exact) ----
         # (tail) green in the r05 official gate on byte-identical
         # implementations
+        "topk_cosine": _q_topk_cosine,
+        "crud_query": _q_crud_query,
         "dedup_exact": _q_dedup_exact,
         "text_language_id": _q_text_language_id,
         "dedup_minhash": _q_dedup_minhash,
@@ -3123,6 +3161,8 @@ def oracle_sql() -> dict[str, str]:
         # verdict), NOT the engine-specific sketch value — so the gate
         # hash-match IS the 10%-relative-error assertion (r05 #2).
         "approx_distinct_users": _ORACLE_APPROX_DISTINCT_USERS,
+        "dedup_prefix": _oracle_dedup_prefix(),
+        "ngram_novelty": _oracle_ngram_novelty(),
         "text_chunks": _oracle_text_chunks(),
         "events_sessionize": _ORACLE_EVENTS_SESSIONIZE,
         "dedup_keep": _ORACLE_DEDUP_KEEP,

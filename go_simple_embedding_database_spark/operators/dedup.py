@@ -1016,6 +1016,77 @@ WHERE CAST(_n_common AS DOUBLE) / _n_rare >= {threshold}
 """
 
 
+def prefix_truncation_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", min_len: int = 64,
+                            max_bucket: int = 50) -> DataFrame:
+    """Truncation duplicates: pairs (id_a, id_b) where a's FULL text is a
+    proper character prefix of b's — the training-data case of the same
+    article captured once complete and once cut off (feed truncation,
+    snippet extraction, a crawler's byte limit). Exact-hash dedup misses
+    these (different hashes) and shingle Jaccard under-scores them when
+    the tail dominates; containment catches quotation but pays an
+    inverted-index pass for what is, for pure truncation, a single
+    equi-join. No counterpart in the reference (544-LoC surface has no
+    dedup — SURVEY.md §2 extensions, like the rest of the family).
+
+    Scale shape (100 TB): bucket on the first ``min_len`` characters —
+    any (short, long) truncation pair shares that key because
+    len(short) >= min_len. One count-over-key window drops boilerplate
+    buckets with more than ``max_bucket`` members (the same
+    bounded-fanout role as containment's max_df: per-bucket join output
+    <= max_bucket², so total join volume is linear in corpus size at
+    fixed cutoff), then a self-equi-join on the key verifies the full
+    prefix with one dynamic-length substring comparison. Shuffles on the
+    key only — never all-pairs; docs shorter than ``min_len`` cannot
+    anchor a bucket and are excluded (a 3-char doc is a 'prefix' of half
+    the corpus — noise, not duplication).
+
+    Returns (id_a, id_b, len_a, len_b, prefix_frac): a's full length over
+    b's, i.e. how much of b the truncated copy retains."""
+    from pyspark.sql import Window
+
+    d = (df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+         .withColumn("_len", F.length("_t"))
+         .filter(F.col("_len") >= min_len)
+         .withColumn("_k", F.substring("_t", 1, min_len)))
+    keyed = (d.withColumn("_n", F.count("*").over(Window.partitionBy("_k")))
+             .filter(F.col("_n") <= max_bucket).drop("_n"))
+    a = keyed.select(F.col("_id").alias("id_a"), F.col("_t").alias("_ta"),
+                     F.col("_len").alias("len_a"), "_k")
+    b = keyed.select(F.col("_id").alias("id_b"), F.col("_t").alias("_tb"),
+                     F.col("_len").alias("len_b"), "_k")
+    return (a.join(b, "_k")
+            .filter((F.col("len_b") > F.col("len_a"))
+                    & (F.expr("substring(_tb, 1, len_a)") == F.col("_ta")))
+            .select("id_a", "id_b", "len_a", "len_b",
+                    F.round(F.col("len_a") / F.col("len_b"), 6)
+                    .alias("prefix_frac")))
+
+
+def prefix_truncation_pairs_sql(table: str = "documents",
+                                text_expr: str = "text",
+                                id_expr: str = "doc_id", min_len: int = 64,
+                                max_bucket: int = 50) -> str:
+    """DuckDB twin of ``prefix_truncation_pairs`` — identical key,
+    identical bucket cutoff, identical dynamic-length prefix check (both
+    engines' length/substring count CHARACTERS, pinned by the Unicode
+    probe rows)."""
+    return f"""
+WITH d AS (
+  SELECT {id_expr} AS _id, {text_expr} AS _t, length({text_expr}) AS _len,
+         substr({text_expr}, 1, {min_len}) AS _k
+  FROM {table} WHERE length({text_expr}) >= {min_len}),
+keyed AS (
+  SELECT * FROM (
+    SELECT d.*, count(*) OVER (PARTITION BY _k) AS _n FROM d) _b
+  WHERE _n <= {max_bucket})
+SELECT a._id AS id_a, b._id AS id_b, a._len AS len_a, b._len AS len_b,
+       round(CAST(a._len AS DOUBLE) / b._len, 6) AS prefix_frac
+FROM keyed a JOIN keyed b ON a._k = b._k
+WHERE b._len > a._len AND substr(b._t, 1, a._len) = a._t
+"""
+
+
 # -- duplicated token-span statistics -----------------------------------------
 
 def positional_spans(text: Column, n: int = 5) -> Column:

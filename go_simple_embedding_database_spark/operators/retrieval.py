@@ -190,3 +190,68 @@ SELECT d.{id_col},
 FROM (SELECT {id_col} FROM {table}) d
 LEFT JOIN per_doc p USING ({id_col})
 """
+
+
+def ngram_novelty(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    word n-gram shingles whose FIRST corpus occurrence (minimum id over
+    the documents containing the gram) is this document — a diversity /
+    marginal-contribution signal for curriculum ordering and dedup-aware
+    sampling (a doc of novelty 0 adds no gram the ids before it lack;
+    boilerplate scores near 0, fresh content near 1). Complements the
+    pairwise dedup family with a per-DOC score that needs no threshold.
+    No counterpart in the 544-LoC reference (SURVEY.md §2 extensions).
+
+    Scale shape (100 TB): explode distinct shingles (the exact recipe
+    MinHash/Jaccard/containment share — one tokenizer definition), one
+    hash aggregation per gram for min-id (map-side combinable: min), one
+    equi-join back on the gram key that REUSES the aggregation's
+    partitioning (no extra exchange — Catalyst sees both sides hashed on
+    _g), one per-doc aggregation. Nothing all-pairs, no windows over the
+    corpus, no driver materialization. Gram attribution is deterministic
+    (min id), so the score is stable under re-partitioning.
+
+    Returns (id_col, n_grams, novelty) — novelty rounded to 6 decimals
+    for cross-engine hash parity.
+    """
+    from go_simple_embedding_database_spark.functions.text import shingles
+
+    # A doc with zero words produces the degenerate empty shingle ''
+    # under Spark's shingles() short-doc rule, where the SQL twin's list
+    # comprehension produces no grams at all — drop it so empty /
+    # whitespace-only docs get NO novelty row in both engines (novelty
+    # of nothing is undefined, not 1.0). Non-empty word slices can never
+    # join to '', so no real gram is affected.
+    grams = (docs.select(F.col(id_col).alias("_id"),
+                         F.explode(shingles(F.col(text_col), n)).alias("_g"))
+             .filter(F.col("_g") != ""))
+    first = grams.groupBy("_g").agg(F.min("_id").alias("_first"))
+    return (grams.join(first, "_g")
+            .groupBy("_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum((F.col("_first") == F.col("_id")).cast("bigint"))
+                 .alias("_novel"))
+            .select(F.col("_id").alias(id_col), "n_grams",
+                    F.round(F.col("_novel").cast("double")
+                            / F.col("n_grams"), 6).alias("novelty")))
+
+
+def ngram_novelty_sql(table: str = "documents", text_expr: str = "text",
+                      id_expr: str = "doc_id", n: int = 3) -> str:
+    """DuckDB twin of ``ngram_novelty`` — identical gram recipe
+    (``shingles_sql``), identical min-id attribution, identical ratio."""
+    from go_simple_embedding_database_spark.functions.text import shingles_sql
+
+    sh = shingles_sql(text_expr, n)
+    return f"""
+WITH grams AS (
+  SELECT {id_expr} AS _id, unnest({sh}) AS _g FROM {table}),
+first AS (
+  SELECT _g, min(_id) AS _first FROM grams GROUP BY _g)
+SELECT _id AS {id_expr}, count(*) AS n_grams,
+       round(CAST(sum(CASE WHEN _first = _id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM grams JOIN first USING (_g)
+GROUP BY _id
+"""

@@ -4,8 +4,12 @@ decode_media's quarantine catch is ``except Exception``, so any raised
 taxonomy is contained — but a HANG (an offset loop that stops advancing)
 or a MemoryError (a size field trusted before bounds-checking) inside
 one Arrow batch would stall or kill a 100 TB decode job. Every trial
-runs under a SIGALRM budget; the only acceptable outcomes are success
-or a prompt exception."""
+runs under a CPU-time budget (ITIMER_VIRTUAL / SIGVTALRM, not wall
+clock: a co-tenant box stretching wall time must not fake a hang — the
+r06 full-suite run tripped the old SIGALRM wall budget exactly that way
+while three Spark sessions shared the machine; an infinite loop still
+burns CPU and fires the virtual timer). The only acceptable outcomes
+are success or a prompt exception."""
 
 import signal
 
@@ -47,7 +51,7 @@ def _seeds():
 def test_mutated_bytes_fail_fast_never_hang(fmt):
     seed = _seeds()[fmt]
     rng = np.random.default_rng(hash(fmt) % (2**32))
-    old = signal.signal(signal.SIGALRM,
+    old = signal.signal(signal.SIGVTALRM,
                         lambda *_: (_ for _ in ()).throw(_Timeout()))
     try:
         for t in range(TRIALS_PER_FORMAT):
@@ -61,7 +65,7 @@ def test_mutated_bytes_fail_fast_never_hang(fmt):
             else:                               # lying size field
                 off = int(rng.integers(0, max(1, len(p) - 4)))
                 p[off:off + 4] = b"\xff\xff\xff\x7f"
-            signal.setitimer(signal.ITIMER_REAL, PER_TRIAL_SEC)
+            signal.setitimer(signal.ITIMER_VIRTUAL, PER_TRIAL_SEC)
             try:
                 fn = codecs.decode_wav if fmt == "wav" else codecs.decode_image
                 fn(bytes(p))
@@ -74,6 +78,6 @@ def test_mutated_bytes_fail_fast_never_hang(fmt):
             except Exception:
                 pass                            # fail-fast is the contract
             finally:
-                signal.setitimer(signal.ITIMER_REAL, 0)
+                signal.setitimer(signal.ITIMER_VIRTUAL, 0)
     finally:
-        signal.signal(signal.SIGALRM, old)
+        signal.signal(signal.SIGVTALRM, old)

@@ -494,3 +494,73 @@ def test_cosine_neardup_gemm_ragged_block_matches_hof(spark):
     gemm = {(r.id_a, r.id_b) for r in dd.cosine_neardup_pairs_gemm(
         df, threshold=0.999, block_col="label").collect()}
     assert gemm == hof == {(1, 2), (3, 4)}
+
+
+class TestPrefixTruncationPairs:
+    """prefix_truncation_pairs: bucketed proper-prefix (truncation
+    duplicate) detection (operators/dedup.py)."""
+
+    def _pairs(self, spark, rows, **kw):
+        from go_simple_embedding_database_spark.operators.dedup import (
+            prefix_truncation_pairs)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {(r.id_a, r.id_b): (r.len_a, r.len_b, r.prefix_frac)
+                for r in prefix_truncation_pairs(df, **kw).collect()}
+
+    def test_planted_truncation_found(self, spark):
+        full = "w" * 20 + " " + "x" * 100          # 121 chars
+        out = self._pairs(spark, [(1, full[:80]), (2, full), (3, "y" * 200)])
+        assert set(out) == {(1, 2)}
+        assert out[(1, 2)] == (80, 121, round(80 / 121, 6))
+
+    def test_exact_equal_is_not_a_truncation_pair(self, spark):
+        t = "z" * 90
+        assert self._pairs(spark, [(1, t), (2, t)]) == {}
+
+    def test_short_docs_cannot_anchor(self, spark):
+        # the 10-char doc IS a prefix of the long one, but below min_len
+        # it cannot anchor a bucket (a tiny doc 'prefixes' half a corpus)
+        long = "a" * 300
+        assert self._pairs(spark, [(1, long[:10]), (2, long)]) == {}
+        assert self._pairs(spark, [(1, long[:10]), (2, long)],
+                           min_len=10) == {(1, 2): (10, 300, 0.033333)}
+
+    def test_boilerplate_bucket_dropped(self, spark):
+        # 4 docs share the 64-char key; max_bucket=3 drops the bucket
+        key = "b" * 64
+        rows = [(i, key + f" tail {i}" * i) for i in range(1, 5)]
+        rows.append((9, key))                       # the true short anchor
+        assert self._pairs(spark, rows, max_bucket=3) == {}
+        found = self._pairs(spark, rows, max_bucket=50)
+        assert (9, 1) in found and len(found) >= 4
+
+    def test_chain_a_prefix_b_prefix_c(self, spark):
+        t = "c" * 70
+        out = self._pairs(spark, [(1, t), (2, t + "dd"), (3, t + "ddee")])
+        assert set(out) == {(1, 2), (1, 3), (2, 3)}
+
+    def test_unicode_chars_not_bytes(self, spark):
+        # é is 2 UTF-8 bytes but ONE character: length/substring must
+        # agree char-wise with the DuckDB twin
+        t = "é" * 64
+        out = self._pairs(spark, [(1, t), (2, t + "xyz")])
+        assert out == {(1, 2): (64, 67, round(64 / 67, 6))}
+
+    def test_oracle_parity_inline(self, spark):
+        import duckdb
+
+        from go_simple_embedding_database_spark.operators.dedup import (
+            prefix_truncation_pairs, prefix_truncation_pairs_sql)
+        base = ("the same boilerplate header repeated across documents "
+                "for sixty four characters plus ")
+        rows = [(1, base + "alpha"), (2, base + "alpha beta"),
+                (3, base), (4, "unrelated " * 20), (5, "short")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        s = sorted((r.id_a, r.id_b, r.len_a, r.len_b, r.prefix_frac)
+                   for r in prefix_truncation_pairs(df).collect())
+        con = duckdb.connect()
+        con.sql("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        d = sorted(tuple(r) for r in con.sql(
+            prefix_truncation_pairs_sql("documents")).fetchall())
+        assert s == d and len(s) == 3               # 3->1, 3->2, 1->2

@@ -25,12 +25,13 @@ CHANGED_ROUND6 = {
                               # n_frames>0 guard
     "approx_distinct_users",  # restructured: bounded-error verdict
                               # column + new DuckDB oracle
+    "dedup_prefix",           # NEW: truncation-duplicate pairs
+    "ngram_novelty",          # NEW: first-occurrence gram attribution
     # freshness fill-ins (implementations unchanged this round; they
     # complete the 50-slot window):
-    "multimodal_metadata", "ann_recall", "topk_cosine",
+    "multimodal_metadata", "ann_recall",
     "ingest_embed",           # r05 noise-suspect timing under A/B
     "dedup_containment",      # df-cutoff sweep lands in SCALE.json
-    "crud_query",
 }
 
 # Round-6 rotation (standing policy, VERDICT r05 #1): these 41 queries'
@@ -55,6 +56,7 @@ STALE_OFFICIAL_R04 = {
 # Green in the r05 official gate on byte-identical implementations.
 # Only these may sit outside the round-6 window.
 OFFICIAL_R05_UNCHANGED = {
+    "topk_cosine", "crud_query",
     "dedup_exact", "text_language_id", "dedup_minhash", "dedup_winnow",
     "dedup_cosine", "embedding_centroids", "user_event_pivot",
     "bucketed_join_revenue", "ingest_violations", "text_stats",

@@ -99,3 +99,62 @@ def test_unigram_quality_shuffle_join_same_result(spark, tiny_docs, documents):
     b = sorted(map(tuple, unigram_quality(
         tiny_docs, broadcast_vocab=False).collect()))
     assert a == b
+
+
+class TestNgramNovelty:
+    """ngram_novelty: first-occurrence (min doc_id) gram attribution —
+    the per-doc marginal-contribution score (operators/retrieval.py)."""
+
+    def _novelty(self, spark, rows, n=3):
+        from go_simple_embedding_database_spark.operators.retrieval import (
+            ngram_novelty)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: (r.n_grams, r.novelty)
+                for r in ngram_novelty(df, n=n).collect()}
+
+    def test_known_attribution(self, spark):
+        # doc 1: grams {"a b c", "b c d"}; doc 2: {"a b c", "b c e"} —
+        # "a b c" first occurs in doc 1, so doc 2 contributes only
+        # "b c e": novelty 0.5
+        out = self._novelty(spark, [(1, "a b c d"), (2, "a b c e")])
+        assert out[1] == (2, 1.0)
+        assert out[2] == (2, 0.5)
+
+    def test_exact_duplicate_scores_zero(self, spark):
+        out = self._novelty(spark, [(1, "x y z w"), (2, "x y z w")])
+        assert out[1][1] == 1.0 and out[2][1] == 0.0
+
+    def test_attribution_is_min_id_not_input_order(self, spark):
+        # same corpus, rows listed high-id-first: attribution must not
+        # depend on partition/input order
+        out = self._novelty(spark, [(2, "a b c e"), (1, "a b c d")])
+        assert out[1][1] == 1.0 and out[2][1] == 0.5
+
+    def test_short_doc_single_shingle(self, spark):
+        # < n words: the full word sequence is the one shingle (the
+        # shared shingles() rule)
+        out = self._novelty(spark, [(1, "hello"), (2, "hello")])
+        assert out[1] == (1, 1.0) and out[2] == (1, 0.0)
+
+    def test_oracle_parity_inline(self, spark):
+        import duckdb
+
+        from go_simple_embedding_database_spark.operators.retrieval import (
+            ngram_novelty, ngram_novelty_sql)
+        rows = [(1, "the quick brown fox jumps"),
+                (2, "the quick brown fox sleeps"),
+                (3, "the quick brown fox jumps"),   # dup of 1
+                (4, "something else entirely new here"),
+                (5, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        s = sorted((r.doc_id, r.n_grams, r.novelty)
+                   for r in ngram_novelty(df).collect())
+        con = duckdb.connect()
+        con.sql("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        d = sorted(tuple(r) for r in con.sql(
+            ngram_novelty_sql("documents")).fetchall())
+        assert s == d
+        # the empty doc (5) gets NO row in either engine — novelty of
+        # nothing is undefined, not 1.0
+        assert 5 not in {t[0] for t in s}
