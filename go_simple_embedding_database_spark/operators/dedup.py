@@ -1049,8 +1049,14 @@ def prefix_truncation_pairs(df: DataFrame, text_col: str = "text",
          .withColumn("_len", F.length("_t"))
          .filter(F.col("_len") >= min_len)
          .withColumn("_k", F.substring("_t", 1, min_len)))
+    # Materialize the bucket-filtered relation (lazy localCheckpoint —
+    # self-releasing, the containment_pairs contract): BOTH self-join
+    # sides read it, and without it each side re-scans the corpus and
+    # re-runs the count-over-key window — two full passes where one
+    # suffices.
     keyed = (d.withColumn("_n", F.count("*").over(Window.partitionBy("_k")))
-             .filter(F.col("_n") <= max_bucket).drop("_n"))
+             .filter(F.col("_n") <= max_bucket).drop("_n")
+             .localCheckpoint(eager=False))
     a = keyed.select(F.col("_id").alias("id_a"), F.col("_t").alias("_ta"),
                      F.col("_len").alias("len_a"), "_k")
     b = keyed.select(F.col("_id").alias("id_b"), F.col("_t").alias("_tb"),

@@ -203,14 +203,23 @@ def ngram_novelty(docs: DataFrame, text_col: str = "text",
     pairwise dedup family with a per-DOC score that needs no threshold.
     No counterpart in the 544-LoC reference (SURVEY.md §2 extensions).
 
-    Scale shape (100 TB): explode distinct shingles (the exact recipe
-    MinHash/Jaccard/containment share — one tokenizer definition), one
-    hash aggregation per gram for min-id (map-side combinable: min), one
-    equi-join back on the gram key that REUSES the aggregation's
-    partitioning (no extra exchange — Catalyst sees both sides hashed on
-    _g), one per-doc aggregation. Nothing all-pairs, no windows over the
-    corpus, no driver materialization. Gram attribution is deterministic
-    (min id), so the score is stable under re-partitioning.
+    Scale shape (100 TB): explode distinct shingles ONCE (the exact
+    recipe MinHash/Jaccard/containment share — one tokenizer definition)
+    and materialize the gram stream (lazy localCheckpoint, the
+    containment_pairs pattern): two consumers read it — the min-id
+    aggregation and the attribution join — and without the checkpoint
+    each would re-run the tokenizer explode, the operator's dominant
+    CPU. The aggregation exchanges the gram stream once (min is
+    map-side combinable, so the exchange carries one row per distinct
+    gram per partition, not the raw stream); the join's gram->first
+    build side is vocabulary-sized — Zipf-small, broadcast below the
+    threshold, one more gram-keyed exchange above it. The final per-doc
+    aggregate exchanges slim (id, counts) rows. Nothing all-pairs, no
+    windows over the corpus, no driver materialization. Gram attribution
+    is deterministic (min id), so the score is stable under
+    re-partitioning. Checkpoint blocks release when the returned
+    DataFrame is garbage-collected (same caching contract as
+    containment_pairs).
 
     Returns (id_col, n_grams, novelty) — novelty rounded to 6 decimals
     for cross-engine hash parity.
@@ -225,7 +234,8 @@ def ngram_novelty(docs: DataFrame, text_col: str = "text",
     # join to '', so no real gram is affected.
     grams = (docs.select(F.col(id_col).alias("_id"),
                          F.explode(shingles(F.col(text_col), n)).alias("_g"))
-             .filter(F.col("_g") != ""))
+             .filter(F.col("_g") != "")
+             .localCheckpoint(eager=False))
     first = grams.groupBy("_g").agg(F.min("_id").alias("_first"))
     return (grams.join(first, "_g")
             .groupBy("_id")

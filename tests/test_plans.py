@@ -416,3 +416,27 @@ def test_ann_recall_exact_side_single_corpus_scan(spark, sf_dir):
     assert n_emb_scans <= 2, (
         f"expected batched slim exact side (<=2 embeddings scans for ANY "
         f"batch size), saw {n_emb_scans}")
+
+
+def test_dedup_prefix_is_bucketed_equi_join(plans):
+    """Truncation-pair generation must equi-join on the first-min_len-
+    chars bucket key — unbucketed prefix matching is an O(N^2) theta
+    join. The dynamic-length verify rides the join filter; no second
+    corpus pass, no Python."""
+    p = plans("dedup_prefix")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_ngram_novelty_single_gram_exchange(plans):
+    """min-id attribution and the join back must share ONE hash exchange
+    on the gram (Catalyst reuses the aggregation's partitioning) — a
+    plan that re-shuffles the exploded gram stream twice doubles the
+    operator's dominant cost at 100 TB."""
+    p = plans("ngram_novelty")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    import re
+    gram_exchanges = [m for m in re.findall(r"Exchange hashpartitioning\(([^)]*)", p)
+                      if "_g" in m]
+    assert len(gram_exchanges) <= 2, (
+        f"gram stream shuffled {len(gram_exchanges)} times: {gram_exchanges}")

@@ -163,6 +163,23 @@ COMMENTARY: dict[str, tuple[str, str]] = {
         "fanout at max_df^2), self-equi-join on the gram, count ratio. "
         "No CartesianProduct anywhere; every shuffle keys on the gram "
         "or the id pair."),
+    "dedup_prefix": (
+        "Truncation duplicates (proper character-prefix pairs)",
+        "One equi-join on the first-min_len-chars bucket key after a "
+        "count-over-key window drops boilerplate buckets (> max_bucket "
+        "members), so per-bucket fanout is <= max_bucket^2 and total "
+        "join volume is linear at fixed cutoff. The dynamic-length "
+        "prefix verify is a codegen substring comparison inside the "
+        "join filter — no second pass. Shuffles key on the bucket "
+        "only; docs below min_len never enter the exchange."),
+    "ngram_novelty": (
+        "Per-document n-gram novelty (first-occurrence attribution)",
+        "Explode distinct shingles once, hash-aggregate min(doc_id) per "
+        "gram (map-side combinable), equi-join back on the gram REUSING "
+        "the aggregation's hash partitioning (no extra exchange — both "
+        "sides arrive hashed on the gram), then one per-doc aggregate. "
+        "Nothing all-pairs, no corpus-wide window, no driver "
+        "materialization."),
     "snapshot_diff": (
         "Snapshot CDC diff (insert/update/delete)",
         "ONE full-outer sort-merge join on the key; both sides project "
