@@ -130,6 +130,12 @@ def main() -> None:
                          "unchanged since r04",
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
+        # Draw context: whole-bench totals on byte-identical code spanned
+        # 87-107 s across four r06 draws (median per-query ratio 1.26
+        # between the extremes) — co-tenant throughput, invisible to
+        # loadavg at draw start. Recorded so a cross-round comparison can
+        # normalize by the machine, not just trust a single draw.
+        "loadavg_at_exit": list(os.getloadavg()),
     }
     if errors:
         out["errors"] = errors
