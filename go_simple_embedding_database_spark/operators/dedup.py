@@ -1043,12 +1043,40 @@ def prefix_truncation_pairs(df: DataFrame, text_col: str = "text",
 
     Returns (id_a, id_b, len_a, len_b, prefix_frac): a's full length over
     b's, i.e. how much of b the truncated copy retains."""
+    return _affix_truncation_pairs(df, text_col, id_col, min_len,
+                                   max_bucket, suffix=False)
+
+
+def suffix_truncation_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", min_len: int = 64,
+                            max_bucket: int = 50) -> DataFrame:
+    """The mirror of ``prefix_truncation_pairs``: a's full text is a
+    proper character SUFFIX of b's — the prepended-boilerplate duplicate
+    (the same article captured bare and with a header/banner/preamble
+    glued on, the other common crawler shape). Bucket key = the LAST
+    ``min_len`` characters; verify = one dynamic-length ``right``
+    comparison; identical bounded-fanout guarantees. Same output schema
+    with ``suffix_frac`` in place of ``prefix_frac``."""
+    return _affix_truncation_pairs(df, text_col, id_col, min_len,
+                                   max_bucket, suffix=True)
+
+
+def _affix_truncation_pairs(df: DataFrame, text_col: str, id_col: str,
+                            min_len: int, max_bucket: int,
+                            suffix: bool) -> DataFrame:
+    """Shared engine for prefix/suffix truncation pairs — the two differ
+    only in which end anchors the bucket key and the verify expression
+    (both ``substring``/``right`` count CHARACTERS, matching DuckDB)."""
     from pyspark.sql import Window
 
+    key = (F.expr(f"right(_t, {min_len})") if suffix
+           else F.substring("_t", 1, min_len))
+    verify = (F.expr("right(_tb, len_a)") if suffix
+              else F.expr("substring(_tb, 1, len_a)"))
     d = (df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
          .withColumn("_len", F.length("_t"))
          .filter(F.col("_len") >= min_len)
-         .withColumn("_k", F.substring("_t", 1, min_len)))
+         .withColumn("_k", key))
     # Materialize the bucket-filtered relation (lazy localCheckpoint —
     # self-releasing, the containment_pairs contract): BOTH self-join
     # sides read it, and without it each side re-scans the corpus and
@@ -1061,12 +1089,13 @@ def prefix_truncation_pairs(df: DataFrame, text_col: str = "text",
                      F.col("_len").alias("len_a"), "_k")
     b = keyed.select(F.col("_id").alias("id_b"), F.col("_t").alias("_tb"),
                      F.col("_len").alias("len_b"), "_k")
+    frac = "suffix_frac" if suffix else "prefix_frac"
     return (a.join(b, "_k")
             .filter((F.col("len_b") > F.col("len_a"))
-                    & (F.expr("substring(_tb, 1, len_a)") == F.col("_ta")))
+                    & (verify == F.col("_ta")))
             .select("id_a", "id_b", "len_a", "len_b",
                     F.round(F.col("len_a") / F.col("len_b"), 6)
-                    .alias("prefix_frac")))
+                    .alias(frac)))
 
 
 def prefix_truncation_pairs_sql(table: str = "documents",
@@ -1077,19 +1106,41 @@ def prefix_truncation_pairs_sql(table: str = "documents",
     identical bucket cutoff, identical dynamic-length prefix check (both
     engines' length/substring count CHARACTERS, pinned by the Unicode
     probe rows)."""
+    return _affix_truncation_pairs_sql(table, text_expr, id_expr, min_len,
+                                       max_bucket, suffix=False)
+
+
+def suffix_truncation_pairs_sql(table: str = "documents",
+                                text_expr: str = "text",
+                                id_expr: str = "doc_id", min_len: int = 64,
+                                max_bucket: int = 50) -> str:
+    """DuckDB twin of ``suffix_truncation_pairs`` (``right`` counts
+    characters in both engines)."""
+    return _affix_truncation_pairs_sql(table, text_expr, id_expr, min_len,
+                                       max_bucket, suffix=True)
+
+
+def _affix_truncation_pairs_sql(table: str, text_expr: str, id_expr: str,
+                                min_len: int, max_bucket: int,
+                                suffix: bool) -> str:
+    key = (f"right({text_expr}, {min_len})" if suffix
+           else f"substr({text_expr}, 1, {min_len})")
+    verify = ("right(b._t, a._len) = a._t" if suffix
+              else "substr(b._t, 1, a._len) = a._t")
+    frac = "suffix_frac" if suffix else "prefix_frac"
     return f"""
 WITH d AS (
   SELECT {id_expr} AS _id, {text_expr} AS _t, length({text_expr}) AS _len,
-         substr({text_expr}, 1, {min_len}) AS _k
+         {key} AS _k
   FROM {table} WHERE length({text_expr}) >= {min_len}),
 keyed AS (
   SELECT * FROM (
     SELECT d.*, count(*) OVER (PARTITION BY _k) AS _n FROM d) _b
   WHERE _n <= {max_bucket})
 SELECT a._id AS id_a, b._id AS id_b, a._len AS len_a, b._len AS len_b,
-       round(CAST(a._len AS DOUBLE) / b._len, 6) AS prefix_frac
+       round(CAST(a._len AS DOUBLE) / b._len, 6) AS {frac}
 FROM keyed a JOIN keyed b ON a._k = b._k
-WHERE b._len > a._len AND substr(b._t, 1, a._len) = a._t
+WHERE b._len > a._len AND {verify}
 """
 
 

@@ -35,7 +35,7 @@ from go_simple_embedding_database_spark.functions.text import (
     lower_x, lower_x_py, lower_x_sql, words, words_sql)
 
 __all__ = ["bm25_topk", "bm25_topk_sql", "unigram_quality",
-           "unigram_quality_sql"]
+           "unigram_quality_sql", "ngram_novelty", "ngram_novelty_sql"]
 
 
 def _norm_terms(terms: list[str]) -> list[str]:

@@ -564,3 +564,67 @@ class TestPrefixTruncationPairs:
         d = sorted(tuple(r) for r in con.sql(
             prefix_truncation_pairs_sql("documents")).fetchall())
         assert s == d and len(s) == 3               # 3->1, 3->2, 1->2
+
+
+class TestSuffixTruncationPairs:
+    """suffix_truncation_pairs: the prepended-boilerplate mirror of the
+    prefix operator — a's full text is a proper SUFFIX of b's. Library
+    operator (the driver testdata carries no natural suffix pairs, so a
+    gate query would be trivially empty); planted fixtures here carry
+    the semantics, the shared _affix engine carries the plan."""
+
+    def _pairs(self, spark, rows, **kw):
+        from go_simple_embedding_database_spark.operators.dedup import (
+            suffix_truncation_pairs)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {(r.id_a, r.id_b): (r.len_a, r.len_b, r.suffix_frac)
+                for r in suffix_truncation_pairs(df, **kw).collect()}
+
+    def test_planted_preamble_found(self, spark):
+        body = "x" * 100
+        out = self._pairs(spark, [(1, body), (2, "PREAMBLE BANNER " + body),
+                                  (3, "y" * 200)])
+        assert set(out) == {(1, 2)}
+        assert out[(1, 2)] == (100, 116, round(100 / 116, 6))
+
+    def test_prefix_pair_is_not_a_suffix_pair(self, spark):
+        long = "a" * 80 + "b" * 40
+        assert self._pairs(spark, [(1, long[:80]), (2, long)]) == {}
+
+    def test_exact_equal_excluded_and_short_cannot_anchor(self, spark):
+        t = "z" * 90
+        assert self._pairs(spark, [(1, t), (2, t)]) == {}
+        assert self._pairs(spark, [(1, "tail" * 3), (2, "pre " + "tail" * 3)],
+                           min_len=12) == {(1, 2): (12, 16, 0.75)}
+
+    def test_boilerplate_bucket_dropped(self, spark):
+        key = "f" * 64                              # shared FOOTER
+        rows = [(i, f"head {i} " * i + key) for i in range(1, 5)]
+        rows.append((9, key))
+        assert self._pairs(spark, rows, max_bucket=3) == {}
+        found = self._pairs(spark, rows, max_bucket=50)
+        assert (9, 1) in found and len(found) >= 4
+
+    def test_unicode_chars_not_bytes(self, spark):
+        t = "é" * 64
+        out = self._pairs(spark, [(1, t), (2, "xyz" + t)])
+        assert out == {(1, 2): (64, 67, round(64 / 67, 6))}
+
+    def test_oracle_parity_inline(self, spark):
+        import duckdb
+
+        from go_simple_embedding_database_spark.operators.dedup import (
+            suffix_truncation_pairs, suffix_truncation_pairs_sql)
+        footer = (" -- the same legal footer appended to every document "
+                  "for over sixty four characters of text")
+        rows = [(1, "alpha" + footer), (2, "beta gamma alpha" + footer),
+                (3, footer.strip()), (4, "unrelated " * 20), (5, "short")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        s = sorted((r.id_a, r.id_b, r.len_a, r.len_b, r.suffix_frac)
+                   for r in suffix_truncation_pairs(df).collect())
+        con = duckdb.connect()
+        con.sql("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        d = sorted(tuple(r) for r in con.sql(
+            suffix_truncation_pairs_sql("documents")).fetchall())
+        assert s == d and len(s) >= 2
