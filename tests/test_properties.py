@@ -520,3 +520,89 @@ def test_tiff_roundtrip_any_shape_compression(data):
     out = codecs.decode_image(t)
     expect = np.repeat(img[:, :, None], 3, axis=2) if gray else img
     assert np.array_equal(out, expect)
+
+
+# --- truncation pairs vs brute force -----------------------------------------
+
+# Tiny alphabet + short words maximize accidental prefix/suffix structure
+# so the property actually exercises hits, not just the empty case.
+_TRUNC_DOCS = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=40),
+    min_size=1, max_size=14,
+)
+
+
+def _brute_affix(rows, min_len, suffix):
+    out = set()
+    for ia, ta in rows:
+        if len(ta) < min_len:
+            continue
+        for ib, tb in rows:
+            if len(tb) <= len(ta):
+                continue
+            ok = tb.endswith(ta) if suffix else tb.startswith(ta)
+            if ok:
+                out.add((ia, ib))
+    return out
+
+
+@SETTINGS
+@given(_TRUNC_DOCS, st.integers(min_value=1, max_value=8))
+def test_prefix_pairs_match_brute_force(spark, texts, min_len):
+    from go_simple_embedding_database_spark.operators.dedup import (
+        prefix_truncation_pairs)
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in prefix_truncation_pairs(
+        df, min_len=min_len, max_bucket=1000).collect()}
+    assert got == _brute_affix(rows, min_len, suffix=False)
+
+
+@SETTINGS
+@given(_TRUNC_DOCS, st.integers(min_value=1, max_value=8))
+def test_suffix_pairs_match_brute_force(spark, texts, min_len):
+    from go_simple_embedding_database_spark.operators.dedup import (
+        suffix_truncation_pairs)
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in suffix_truncation_pairs(
+        df, min_len=min_len, max_bucket=1000).collect()}
+    assert got == _brute_affix(rows, min_len, suffix=True)
+
+
+# --- ngram novelty vs brute force --------------------------------------------
+
+@SETTINGS
+@given(st.lists(TEXTS, min_size=1, max_size=14))
+def test_ngram_novelty_matches_brute_force(spark, texts):
+    from go_simple_embedding_database_spark.operators.retrieval import (
+        ngram_novelty)
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_grams, r.novelty)
+           for r in ngram_novelty(df).collect()}
+    # brute force: first occurrence = min doc_id over docs carrying the gram
+    grams = {i: set(shingles_py(t)) - {""} for i, t in rows}
+    first = {}
+    for i, gs in grams.items():
+        for g in gs:
+            first[g] = min(first.get(g, i), i)
+    want = {i: (len(gs), round(sum(first[g] == i for g in gs) / len(gs), 6))
+            for i, gs in grams.items() if gs}
+    assert got == want
+
+
+# --- gif_scan duration vs encoder --------------------------------------------
+
+@SETTINGS
+@given(st.integers(min_value=1, max_value=5),
+       st.integers(min_value=0, max_value=600))
+def test_gif_scan_duration_matches_encoder(spark, n_frames, delay_cs):
+    from go_simple_embedding_database_spark.functions import codecs
+    rng = np.random.default_rng(n_frames * 1000 + delay_cs)
+    frames = [(rng.integers(0, 2, (4, 5, 3)) * 128).astype(np.uint8)
+              for _ in range(n_frames)]
+    gif = codecs.encode_gif(frames, delay_cs=delay_cs)
+    n, dur = codecs.gif_scan(gif)
+    assert n == n_frames
+    assert dur == pytest.approx(n_frames * delay_cs / 100.0)

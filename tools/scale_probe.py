@@ -88,6 +88,10 @@ def _pair_flagships():
         "dedup_jaccard": q["dedup_jaccard"],
         "dedup_simhash_pairs": q["dedup_simhash_pairs"],
         "dedup_containment": q["dedup_containment"],
+        # char-prefix pairs survive the per-word tag rename (a doc cut
+        # mid-word stays a char-prefix after every word gains the same
+        # replica tag), so replicas contribute linear pair output here too
+        "dedup_prefix": q["dedup_prefix"],
     }
 
 
@@ -317,6 +321,7 @@ def _flagships():
         "token_budget": q["token_budget"],        # histogram refinement
         "frequent_tokens": q["frequent_tokens"],  # MG sketch + recount
         "tfidf_top_terms": q["tfidf_top_terms"],  # tf materialized, 3 rows/doc
+        "ngram_novelty": q["ngram_novelty"],      # 1 row/doc (round 6)
     }
 
 
