@@ -61,6 +61,24 @@ __all__ = [
 
 _PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
+# Decompression-bomb guard (the PIL MAX_IMAGE_PIXELS analog): header-
+# declared dimensions are UNTRUSTED until the canvas they imply is
+# bounded — a 360-byte GIF whose screen descriptor claims 65535x32767
+# would otherwise allocate a 6.4 GB RGBA canvas and burn ~90 s of CPU in
+# per-frame copies before "succeeding" (found by the round-7 codec fuzz
+# run; JPEG's SOF dims feed an even larger per-component coefficient
+# store). 2**26 pixels (= 8192x8192) comfortably covers training-corpus
+# images; a caller with legitimately larger scans can raise the module
+# attribute. Exceeding it raises ValueError — the quarantine path.
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def _check_decode_pixels(w: int, h: int, what: str) -> None:
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"{what} dimensions {w}x{h} exceed MAX_DECODE_PIXELS "
+            f"({MAX_DECODE_PIXELS}) — decompression-bomb guard")
+
 
 # Known DIB header sizes (BITMAPCOREHEADER excluded — 24-bit core BMPs
 # are extinct; decode_image requires >= 40 anyway).
@@ -357,6 +375,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color_type, compression, filt, interlace = ihdr
     if w <= 0 or h <= 0:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
+    _check_decode_pixels(w, h, "PNG")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {color_type}")
     if depth not in (1, 2, 4, 8, 16):
@@ -935,6 +954,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError(f"only 8-bit JPEG supported, got {prec}")
             if h_img == 0 or w_img == 0:
                 raise ValueError("JPEG with deferred dimensions (DNL) not supported")
+            _check_decode_pixels(w_img, h_img, "JPEG")
             if ncomp not in (1, 3):
                 raise ValueError(f"unsupported JPEG component count {ncomp}")
             comps = []
@@ -1687,6 +1707,7 @@ def decode_gif(payload: bytes,
     w, h = struct.unpack_from("<HH", payload, 6)
     if w <= 0 or h <= 0:
         raise ValueError(f"bad GIF dimensions {w}x{h}")
+    _check_decode_pixels(w, h, "GIF")
     flags = payload[10]
     pos = 13
     global_pal = None
@@ -2014,6 +2035,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     w, h = one("width"), one("height")
     if w <= 0 or h <= 0:
         raise ValueError(f"bad TIFF dimensions {w}x{h}")
+    _check_decode_pixels(w, h, "TIFF")
     compression = one("compression", 1)
     if compression not in (1, 5, 32773):
         raise ValueError(f"TIFF compression {compression} not supported "

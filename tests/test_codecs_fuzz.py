@@ -8,18 +8,26 @@ runs under a CPU-time budget (ITIMER_VIRTUAL / SIGVTALRM, not wall
 clock: a co-tenant box stretching wall time must not fake a hang — the
 r06 full-suite run tripped the old SIGALRM wall budget exactly that way
 while three Spark sessions shared the machine; an infinite loop still
-burns CPU and fires the virtual timer). The only acceptable outcomes
-are success or a prompt exception."""
+burns CPU and fires the virtual timer). A generous ITIMER_REAL backstop
+(ADVICE r06) additionally catches a NON-CPU hang — a blocking call or a
+pathological sleep burns no CPU, so the virtual timer alone would wedge
+the run indefinitely; 60 s of wall per 5 s of CPU budget is slack no
+co-tenant load has ever approached (worst observed stretch ~1.4x). The
+only acceptable outcomes are success or a prompt exception."""
 
 import signal
+import zlib
 
 import numpy as np
 import pytest
 
 from go_simple_embedding_database_spark.functions import codecs
 
-TRIALS_PER_FORMAT = 150
+TRIALS_PER_FORMAT = 400
 PER_TRIAL_SEC = 5.0
+# Wall-clock hard backstop per trial: only a BLOCKING hang (no CPU burn)
+# reaches it, since the CPU budget above fires first on compute loops.
+WALL_BACKSTOP_SEC = 60.0
 
 
 class _Timeout(Exception):
@@ -50,9 +58,17 @@ def _seeds():
 @pytest.mark.parametrize("fmt", sorted(_seeds()))
 def test_mutated_bytes_fail_fast_never_hang(fmt):
     seed = _seeds()[fmt]
-    rng = np.random.default_rng(hash(fmt) % (2**32))
+    # crc32, NOT hash(): str hashing is salted per process (PYTHONHASHSEED),
+    # which made every run mutate DIFFERENT bytes — the round-7 GIF
+    # decompression bomb hid behind that lottery for six rounds (only
+    # ~1-in-5 processes drew a screen-descriptor hit). Deterministic
+    # seeding makes the covered mutation set reproducible; new coverage
+    # comes from raising TRIALS_PER_FORMAT, not from reruns.
+    rng = np.random.default_rng(zlib.crc32(fmt.encode()))
     old = signal.signal(signal.SIGVTALRM,
                         lambda *_: (_ for _ in ()).throw(_Timeout()))
+    old_wall = signal.signal(signal.SIGALRM,
+                             lambda *_: (_ for _ in ()).throw(_Timeout()))
     try:
         for t in range(TRIALS_PER_FORMAT):
             p = bytearray(seed)
@@ -66,12 +82,14 @@ def test_mutated_bytes_fail_fast_never_hang(fmt):
                 off = int(rng.integers(0, max(1, len(p) - 4)))
                 p[off:off + 4] = b"\xff\xff\xff\x7f"
             signal.setitimer(signal.ITIMER_VIRTUAL, PER_TRIAL_SEC)
+            signal.setitimer(signal.ITIMER_REAL, WALL_BACKSTOP_SEC)
             try:
                 fn = codecs.decode_wav if fmt == "wav" else codecs.decode_image
                 fn(bytes(p))
             except _Timeout:
                 pytest.fail(f"{fmt} trial {t}: decoder hung > "
-                            f"{PER_TRIAL_SEC}s on mutated input")
+                            f"{PER_TRIAL_SEC}s CPU (or blocked > "
+                            f"{WALL_BACKSTOP_SEC}s wall) on mutated input")
             except MemoryError:
                 pytest.fail(f"{fmt} trial {t}: unbounded allocation from "
                             f"a trusted size field")
@@ -79,5 +97,7 @@ def test_mutated_bytes_fail_fast_never_hang(fmt):
                 pass                            # fail-fast is the contract
             finally:
                 signal.setitimer(signal.ITIMER_VIRTUAL, 0)
+                signal.setitimer(signal.ITIMER_REAL, 0)
     finally:
         signal.signal(signal.SIGVTALRM, old)
+        signal.signal(signal.SIGALRM, old_wall)

@@ -279,3 +279,54 @@ class TestReviewRegressions:
         row = resize_media(df, 4, 4).collect()[0]
         out = codecs.decode_image(bytes(row.payload))
         assert np.array_equal(out, codecs.resize_nearest(img, 4, 4))
+
+
+class TestDecompressionBombGuard:
+    """Round-7 fuzz finding: a 360-byte GIF whose logical screen
+    descriptor was overwritten with ffffff7f (width 65535, height 32767)
+    allocated a 6.4 GB RGBA canvas and burned ~90 s of CPU in per-frame
+    copies — 'success', but a liveness/memory bomb inside an executor.
+    Header dims now bound against codecs.MAX_DECODE_PIXELS before any
+    canvas is allocated; the rejection must be ValueError (quarantine
+    path) and FAST."""
+
+    def test_gif_lying_screen_descriptor_fails_fast(self):
+        import time
+        gif = bytearray(codecs.encode_gif([_quantized(7, 9), _quantized(7, 9)]))
+        gif[6:10] = b"\xff\xff\xff\x7f"          # the exact fuzz mutation
+        t0 = time.process_time()
+        with pytest.raises(ValueError, match="decompression-bomb"):
+            codecs.decode_gif(bytes(gif))
+        assert time.process_time() - t0 < 1.0
+
+    def test_jpeg_lying_sof_dims_fail_fast(self):
+        import struct
+        jpg = bytearray(codecs.encode_jpeg(_quantized(7, 9)))
+        sof = jpg.find(b"\xff\xc0")
+        assert sof > 0
+        # SOF0 payload: len(2) prec(1) height(2) width(2) — lie about both
+        struct.pack_into(">HH", jpg, sof + 5, 0xFFFF, 0xFFF0)
+        with pytest.raises(ValueError, match="decompression-bomb"):
+            codecs.decode_image(bytes(jpg))
+
+    def test_tiff_lying_dims_fail_fast(self):
+        tif = codecs.encode_tiff(_quantized(7, 9))
+        # rewrite the width tag's value in place: II*\0 little-endian,
+        # find tag 256 (0x0100) entry and bump its inline value
+        import struct
+        buf = bytearray(tif)
+        ifd = struct.unpack_from("<I", buf, 4)[0]
+        n = struct.unpack_from("<H", buf, ifd)[0]
+        for i in range(n):
+            e = ifd + 2 + 12 * i
+            tag = struct.unpack_from("<H", buf, e)[0]
+            if tag in (256, 257):                # width / height
+                struct.pack_into("<I", buf, e + 8, 70000)
+        with pytest.raises(ValueError, match="decompression-bomb"):
+            codecs.decode_tiff(bytes(buf))
+
+    def test_cap_is_permissive_for_real_sizes(self):
+        # 8192x8192 sits exactly at the cap — must NOT trip the guard
+        codecs._check_decode_pixels(8192, 8192, "test")
+        with pytest.raises(ValueError):
+            codecs._check_decode_pixels(8193, 8192, "test")

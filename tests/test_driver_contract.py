@@ -15,37 +15,54 @@ import __spark_entry__ as em
 # it carries a full DuckDB oracle (VERDICT r05 #2).
 ROWS_ONLY_BY_DESIGN = set()
 
-# Queries whose implementation / oracle changes in round 6 — every one
+# Queries whose implementation / oracle changes in round 7 — every one
 # MUST sit inside the gate window so this round's CORRECTNESS file
 # records it.
-CHANGED_ROUND6 = {
+CHANGED_ROUND7 = {
     "gate_canary",            # gate-normalization canary, always first
-    "multimodal_decode",      # GIF duration_sec (GCE delays), AVI
-                              # duration (avih period), frame_sample_plan
-                              # n_frames>0 guard
-    "approx_distinct_users",  # restructured: bounded-error verdict
-                              # column + new DuckDB oracle
-    "dedup_prefix",           # NEW: truncation-duplicate pairs
-    "ngram_novelty",          # NEW: first-occurrence gram attribution
-    # freshness fill-ins (implementations unchanged this round; they
-    # complete the 50-slot window):
-    "multimodal_metadata", "ann_recall",
-    "ingest_embed",           # r05 noise-suspect timing under A/B
-    "dedup_containment",      # df-cutoff sweep lands in SCALE.json
+    "approx_distinct_users",  # NULL-proof within_10pct verdict (ADVICE
+                              # r06): both sides gate on n_exact > 0
+    "pipeline_clean_corpus",  # affix-dedup stage added — the suffix-
+                              # truncation engine now runs under a full
+                              # composed plan (VERDICT r06 #6)
+    # freshness fill-ins (implementations unchanged this round; their
+    # families gain SCALE evidence this round — prefix max_bucket sweep,
+    # ngram_novelty + ANN deep 100x rows, containment comparison):
+    "dedup_prefix", "ngram_novelty", "ann_recall", "dedup_containment",
 }
 
-# Round-6 rotation (standing policy, VERDICT r05 #1): these 41 queries'
-# newest official CORRECTNESS row dates from r04 (they were the r05
-# tail) — every one MUST sit inside the r06 window for a fresh row.
-STALE_OFFICIAL_R04 = {
+# Round-7 rotation (standing policy, VERDICT r06 #1): these 43 queries'
+# newest official CORRECTNESS row dates from r05 (they were the r06
+# tail) — every one MUST sit inside the r07 window for a fresh row.
+STALE_OFFICIAL_R05 = {
+    "topk_cosine", "crud_query", "dedup_exact", "text_language_id",
+    "dedup_minhash", "dedup_winnow", "dedup_cosine",
+    "embedding_centroids", "user_event_pivot", "bucketed_join_revenue",
+    "ingest_violations", "text_stats", "text_quality", "events_asof",
+    "topk_small_collection", "events_range_join", "ann_lsh_join",
+    "events_salted_agg", "revenue_rollup", "top_orders_per_customer",
+    "events_windowed", "text_chunks", "events_sessionize",
+    "point_lookup", "collections_catalog", "record_pretty",
+    "source_length_stats", "pricing_summary", "segment_revenue",
+    "set_ops_customers", "semi_anti_customers", "user_moving_avg",
+    "order_percentiles", "cube_revenue", "train_split_counts",
+    "promo_revenue", "events_json_props", "monthly_revenue_growth",
+    "shipping_priority", "ann_ivf", "ann_quantized", "batch_topk",
+    "cosine_kernel_pairs",
+}
+
+# Green in the r06 official gate on byte-identical implementations.
+# Only these may sit outside the round-7 window.
+OFFICIAL_R06_UNCHANGED = {
+    "multimodal_decode", "multimodal_metadata", "ingest_embed",
     "corpus_upsert", "events_rolling_7d", "pack_sequences",
     "token_budget", "kmeans_cells", "span_dedup", "dedup_simhash_pairs",
     "dedup_simhash", "split_contamination", "pii_scrub",
     "pagerank_suppliers", "frequent_tokens", "dedup_jaccard",
-    "dedup_keep", "pipeline_clean_corpus", "big_orders_customers",
-    "nation_acctbal_outliers", "ngram_vocab", "udtf_chunks",
-    "balanced_sample", "local_supplier_revenue", "dedup_clusters",
-    "tfidf_top_terms", "user_activity_streaks", "order_value_histogram",
+    "dedup_keep", "big_orders_customers", "nation_acctbal_outliers",
+    "ngram_vocab", "udtf_chunks", "balanced_sample",
+    "local_supplier_revenue", "dedup_clusters", "tfidf_top_terms",
+    "user_activity_streaks", "order_value_histogram",
     "similarity_join_knn", "text_repetition", "event_funnel",
     "events_retention", "mixture_sample", "snapshot_diff", "events_pmi",
     "split_leakage_safe", "zorder_layout", "user_spend_trend",
@@ -53,27 +70,8 @@ STALE_OFFICIAL_R04 = {
     "quality_unigram", "incremental_dedup", "weighted_sample",
 }
 
-# Green in the r05 official gate on byte-identical implementations.
-# Only these may sit outside the round-6 window.
-OFFICIAL_R05_UNCHANGED = {
-    "topk_cosine", "crud_query",
-    "dedup_exact", "text_language_id", "dedup_minhash", "dedup_winnow",
-    "dedup_cosine", "embedding_centroids", "user_event_pivot",
-    "bucketed_join_revenue", "ingest_violations", "text_stats",
-    "text_quality", "events_asof", "topk_small_collection",
-    "events_range_join", "ann_lsh_join", "events_salted_agg",
-    "revenue_rollup", "top_orders_per_customer", "events_windowed",
-    "text_chunks", "events_sessionize", "point_lookup",
-    "collections_catalog", "record_pretty", "source_length_stats",
-    "pricing_summary", "segment_revenue", "set_ops_customers",
-    "semi_anti_customers", "user_moving_avg", "order_percentiles",
-    "cube_revenue", "train_split_counts", "promo_revenue",
-    "events_json_props", "monthly_revenue_growth", "shipping_priority",
-    "ann_ivf", "ann_quantized", "batch_topk", "cosine_kernel_pairs",
-}
-
 # Everything that must be inside the 50-slot window this round.
-WINDOW_ROUND6 = STALE_OFFICIAL_R04 | CHANGED_ROUND6
+WINDOW_ROUND7 = STALE_OFFICIAL_R05 | CHANGED_ROUND7
 
 
 def test_every_query_has_an_oracle_or_documented_exemption():
@@ -86,13 +84,13 @@ def test_every_query_has_an_oracle_or_documented_exemption():
 
 def test_declared_sets_cover_the_surface_exactly():
     q = set(em.queries())
-    declared = WINDOW_ROUND6 | OFFICIAL_R05_UNCHANGED
+    declared = WINDOW_ROUND7 | OFFICIAL_R06_UNCHANGED
     assert declared == q, (
         f"undeclared queries: {q - declared} / stale declarations: "
         f"{declared - q}")
-    assert not (WINDOW_ROUND6 & OFFICIAL_R05_UNCHANGED), (
+    assert not (WINDOW_ROUND7 & OFFICIAL_R06_UNCHANGED), (
         "a query cannot be both in-window and tail-green")
-    assert not (STALE_OFFICIAL_R04 & CHANGED_ROUND6), (
+    assert not (STALE_OFFICIAL_R05 & CHANGED_ROUND7), (
         "a query cannot be both stale-rotated and changed")
 
 
@@ -102,21 +100,21 @@ def test_window_queries_sit_inside_the_gate_window():
     official row."""
     names = list(em.queries().keys())
     window = set(names[:50])
-    outside = WINDOW_ROUND6 - window
+    outside = WINDOW_ROUND7 - window
     assert not outside, (
         f"required queries fall outside the 50-entry window: "
         f"{sorted(outside)}")
 
 
 def test_tail_queries_all_have_fresh_official_rows():
-    """After the r06 rotation no query's newest official row may be
-    older than r05 — the tail must consist solely of queries green in
-    the r05 gate on byte-identical code."""
+    """After the r07 rotation no query's newest official row may be
+    older than r06 — the tail must consist solely of queries green in
+    the r06 gate on byte-identical code."""
     names = list(em.queries().keys())
     tail = set(names[50:])
-    unofficial = tail - OFFICIAL_R05_UNCHANGED
+    unofficial = tail - OFFICIAL_R06_UNCHANGED
     assert not unofficial, (
-        f"queries whose newest official row predates r05 fall outside "
+        f"queries whose newest official row predates r06 fall outside "
         f"the 50-entry window: {sorted(unofficial)}")
 
 
@@ -157,6 +155,6 @@ def test_window_marker_is_exact():
     names = list(em.queries().keys())
     assert names[0] == "gate_canary"
     for i, n in enumerate(names):
-        if n in WINDOW_ROUND6:
+        if n in WINDOW_ROUND7:
             assert i < 50, f"{n} (required) at index {i} — outside the gate"
-    assert names[50] in OFFICIAL_R05_UNCHANGED
+    assert names[50] in OFFICIAL_R06_UNCHANGED

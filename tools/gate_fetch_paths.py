@@ -20,9 +20,9 @@ green. Run:
 
     python tools/gate_fetch_paths.py            # sf0.01, full surface
 
-Known result (recorded in FETCHCHECK.json): fetchall and arrow agree
-with Spark on all 91 oracle-checked queries (approx_distinct_users
-gained its bounded-error oracle in round 6). The pandas path diverges
+Known result (recorded in FETCHCHECK.json, whose ``n_queries`` field is
+authoritative for the surface size): fetchall and arrow agree with
+Spark on every oracle-checked query. The pandas path diverges
 on exactly the 5 queries in ``KNOWN_PANDAS_DIVERGENCES`` below — each
 named in the artifact with the reason its divergence is accepted
 (VERDICT r05 #5). They are pandas CLIENT conversions, not engine

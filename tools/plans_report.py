@@ -401,13 +401,20 @@ COMMENTARY: dict[str, tuple[str, str]] = {
         "split by construction. No stage is all-pairs; the split "
         "decision itself is a pure per-row hash."),
     "pipeline_clean_corpus": (
-        "Composed cleaning pipeline (quality -> lang -> dedup -> chunk)",
+        "Composed cleaning pipeline (quality -> lang -> dedup -> affix "
+        "-> chunk)",
         "The quality and language gates are pure-Catalyst predicates "
         "evaluated in the scan stage BEFORE the dedup exchange — only "
-        "surviving rows shuffle. Chunking is a Generate(explode), never "
-        "a driver loop. One keyed exchange total (the dedup hash): the "
-        "pipeline's cost at 100 TB is one scan plus a shuffle of the "
-        "filtered survivors."),
+        "surviving rows shuffle. The affix stage (round 7) drops "
+        "truncation duplicates both directions: the dedup survivors are "
+        "lazily localCheckpointed ONCE and read by three consumers (the "
+        "prefix- and suffix-bucketed pair self-joins and the anti-join's "
+        "left side) instead of re-running the filter+dedup pipeline per "
+        "consumer; the duplicate-id relation is fanout-bounded "
+        "(max_bucket² per bucket) so the left-anti join's build side "
+        "stays small. Chunking is a Generate(explode), never a driver "
+        "loop. Keyed exchanges only — the dedup hash plus the two affix "
+        "bucket keys over the (much smaller) survivor relation."),
     "ingest_embed": (
         "Bulk embedding ingest (MakeRecord batch twin)",
         "The embedder is an Arrow-batched `pandas_udf` (`ArrowEvalPython` "
