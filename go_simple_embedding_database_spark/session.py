@@ -94,6 +94,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs evaluate as ArrowEvalPythonUDTF (Arrow batch
+        # transfer) instead of BatchEvalPythonUDTF (row pickling) — the
+        # same vectorization contract every scalar UDF on the surface
+        # already meets, and what lets the whole-surface plan sweep
+        # (tests/test_plans.py) forbid BatchEvalPython with no allowlist.
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # testdata events.parquet stores TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert in sources.tables.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -440,3 +440,80 @@ def test_ngram_novelty_single_gram_exchange(plans):
                       if "_g" in m]
     assert len(gram_exchanges) <= 2, (
         f"gram stream shuffled {len(gram_exchanges)} times: {gram_exchanges}")
+
+
+# -- whole-surface plan regression sweep (VERDICT r06 #5) ---------------------
+#
+# The named tests above pin specific shapes on ~25 queries; this sweep makes
+# the three absolute anti-patterns STRUCTURAL across the entire driver
+# surface, so a future operator cannot regress quietly:
+#
+#   CartesianProduct        — an unbucketed theta/self join: O(N^2) at any
+#                             scale, never legitimate on this surface.
+#   BatchEvalPython[UDTF]   — row-pickled Python in the plan. Every Python
+#                             boundary here is Arrow-batched (ArrowEvalPython /
+#                             ArrowEvalPythonUDTF — see session.py's
+#                             pythonUDTF.arrow.enabled); row pickling is the
+#                             10-100x slow path and always a bug.
+#   BroadcastNestedLoopJoin — allowed ONLY where the build side is a bounded
+#                             constant-size relation (query vectors, rate
+#                             tables, scalar marginals) listed below with its
+#                             bound; anywhere else it means a data-sized side
+#                             entered a nested loop.
+
+# query -> why its BNLJ build side is bounded (does not grow with the data)
+_BNLJ_ALLOWED = {
+    "batch_topk": "constant query-vector relation (n_queries rows) broadcast "
+                  "against records; shape pinned by "
+                  "test_batch_topk_broadcasts_queries",
+    "similarity_join_knn": "query side broadcast only; shape pinned by "
+                           "test_similarity_join_broadcasts_query_side_only",
+    "cosine_kernel_pairs": "fixed probe-vector pairs (constant relation) "
+                           "against the kernel expressions",
+    "ann_recall": "exact/candidate winner sets (n_queries x k rows) joined "
+                  "for recall — bounded by the query batch, not the corpus",
+    "frequent_tokens": "scalar Misra-Gries admission threshold broadcast "
+                       "onto candidate tokens (1-row build side)",
+    "bm25_search": "scalar corpus stats (N, avgdl — 1 row) broadcast onto "
+                   "the per-term scores",
+    "events_retention": "cohort-week scaffold (calendar-bounded sequence) "
+                        "crossed with per-cohort sizes",
+    "mixture_sample": "per-source rate table (n_sources rows) broadcast; "
+                      "shape pinned by test_mixture_sample_broadcasts_rates",
+    "events_pmi": "scalar event-total marginal (1 row) broadcast onto "
+                  "pair counts; shape pinned by "
+                  "test_events_pmi_broadcasts_marginals",
+}
+
+_ALL_QUERIES = sorted(em.queries())
+
+
+def test_bnlj_allowlist_entries_are_live_queries():
+    """A renamed/removed query must not leave a stale allowlist entry
+    silently widening the sweep."""
+    stale = set(_BNLJ_ALLOWED) - set(_ALL_QUERIES)
+    assert not stale, f"allowlist entries without a query: {sorted(stale)}"
+
+
+@pytest.mark.parametrize("name", _ALL_QUERIES)
+def test_surface_plan_antipattern_sweep(plans, name):
+    p = plans(name)
+    assert "CartesianProduct" not in p, (
+        f"{name}: CartesianProduct in physical plan — O(N^2) join")
+    # matches both BatchEvalPython (scalar UDF) and BatchEvalPythonUDTF
+    assert "BatchEvalPython" not in p, (
+        f"{name}: row-pickled Python in physical plan — every Python "
+        f"boundary must be Arrow-batched")
+    if name in _BNLJ_ALLOWED:
+        # the concession is a BROADCAST nested loop of a bounded side;
+        # a shuffle-replicate nested loop is never allowed
+        for line in p.splitlines():
+            if "BroadcastNestedLoopJoin" in line and "(" in line:
+                assert "BuildRight" in line or "BuildLeft" in line or \
+                    line.strip().startswith("("), (
+                        f"{name}: BNLJ without a broadcast build side: "
+                        f"{line.strip()}")
+    else:
+        assert "BroadcastNestedLoopJoin" not in p, (
+            f"{name}: BroadcastNestedLoopJoin outside the bounded-build "
+            f"allowlist — a data-sized side entered a nested loop")

@@ -16,6 +16,7 @@ data goes under /tmp and is removed on exit)
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -92,6 +93,13 @@ def _pair_flagships():
         # mid-word stays a char-prefix after every word gains the same
         # replica tag), so replicas contribute linear pair output here too
         "dedup_prefix": q["dedup_prefix"],
+        # not pair-producing (1 row/doc) but it belongs to THIS corpus:
+        # word-tagged replicas carry disjoint shingle sets, so the
+        # vocabulary build side grows with the corpus — the regime the
+        # 10x exact-copy tier could not exercise (there the vocabulary
+        # stayed 1x) and the family's round-6 watch-item (VERDICT r06
+        # #3: 10x ratio 4.8 measured against a fixed build side)
+        "ngram_novelty": q["ngram_novelty"],
     }
 
 
@@ -259,6 +267,180 @@ def _containment_sweep(spark, dirs, cutoffs=(5, 10, 25, 50),
         print(f"containment_sweep {label}: "
               + " ".join(f"df<={c}: {entry[f'cutoff_{c}']}" for c in cutoffs),
               flush=True)
+    return out
+
+
+def _prefix_sweep(spark, dirs, cutoffs=(1, 2, 3, 50), min_len=64):
+    """max_bucket headroom sweep for prefix_truncation_pairs (VERDICT r06
+    #4) — the guard drops WHOLE buckets above the cutoff, so unlike
+    containment's df filter its cost is unmeasured until swept. Per
+    corpus scale and per cutoff:
+
+    - ``join_volume``: Σ_{k: n(k) <= c} n(k)² over first-``min_len``-char
+      bucket keys (docs >= min_len chars) — the self-join's exact
+      candidate count, from one key-count aggregation;
+    - ``dropped_docs``: how many docs the cutoff removes from the join
+      entirely (the guard's blast radius, not just its recall);
+    - ``pairs`` + ``sec``: output volume and wall time (ONE timed run per
+      cutoff, parquet-write sink — same protocol as containment_sweep);
+    - ``recall_vs_b<max>``: fraction of the most-permissive cutoff's
+      pairs recovered at cutoff c.
+
+    Default cutoffs bracket the corpus's bucket-size distribution from
+    BELOW the production default (50): the sf0.1-derived probe corpora's
+    prefix buckets top out at 4 members per replica (measured: 4415/218/
+    7/1 buckets of size 1/2/3/4), so every cutoff >= 4 is 'keep
+    everything' and only the 1/2/3 rungs exercise the volume/recall/
+    drop trade; 50 is the production default and the recall reference
+    (the same lower-the-rungs reading round 6 applied to containment's
+    df sweep)."""
+    from pyspark.sql import functions as F
+
+    from go_simple_embedding_database_spark.operators.dedup import (
+        prefix_truncation_pairs)
+
+    ref_c = max(cutoffs)
+    out = {"cutoffs": list(cutoffs), "min_len": min_len, "timed_runs": 1,
+           "note": "timed sink = parquet write"}
+    for label, d in dirs:
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        counts = (docs.filter(F.length("text") >= min_len)
+                  .groupBy(F.substring("text", 1, min_len).alias("_k"))
+                  .agg(F.count("*").alias("_n")))
+        stats = counts.agg(*(
+            [F.sum(F.when(F.col("_n") <= c, F.col("_n") * F.col("_n")))
+             .alias(f"v{c}") for c in cutoffs]
+            + [F.sum(F.when(F.col("_n") > c, F.col("_n"))).alias(f"d{c}")
+               for c in cutoffs])).collect()[0]
+        entry = {}
+        scratch = tempfile.mkdtemp(prefix="gsed_prefix_sweep_")
+        try:
+            for c in cutoffs:
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
+                t0 = time.perf_counter()
+                (prefix_truncation_pairs(docs, min_len=min_len, max_bucket=c)
+                 .write.mode("overwrite").parquet(f"{scratch}/b{c}"))
+                dt = time.perf_counter() - t0
+                entry[f"bucket_{c}"] = {
+                    "sec": round(dt, 3),
+                    "pairs": spark.read.parquet(f"{scratch}/b{c}").count(),
+                    "join_volume": int(stats[f"v{c}"] or 0),
+                    "dropped_docs": int(stats[f"d{c}"] or 0),
+                }
+            ref = spark.read.parquet(f"{scratch}/b{ref_c}")
+            ref_n = ref.count()
+            for c in cutoffs:
+                inter = (spark.read.parquet(f"{scratch}/b{c}")
+                         .join(ref.select("id_a", "id_b"), ["id_a", "id_b"])
+                         .count())
+                entry[f"bucket_{c}"][f"recall_vs_b{ref_c}"] = (
+                    round(inter / ref_n, 4) if ref_n else None)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+        out[label] = entry
+        print(f"prefix_sweep {label}: "
+              + " ".join(f"b<={c}: {entry[f'bucket_{c}']}" for c in cutoffs),
+              flush=True)
+    return out
+
+
+def _ann_deep(spark, dir_1x: str, dir_100x: str, replicas: int) -> dict:
+    """Deep tier for the ANN query family (VERDICT r06 #3), probed at the
+    operating point a scaled corpus demands — the gate queries' fixture
+    configs (8 centroids, 8 hyperplanes) are sized for 2k vectors, and
+    holding them fixed at 100x would measure a deliberately-wrong
+    configuration (fixed 256 LSH buckets go quadratic; fixed 8 IVF cells
+    grow 100x per probe):
+
+    - IVF: n_centroids ∝ √N (the balanced sizing — probe-scan and
+      centroid-ranking both grow √N). Build timed separately (the
+      assignment pass is the one-time cost the index amortizes); query =
+      best-of-2 on the built index, k=5 output rows fixed.
+    - sign-LSH join: planes = base + log2(scale) keeps expected bucket
+      occupancy constant, so candidate pairs stay ~linear in N — the
+      production rule (bucket count must track N).
+    - quantized: copy build timed separately; two-stage top-10 query on
+      the int8 copy, linear candidate scan.
+
+    Data: signed-permutation embedding replicas (cosine structure
+    preserved within a replica, cross-replica ~0)."""
+    from pyspark.sql import functions as F
+
+    from go_simple_embedding_database_spark.operators import ann
+
+    def timed(fn, runs=2):
+        best = None
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    out = {}
+    scratch = tempfile.mkdtemp(prefix="gsed_ann_deep_")
+    try:
+        rows_sink = {}
+
+        def run(df):
+            df.select(F.count(F.coalesce(
+                F.col(df.columns[0]).cast("string"), F.lit("")))).collect()
+
+        for label, d, scale in (("1x", dir_1x, 1),
+                                (f"{replicas}x", dir_100x, replicas)):
+            src = f"{d}/embeddings.parquet"
+            emb = spark.read.parquet(src)
+            n = emb.count()
+            qvec = [float(x) for x in
+                    emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+            # IVF — k ∝ √N, nprobe fixed
+            k_cells = max(8, int(round((n / 30) ** 0.5)))
+            idx = f"{scratch}/ivf_{label}"
+            build = timed(lambda: ann.ensure_ivf_index(
+                spark, src, idx, n_centroids=k_cells,
+                fingerprint=f"probe-{label}"), runs=1)
+            q = timed(lambda: run(
+                ann.ivf_query_index(spark, idx, qvec, 5, nprobe=2)))
+            out.setdefault("ann_ivf", {})[label] = q
+            out["ann_ivf"][f"build_sec_{label}"] = build
+            out["ann_ivf"][f"n_centroids_{label}"] = k_cells
+            out["ann_ivf"][f"rows_{label}"] = ann.ivf_query_index(
+                spark, idx, qvec, 5, nprobe=2).count()
+
+            # sign-LSH join — planes track log2(N)
+            planes_n = 8 + max(0, round(math.log2(scale)))
+            planes = ann.hyperplanes_from_seed(planes_n, len(qvec))
+            lsh = lambda: ann.lsh_similarity_join(
+                emb.select("vec_id", "embedding"), planes)
+            out.setdefault("ann_lsh_join", {})[label] = timed(
+                lambda: run(lsh()))
+            out["ann_lsh_join"][f"planes_{label}"] = planes_n
+            out["ann_lsh_join"][f"rows_{label}"] = lsh().count()
+
+            # quantized two-stage — linear int8 candidate scan
+            qidx = f"{scratch}/quant_{label}"
+            build = timed(lambda: ann.ensure_quantized_copy(
+                spark, src, qidx, fingerprint=f"probe-{label}"), runs=1)
+            qt = lambda: ann.quantized_topk_indexed(
+                spark, qidx, emb, qvec, 10, rescore_factor=4)
+            out.setdefault("ann_quantized", {})[label] = timed(
+                lambda: run(qt()))
+            out["ann_quantized"][f"build_sec_{label}"] = build
+            out["ann_quantized"][f"rows_{label}"] = qt().count()
+
+        dlabel = f"{replicas}x"
+        for name, rec in out.items():
+            rec[f"ratio_{dlabel}"] = round(rec[dlabel] / rec["1x"], 2)
+            print(f"ann_deep {name}: 1x={rec['1x']}s {dlabel}={rec[dlabel]}s "
+                  f"ratio={rec[f'ratio_{dlabel}']} "
+                  f"rows={rec['rows_1x']}->{rec[f'rows_{dlabel}']}",
+                  flush=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
     return out
 
 
@@ -439,6 +621,10 @@ def main() -> None:
         # output / recall trade as the cutoff moves around the default.
         containment_sweep = _containment_sweep(
             spark, [(f"{REPLICAS}x", s10), (dlabel, s100)])
+        # max_bucket headroom sweep for the truncation-pair guard
+        # (VERDICT r06 #4) — same corpora, same protocol.
+        prefix_sweep = _prefix_sweep(
+            spark, [(f"{REPLICAS}x", s10), (dlabel, s100)])
     finally:
         shutil.rmtree(s1, ignore_errors=True)
         shutil.rmtree(s10, ignore_errors=True)
@@ -458,6 +644,8 @@ def main() -> None:
         _synthesize_perm_embeddings(spark, de, DEEP_REPLICAS)
         probe_scales(sem_fns, [("1x", SF_DIR), (f"{DEEP_REPLICAS}x", de)],
                      deep_results, count_rows=True, runs=2)
+        # ANN query family at the scaled operating point (VERDICT r06 #3)
+        deep_results.update(_ann_deep(spark, SF_DIR, de, DEEP_REPLICAS))
     finally:
         shutil.rmtree(db, ignore_errors=True)
         shutil.rmtree(de, ignore_errors=True)
@@ -465,7 +653,8 @@ def main() -> None:
            "runs": {"default": 3, "deep": 2},
            "results": results, "event_results": event_results,
            "pair_results": pair_results, "deep_results": deep_results,
-           "containment_sweep": containment_sweep}
+           "containment_sweep": containment_sweep,
+           "prefix_sweep": prefix_sweep}
     print(json.dumps(out))
     # In-repo auditable artifact, same pattern as SELFCHECK/FETCHCHECK.
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
