@@ -128,3 +128,90 @@ FROM toks CROSS JOIN n
 GROUP BY {token_col}, _n
 HAVING count(*) >= floor(_n * {threshold_frac}) + 1
 """
+
+
+# -- Bloom-filter semi-join pruning --------------------------------------------
+#
+# The 100 TB join-pruning pattern (Bloom, CACM'70; the runtime-filter idea
+# in every warehouse engine): when a selective dimension predicate keeps
+# the fact⋈dim output small but the fact side would still shuffle in full,
+# build a constant-size Bloom bitset over the dim keys (one tiny
+# aggregation), broadcast it, and filter the fact SCAN before the join's
+# exchange. False positives ride through to the exact join (which removes
+# them); false negatives are impossible, so the final result is EXACTLY
+# the plain join's — the bloom is semantically transparent and the DuckDB
+# oracle is the unpruned join itself. Everything below is pure Catalyst
+# expression (xxhash64 / bit ops / higher-order functions): no UDF, no
+# driver-side bitset, and the bitset aggregation is map-side combinable.
+
+def bloom_build(keys: DataFrame, key_col: str, num_bits: int = 1 << 14,
+                num_hashes: int = 5) -> DataFrame:
+    """Aggregate ``keys`` into a 1-row Bloom bitset: ``bits`` is an
+    array<long> of ``num_bits``/64 words. Positions are
+    ``pmod(xxhash64(key, i), num_bits)`` for hash index i — deterministic,
+    engine-native, and identical in :func:`bloom_might_contain`.
+
+    Shape at scale: explode to k positions/key, map-side bit_or into
+    <= num_bits/64 word rows, then one single-row assembly — the shuffle
+    carries at most the word count (256 rows for the 16 Ki-bit default),
+    never the key set. Size the filter like any Bloom: fp ≈
+    (1 - e^(-k·n/m))^k; the 16 Ki-bit/5-hash default holds fp < 1% to
+    n ≈ 1.5k keys — callers with bigger key sets pass a bigger
+    ``num_bits`` (the cost is linear and the probe side is unchanged)."""
+    if num_bits % 64:
+        raise ValueError(f"num_bits must be a multiple of 64: {num_bits}")
+    words = num_bits // 64
+    positions = F.explode(F.array(*[
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits))
+        for i in range(num_hashes)])).alias("_pos")
+    sparse = (keys.where(F.col(key_col).isNotNull()).select(positions)
+              .select((F.col("_pos") / 64).cast("int").alias("_w"),
+                      F.call_function(
+                          "shiftleft", F.lit(1).cast("long"),
+                          F.pmod(F.col("_pos"), F.lit(64)).cast("int"))
+                      .alias("_b"))
+              .groupBy("_w").agg(F.bit_or("_b").alias("_bits")))
+    return (sparse
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("_w", "_bits"))).alias("_m"))
+            .select(F.transform(
+                F.sequence(F.lit(0), F.lit(words - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_m"), i.cast("int")),
+                    F.lit(0).cast("long"))).alias("bits")))
+
+
+def bloom_might_contain(key, bits, num_bits: int = 1 << 14,
+                        num_hashes: int = 5):
+    """Membership probe against a :func:`bloom_build` bitset — a pure
+    Catalyst boolean (k word lookups + bit tests, whole-stage-codegen
+    friendly). Must be called with the same num_bits/num_hashes the
+    bitset was built with. NULL keys probe to NULL (SQL semantics), which
+    a filter treats as drop — matching the exact join NULL keys can
+    never match anyway."""
+    cond = None
+    for i in range(num_hashes):
+        pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
+        word = F.element_at(bits, (pos / 64).cast("int") + 1)
+        hit = word.bitwiseAND(
+            F.call_function("shiftleft", F.lit(1).cast("long"),
+                            F.pmod(pos, F.lit(64)).cast("int"))) != 0
+        cond = hit if cond is None else cond & hit
+    return cond
+
+
+def bloom_prune(fact: DataFrame, keys: DataFrame, fact_key: str,
+                dim_key: str | None = None, num_bits: int = 1 << 14,
+                num_hashes: int = 5) -> DataFrame:
+    """Filter ``fact`` down to rows whose ``fact_key`` MIGHT be in
+    ``keys`` (false positives possible, false negatives impossible).
+    The bitset rides in as a broadcast 1-row build side — the only
+    nested-loop join on the surface with a provably 1-row build — and
+    the probe predicate sits directly on the fact scan, BEFORE any
+    exchange the caller's subsequent exact join adds. Follow with the
+    exact join for exact semantics."""
+    bloom = bloom_build(keys, dim_key or fact_key, num_bits, num_hashes)
+    return (fact.crossJoin(F.broadcast(bloom))
+            .filter(bloom_might_contain(F.col(fact_key), F.col("bits"),
+                                        num_bits, num_hashes))
+            .drop("bits"))

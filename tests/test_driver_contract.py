@@ -25,10 +25,13 @@ CHANGED_ROUND7 = {
     "pipeline_clean_corpus",  # affix-dedup stage added — the suffix-
                               # truncation engine now runs under a full
                               # composed plan (VERDICT r06 #6)
+    # NEW round-7 queries — their FIRST official row must land:
+    "bloom_prune_join",        # Bloom semi-join pruning (pure Catalyst)
+    "approx_order_quantiles",  # bounded-rank-error percentile sketch
     # freshness fill-ins (implementations unchanged this round; their
-    # families gain SCALE evidence this round — prefix max_bucket sweep,
-    # ngram_novelty + ANN deep 100x rows, containment comparison):
-    "dedup_prefix", "ngram_novelty", "ann_recall", "dedup_containment",
+    # families gain SCALE evidence this round — prefix max_bucket sweep
+    # and the ngram_novelty deep 100x disjoint-corpus row):
+    "dedup_prefix", "ngram_novelty",
 }
 
 # Round-7 rotation (standing policy, VERDICT r06 #1): these 43 queries'
@@ -52,8 +55,13 @@ STALE_OFFICIAL_R05 = {
 }
 
 # Green in the r06 official gate on byte-identical implementations.
-# Only these may sit outside the round-7 window.
+# Only these may sit outside the round-7 window. ann_recall and
+# dedup_containment were window fill-in candidates but ceded their
+# slots to the two NEW round-7 queries (both are r06-official-green,
+# and their families' new evidence lands in SCALE.json, not in their
+# oracles).
 OFFICIAL_R06_UNCHANGED = {
+    "ann_recall", "dedup_containment",
     "multimodal_decode", "multimodal_metadata", "ingest_embed",
     "corpus_upsert", "events_rolling_7d", "pack_sequences",
     "token_budget", "kmeans_cells", "span_dedup", "dedup_simhash_pairs",

@@ -483,6 +483,10 @@ _BNLJ_ALLOWED = {
     "events_pmi": "scalar event-total marginal (1 row) broadcast onto "
                   "pair counts; shape pinned by "
                   "test_events_pmi_broadcasts_marginals",
+    "bloom_prune_join": "the Bloom bitset — a provably 1-row build side "
+                        "(bloom_build ends in a global aggregate) — "
+                        "broadcast onto the fact scan; shape pinned by "
+                        "test_bloom_prune_filters_fact_before_exchange",
 }
 
 _ALL_QUERIES = sorted(em.queries())
@@ -517,3 +521,27 @@ def test_surface_plan_antipattern_sweep(plans, name):
         assert "BroadcastNestedLoopJoin" not in p, (
             f"{name}: BroadcastNestedLoopJoin outside the bounded-build "
             f"allowlist — a data-sized side entered a nested loop")
+
+
+def test_bloom_prune_filters_fact_before_exchange(plans):
+    """The Bloom probe must sit on the fact side BEFORE the exact join's
+    exchange (that ordering IS the operator — pruning after the shuffle
+    saves nothing), the bitset must arrive as a broadcast (1-row build),
+    and the exact join must be a broadcast/shuffle HASH join, with no
+    Python anywhere (the probe is pure Catalyst bit arithmetic)."""
+    p = plans("bloom_prune_join")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "xxhash64" in p  # the probe predicate is in the plan, not a UDF
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # the bitset build side broadcasts
+    assert "BroadcastExchange" in p
+
+
+def test_approx_quantiles_sketch_side_broadcasts(plans):
+    """The verdict re-join must broadcast the 5-row sketch aggregate onto
+    the orders scan — never shuffle the fact side for a dimension-sized
+    build — and both aggregations must have map-side partials."""
+    p = plans("approx_order_quantiles")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 2 or "ObjectHashAggregate" in p

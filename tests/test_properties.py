@@ -606,3 +606,45 @@ def test_gif_scan_duration_matches_encoder(spark, n_frames, delay_cs):
     n, dur = codecs.gif_scan(gif)
     assert n == n_frames
     assert dur == pytest.approx(n_frames * delay_cs / 100.0)
+
+
+# --- bloom prune: no false negatives, exact-join transparency -----------------
+
+@SETTINGS
+@given(keys=st.lists(st.integers(min_value=-2**40, max_value=2**40),
+                     min_size=1, max_size=120, unique=True),
+       probes=st.lists(st.integers(min_value=-2**40, max_value=2**40),
+                       min_size=1, max_size=200))
+def test_bloom_prune_never_drops_a_matching_row(spark, keys, probes):
+    """For ANY key/probe sets: prune-then-exact-join == plain join (the
+    bitset may pass extra rows, never lose one)."""
+    from go_simple_embedding_database_spark.operators.sketch import bloom_prune
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    fact = spark.createDataFrame([(i, p) for i, p in enumerate(probes)],
+                                 "fid long, k long")
+    got = sorted(r.fid for r in
+                 bloom_prune(fact, kdf, "k").join(kdf, "k").collect())
+    want = sorted(i for i, p in enumerate(probes) if p in set(keys))
+    assert got == want
+
+
+# --- approx quantile verdict: rank-interval logic vs brute force --------------
+
+@SETTINGS
+@given(vals=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                               allow_nan=False, width=32),
+                     min_size=1, max_size=400))
+def test_percentile_sketch_honors_rank_tolerance(spark, vals):
+    """The contract approx_order_quantiles' verdict asserts: for any
+    column, percentile_approx(acc=2000) returns an element whose rank
+    interval [count(<v), count(<=v)] intersects [n(q-tol), n(q+tol)]
+    at tol=0.005 — checked brute-force in Python against the exact
+    sorted order."""
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    a50, a90 = df.agg(
+        F.percentile_approx("x", [0.5, 0.9], 2000)).first()[0]
+    n, tol = len(vals), 0.005
+    for q, v in ((0.5, a50), (0.9, a90)):
+        lt = sum(1 for x in vals if x < v)
+        le = sum(1 for x in vals if x <= v)
+        assert lt <= (q + tol) * n and le >= (q - tol) * n, (q, v, lt, le, n)
