@@ -180,6 +180,27 @@ COMMENTARY: dict[str, tuple[str, str]] = {
         "sides arrive hashed on the gram), then one per-doc aggregate. "
         "Nothing all-pairs, no corpus-wide window, no driver "
         "materialization."),
+    "bloom_prune_join": (
+        "Bloom-filter semi-join pruning (round 7)",
+        "The dim keys aggregate into a 1-row bitset (explode to k "
+        "positions, map-side-combinable bit_or over <= 256 word rows, "
+        "single-row assembly) which broadcasts onto the fact scan; the "
+        "probe predicate — k xxhash64 word lookups + bit tests — is "
+        "pure codegen'd Catalyst sitting BEFORE the exact join's "
+        "exchange, so at 100 TB the shuffle moves only the ~1% of fact "
+        "rows that (might) match instead of all of them. False "
+        "negatives are impossible; the exact join removes the false "
+        "positives, so the result equals the plain join the oracle "
+        "runs."),
+    "approx_order_quantiles": (
+        "Bounded-rank-error percentile sketch (round 7)",
+        "percentile_approx (Greenwald-Khanna: mergeable, bounded "
+        "memory, one streaming pass) is the 100 TB path; the exact "
+        "percentile + rank-recount verdict is the small-SF control the "
+        "gate hashes. The verdict re-join broadcasts the 5-row sketch "
+        "aggregate onto the orders scan — the fact side never shuffles "
+        "for a dimension-sized build — and both aggregations carry "
+        "map-side partials."),
     "snapshot_diff": (
         "Snapshot CDC diff (insert/update/delete)",
         "ONE full-outer sort-merge join on the key; both sides project "

@@ -489,9 +489,26 @@ def _flagships():
     # replicas are exact copies, so pair-producing near-dup queries would
     # see quadratic result growth per duplicate cluster (a property of the
     # data, not the plan) and the ratio would stop measuring the plan.
+    def bloom_docs(spark, d):
+        """Bloom semi-join pruning on the replicated corpus: keys are a
+        ~1% doc_id slice (so the key set GROWS with the corpus), and the
+        bitset is sized per the operator's own guidance (next power of
+        two >= 16 bits/key) — the probe measures the build + prune +
+        exact join chain at the sizing a real deployment would use, not
+        a fixture constant going saturated at 10x. Output: per-source
+        counts (fixed row count)."""
+        from go_simple_embedding_database_spark.operators.sketch import (
+            bloom_prune)
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        keys = docs.filter(F.col("doc_id") % 101 == 0).select("doc_id")
+        bits = max(1 << 14, 1 << (16 * keys.count()).bit_length())
+        return (bloom_prune(docs, keys, "doc_id", num_bits=bits)
+                .join(keys, "doc_id").groupBy("source").count())
+
     return {
         "topk_cosine": q["topk_cosine"],
         "dedup_exact": q["dedup_exact"],
+        "bloom_prune_docs": bloom_docs,  # round 7 — linear scan + tiny agg
         "text_quality": q["text_quality"],
         "quality_unigram": q["quality_unigram"],
         "span_dedup": q["span_dedup"],
