@@ -52,6 +52,12 @@ _N_RUNS = 3
 _N_DRAWS = int(os.environ.get("SPARK_GRAFT_BENCH_DRAWS", "3"))
 _N_RUNS_WARM = 2
 
+# Wall budget for the whole multi-draw protocol: the round-7 3-draw run
+# measured 866 s; an unknown harness timeout must never truncate the
+# artifact mid-draw, so past this budget no further draw starts (the
+# artifact is also re-emitted after every completed draw — see _emit).
+_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500"))
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -130,6 +136,7 @@ def main() -> None:
         return timings, all_runs, errors, list(os.getloadavg())
 
     draws = []
+    t_start = time.monotonic()
     for i in range(max(1, _N_DRAWS)):
         d_timings, d_runs, d_errors, d_load = one_draw(
             _N_RUNS if i == 0 else _N_RUNS_WARM)
@@ -138,7 +145,25 @@ def main() -> None:
                       "sum": round(sum(d_timings.values()), 4)})
         print(f"bench: draw {i + 1}/{_N_DRAWS}: sum={draws[-1]['sum']}s "
               f"errors={len(d_errors)} loadavg={d_load}", file=sys.stderr)
+        # Kill-tolerance: the full artifact (printed lines + BENCH.json)
+        # is re-emitted after EVERY completed draw with the official-
+        # so-far, so a harness timeout mid-draw still leaves a complete,
+        # parseable record of the draws that finished (the final emit
+        # overwrites — last printed pair and last BENCH.json win).
+        _emit(draws, sf_dir, final=(i + 1 == max(1, _N_DRAWS)),
+              spark=spark)
+        # Wall budget: an unknown harness timeout must never truncate
+        # the artifact mid-draw — stop adding draws past the budget
+        # (at least one draw always completes).
+        if time.monotonic() - t_start > _BUDGET_SEC and i + 1 < _N_DRAWS:
+            print(f"bench: wall budget {_BUDGET_SEC}s exceeded after "
+                  f"draw {i + 1} — stopping early", file=sys.stderr)
+            _emit(draws, sf_dir, final=True, spark=spark)
+            break
 
+
+def _emit(draws, sf_dir: str, final: bool, spark) -> None:
+    """Build and publish the artifact from the draws completed so far."""
     # Official draw: fewest errors first (a draw missing a query has an
     # incomparably smaller sum), then minimum sum — the quiet-box
     # estimate of the machine the code actually deserves.
@@ -191,10 +216,12 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    try:
-        out["skew_canary"] = _skew_canary(spark, sf_dir)
-    except Exception as e:
-        out["skew_canary"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    if final:
+        # the canary costs a few seconds — final emit only
+        try:
+            out["skew_canary"] = _skew_canary(spark, sf_dir)
+        except Exception as e:
+            out["skew_canary"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     # Driver-proofing (round-2 post-mortem: BENCH_r02.json was recorded
     # "parsed": null because the one-line JSON outgrew the driver's tail
     # capture and the HEAD — metric/value — was clipped). Three redundant
