@@ -1788,7 +1788,13 @@ def _q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain join's, and the oracle is that plain join. No counterpart in
     the reference (544-LoC surface has no joins at all); this is the
     runtime-filter pattern every warehouse engine applies to selective
-    star joins."""
+    star joins. Honest operating envelope: when the dim fits the
+    broadcast threshold (as at gate SF — the plan shows the exact join
+    as a BroadcastHashJoin) Spark needs no bloom, and on a single box
+    the in-memory shuffle is too cheap for a wall-time win
+    (SCALE.json: bloom_ab measures both sides with broadcasts disabled
+    and records the shuffle-row reduction — the scale-invariant claim —
+    next to the local wall times)."""
     from go_simple_embedding_database_spark.operators.sketch import (
         bloom_prune)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -1872,6 +1878,41 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 """
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority", "o_orderdate", "o_totalprice_cents"]
+
+
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass ingest-audit profile of the orders table (round 7):
+    per column — null fraction, exact cardinality + an HLL++
+    bounded-error verdict (the approx_distinct_users pattern: the
+    sketch is the 100 TB path, the exact count is the control), and
+    min/max. ONE scan computes every column's statistics (the naive
+    audit is a scan per column per statistic); the 1-row aggregate
+    explodes into the long format audit rules consume. The double
+    column is profiled as integer cents — float-to-string formatting
+    is not a cross-engine contract, exact integers are. Oracle: the
+    naive per-column UNION ALL the single-pass operator is equivalent
+    to."""
+    from go_simple_embedding_database_spark.operators.profile import (
+        table_profile)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("o_totalprice_cents"))
+    return table_profile(orders, _PROFILE_COLS)
+
+
+def _oracle_table_profile() -> str:
+    from go_simple_embedding_database_spark.operators.profile import (
+        table_profile_sql)
+    return table_profile_sql(
+        "orders", _PROFILE_COLS,
+        exprs={"o_totalprice_cents":
+               "CAST(round(o_totalprice * 100) AS BIGINT)"})
 
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3145,22 +3186,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
            approx_distinct_users (NULL-proof within_10pct verdict, ADVICE
            r06) and pipeline_clean_corpus (affix-dedup stage: the suffix-
            truncation engine now runs under a full composed plan, VERDICT
-           r06 #6) — followed by the 2 NEW round-7 queries,
-           bloom_prune_join (Bloom semi-join pruning) and
+           r06 #6) — followed by the 3 NEW round-7 queries,
+           bloom_prune_join (Bloom semi-join pruning),
            approx_order_quantiles (bounded-rank-error percentile sketch),
+           and table_profile (one-pass ingest-audit column profile),
            whose first official row must land this round;
     (r7-b) the 43 queries whose newest official row dates from r05
            (they were the r06 tail) — rotated in so every official row
            is r06-or-newer;
-    (r7-c) 2 freshness fill-ins completing the 50-slot window, from
-           families whose SCALE evidence grows this round: dedup_prefix
-           (its max_bucket sweep lands in SCALE.json, VERDICT r06 #4)
-           and ngram_novelty (deep 100x disjoint-corpus row, VERDICT r06
-           #3); ann_recall and dedup_containment — the other two
-           candidates — move to the tail (both r06-official-green, and
-           their families' new evidence rides in SCALE.json, not in
-           their oracles);
-    (tail) the 45 remaining queries — every one green in the r06
+    (r7-c) 1 freshness fill-in completing the 50-slot window:
+           dedup_prefix (its max_bucket sweep lands in SCALE.json,
+           VERDICT r06 #4); ngram_novelty, ann_recall and
+           dedup_containment — the other fill-in candidates — move to
+           the tail (all r06-official-green, and their families' new
+           evidence rides in SCALE.json, not in their oracles);
+    (tail) the 46 remaining queries — every one green in the r06
            official gate on byte-identical code;
            tests/test_oracle_parity.py re-checks ALL entries every CI
            run regardless of the window, and tools/self_correctness.py
@@ -3173,6 +3213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": _q_pipeline_clean_corpus,
         "bloom_prune_join": _q_bloom_prune_join,
         "approx_order_quantiles": _q_approx_order_quantiles,
+        "table_profile": _q_table_profile,
         # (r7-b) r05 official rows (the r06 tail), rotated in
         "topk_cosine": _q_topk_cosine,
         "crud_query": _q_crud_query,
@@ -3217,14 +3258,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized": _q_ann_quantized,
         "batch_topk": _q_batch_topk,
         "cosine_kernel_pairs": _q_cosine_kernel_pairs,
-        # (r7-c) freshness fill-ins (implementations unchanged; their
-        # families gain SCALE evidence this round)
+        # (r7-c) freshness fill-in (implementation unchanged; its family
+        # gains SCALE evidence this round — the max_bucket sweep)
         "dedup_prefix": _q_dedup_prefix,
-        "ngram_novelty": _q_ngram_novelty,
         # ---- gate window ends here (50 entries above; pinned by
         # tests/test_driver_contract.py::test_window_marker_is_exact) ----
         # (tail) green in the r06 official gate on byte-identical
         # implementations
+        "ngram_novelty": _q_ngram_novelty,
         "ann_recall": _q_ann_recall,
         "dedup_containment": _q_dedup_containment,
         "multimodal_decode": _q_multimodal_decode,
@@ -3315,6 +3356,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_users": _ORACLE_APPROX_DISTINCT_USERS,
         "bloom_prune_join": _ORACLE_BLOOM_PRUNE_JOIN,
         "approx_order_quantiles": _ORACLE_APPROX_ORDER_QUANTILES,
+        "table_profile": _oracle_table_profile(),
         "dedup_prefix": _oracle_dedup_prefix(),
         "ngram_novelty": _oracle_ngram_novelty(),
         "text_chunks": _oracle_text_chunks(),

@@ -28,10 +28,10 @@ CHANGED_ROUND7 = {
     # NEW round-7 queries — their FIRST official row must land:
     "bloom_prune_join",        # Bloom semi-join pruning (pure Catalyst)
     "approx_order_quantiles",  # bounded-rank-error percentile sketch
-    # freshness fill-ins (implementations unchanged this round; their
-    # families gain SCALE evidence this round — prefix max_bucket sweep
-    # and the ngram_novelty deep 100x disjoint-corpus row):
-    "dedup_prefix", "ngram_novelty",
+    "table_profile",           # one-pass ingest-audit column profile
+    # freshness fill-in (implementation unchanged this round; its
+    # family gains SCALE evidence — the prefix max_bucket sweep):
+    "dedup_prefix",
 }
 
 # Round-7 rotation (standing policy, VERDICT r06 #1): these 43 queries'
@@ -61,7 +61,7 @@ STALE_OFFICIAL_R05 = {
 # and their families' new evidence lands in SCALE.json, not in their
 # oracles).
 OFFICIAL_R06_UNCHANGED = {
-    "ann_recall", "dedup_containment",
+    "ann_recall", "dedup_containment", "ngram_novelty",
     "multimodal_decode", "multimodal_metadata", "ingest_embed",
     "corpus_upsert", "events_rolling_7d", "pack_sequences",
     "token_budget", "kmeans_cells", "span_dedup", "dedup_simhash_pairs",

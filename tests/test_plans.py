@@ -545,3 +545,18 @@ def test_approx_quantiles_sketch_side_broadcasts(plans):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert p.count("HashAggregate") >= 2 or "ObjectHashAggregate" in p
+
+
+def test_table_profile_is_single_scan(plans):
+    """The one-pass claim, asserted on the plan: every column's
+    statistics come from ONE parquet scan (the naive audit is k scans),
+    the exact-distinct control is the only Expand, and there is no join
+    or Python anywhere."""
+    import re
+    p = plans("table_profile")
+    # formatted plans list every node twice (tree + detail) — count the
+    # numbered detail entries, one per physical scan
+    scans = re.findall(r"\(\d+\) Scan parquet", p)
+    assert len(scans) == 1, scans
+    assert "Join" not in p and "EvalPython" not in p
+    assert "Expand" in p  # the exact-distinct control's known cost

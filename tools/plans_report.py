@@ -201,6 +201,15 @@ COMMENTARY: dict[str, tuple[str, str]] = {
         "aggregate onto the orders scan — the fact side never shuffles "
         "for a dimension-sized build — and both aggregations carry "
         "map-side partials."),
+    "table_profile": (
+        "One-pass ingest-audit column profile (round 7)",
+        "EVERY column's null fraction, cardinality, and min/max come "
+        "from ONE parquet scan (the naive audit is a scan per column "
+        "per statistic) feeding one aggregate, then a 1-row explode "
+        "into the long audit format — no join, no window, no Python. "
+        "The only Expand is the exact-distinct CONTROL's known cost; "
+        "production profiling passes exact_control=False and keeps the "
+        "HLL++ sketch (constant memory, mergeable, no Expand)."),
     "snapshot_diff": (
         "Snapshot CDC diff (insert/update/delete)",
         "ONE full-outer sort-merge join on the key; both sides project "

@@ -444,6 +444,89 @@ def _ann_deep(spark, dir_1x: str, dir_100x: str, replicas: int) -> dict:
     return out
 
 
+def _bloom_ab(spark, dirs) -> dict:
+    """Bloom prune vs plain join, in the regime the operator exists for:
+    broadcast joins DISABLED (autoBroadcastJoinThreshold=-1), so the
+    plain join is a sort-merge that shuffles every fact row, while the
+    bloom path shuffles only the ~1% (+fp) survivors. At gate SF the dim
+    broadcasts anyway and the bloom is pure overhead — this measures the
+    big-dim/selective-predicate case honestly instead of letting the
+    gate query's BroadcastHashJoin imply the win. Best-of-2 per side;
+    rows recorded to prove both sides compute the identical result.
+
+    Reading the result honestly: at local-mode SFs the plain SMJ WINS on
+    wall time (its shuffle is in-memory and costs milliseconds, while
+    the bloom path pays two extra jobs — key sizing + bitset build —
+    and 5 xxhash64 probes per fact row). The durable 100 TB evidence is
+    ``shuffle_reduction``: the join exchange moves fact_rows under the
+    plain join and pruned_rows (~1% + fp) under the bloom — on a
+    network-shuffle cluster that ratio IS the win, and it is scale-
+    invariant where the wall-time crossover is not reachable on one
+    box. Recorded as measured numbers so the claim is auditable."""
+    from pyspark.sql import functions as F
+
+    from go_simple_embedding_database_spark.operators.sketch import (
+        bloom_prune)
+
+    def timed(fn, runs=2):
+        best = None
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    out = {"note": "autoBroadcastJoinThreshold=-1 (SMJ regime); "
+                   "agg = count per source over matching docs"}
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for label, d in dirs:
+            docs = spark.read.parquet(f"{d}/documents.parquet")
+            keys = (docs.filter(F.col("doc_id") % 101 == 0)
+                    .select("doc_id"))
+            bits = max(1 << 14, 1 << (16 * keys.count()).bit_length())
+
+            def plain():
+                return (docs.join(keys, "doc_id")
+                        .groupBy("source").count())
+
+            def bloomed():
+                return (bloom_prune(docs, keys, "doc_id", num_bits=bits)
+                        .join(keys, "doc_id").groupBy("source").count())
+
+            def run(df):
+                df.select(F.count(F.coalesce(
+                    F.col(df.columns[0]).cast("string"),
+                    F.lit("")))).collect()
+
+            fact_rows = docs.count()
+            pruned_rows = bloom_prune(docs, keys, "doc_id",
+                                      num_bits=bits).count()
+            rec = {
+                "plain_smj_sec": timed(lambda: run(plain())),
+                "bloom_prune_sec": timed(lambda: run(bloomed())),
+                "num_bits": bits,
+                "fact_rows": fact_rows,
+                "pruned_rows": pruned_rows,
+                # rows the join exchange no longer moves — the claim
+                "shuffle_reduction": round(fact_rows / max(1, pruned_rows),
+                                           1),
+                "rows_match": (sorted(map(tuple, plain().collect()))
+                               == sorted(map(tuple, bloomed().collect()))),
+            }
+            rec["speedup"] = round(
+                rec["plain_smj_sec"] / rec["bloom_prune_sec"], 2)
+            out[label] = rec
+            print(f"bloom_ab {label}: {rec}", flush=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out
+
+
 def _synthesize_events(spark, out_dir: str) -> None:
     """10x events: user_id and event_id offset per replica, timestamps and
     per-user histories untouched — 10x the users, identical per-user
@@ -658,6 +741,9 @@ def main() -> None:
         _synthesize_docs_copies(spark, db, DEEP_REPLICAS)
         probe_scales(bm25_fns, [("1x", SF_DIR), (f"{DEEP_REPLICAS}x", db)],
                      deep_results, runs=2)
+        # bloom prune vs plain SMJ in the no-broadcast regime (round 7)
+        bloom_ab = _bloom_ab(
+            spark, [("1x", SF_DIR), (f"{DEEP_REPLICAS}x", db)])
         _synthesize_perm_embeddings(spark, de, DEEP_REPLICAS)
         probe_scales(sem_fns, [("1x", SF_DIR), (f"{DEEP_REPLICAS}x", de)],
                      deep_results, count_rows=True, runs=2)
@@ -671,7 +757,7 @@ def main() -> None:
            "results": results, "event_results": event_results,
            "pair_results": pair_results, "deep_results": deep_results,
            "containment_sweep": containment_sweep,
-           "prefix_sweep": prefix_sweep}
+           "prefix_sweep": prefix_sweep, "bloom_ab": bloom_ab}
     print(json.dumps(out))
     # In-repo auditable artifact, same pattern as SELFCHECK/FETCHCHECK.
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
