@@ -1889,13 +1889,17 @@ def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per column — null fraction, exact cardinality + an HLL++
     bounded-error verdict (the approx_distinct_users pattern: the
     sketch is the 100 TB path, the exact count is the control), and
-    min/max. ONE scan computes every column's statistics (the naive
-    audit is a scan per column per statistic); the 1-row aggregate
-    explodes into the long format audit rules consume. The double
-    column is profiled as integer cents — float-to-string formatting
-    is not a cross-engine contract, exact integers are. Oracle: the
-    naive per-column UNION ALL the single-pass operator is equivalent
-    to."""
+    min/max. The sketch pass computes every column's statistics in ONE
+    scan (the naive audit is a scan per column per statistic — 12+
+    here); the exact control runs as a SECOND 1-row pass (broadcast
+    combine of two global aggregates), because fusing countDistinct's Expand rewrite with
+    the HLL++ TypedImperativeAggregate degenerates to a
+    buffer-serializing SortAggregate (measured 77 s vs 2 s at sf0.1 —
+    see operators/profile.py). Production (exact_control=False) ships
+    the single-scan sketch pass only. The double column is profiled as
+    integer cents — float-to-string formatting is not a cross-engine
+    contract, exact integers are. Oracle: the naive per-column UNION
+    ALL the operator is equivalent to."""
     from go_simple_embedding_database_spark.operators.profile import (
         table_profile)
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(

@@ -487,6 +487,9 @@ _BNLJ_ALLOWED = {
                         "(bloom_build ends in a global aggregate) — "
                         "broadcast onto the fact scan; shape pinned by "
                         "test_bloom_prune_filters_fact_before_exchange",
+    "table_profile": "two global 1-row aggregates (sketch pass x exact "
+                     "control pass) combined; both sides provably one "
+                     "row; shape pinned by test_table_profile_plan_shape",
 }
 
 _ALL_QUERIES = sorted(em.queries())
@@ -547,16 +550,24 @@ def test_approx_quantiles_sketch_side_broadcasts(plans):
     assert p.count("HashAggregate") >= 2 or "ObjectHashAggregate" in p
 
 
-def test_table_profile_is_single_scan(plans):
-    """The one-pass claim, asserted on the plan: every column's
-    statistics come from ONE parquet scan (the naive audit is k scans),
-    the exact-distinct control is the only Expand, and there is no join
-    or Python anywhere."""
+def test_table_profile_plan_shape(plans):
+    """Gate shape = sketch pass + exact-distinct control pass: exactly
+    TWO parquet scans (the naive audit is a scan per column per
+    statistic — 12+ here), combined by a broadcast join of two 1-row
+    global aggregates (allowlisted BNLJ — both sides provably one row),
+    the Expand confined to the control pass, no Python. The production
+    single-scan/no-Expand claim (exact_control=False) is asserted in
+    test_profile.test_profile_production_shape_drops_exact_control —
+    fusing the two passes is the measured anti-pattern (77 s vs 2 s at
+    sf0.1: Catalyst's distinct-rewrite Expand + the HLL++
+    TypedImperativeAggregate degenerate to a buffer-serializing
+    SortAggregate)."""
     import re
     p = plans("table_profile")
     # formatted plans list every node twice (tree + detail) — count the
     # numbered detail entries, one per physical scan
     scans = re.findall(r"\(\d+\) Scan parquet", p)
-    assert len(scans) == 1, scans
-    assert "Join" not in p and "EvalPython" not in p
+    assert len(scans) == 2, scans
+    assert "BroadcastExchange" in p
+    assert "EvalPython" not in p
     assert "Expand" in p  # the exact-distinct control's known cost
