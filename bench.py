@@ -68,6 +68,19 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _out_path() -> str:
+    """Artifact path: ``--out PATH`` (or SPARK_GRAFT_BENCH_OUT), default
+    the in-repo BENCH.json. VERDICT r07 #4: verification/judge runs kept
+    clobbering the official artifact because the path was hardwired —
+    ``python bench.py --out /tmp/x.json`` now writes nowhere else."""
+    if "--out" in sys.argv:
+        return os.path.abspath(sys.argv[sys.argv.index("--out") + 1])
+    return os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH.json"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="gsed-bench")
@@ -188,23 +201,22 @@ def _emit(draws, sf_dir: str, final: bool, spark) -> None:
         # per-draw loadavg keep the spread on the record — six
         # same-code draws spanned 83.5-113.4 s in round 6, so a single
         # draw measures the co-tenant box as much as the engine.
+        # Estimator mix on the record (ADVICE r07): draw 1 records a true
+        # median-of-3 per query; warm draws record the mean of 2 (the
+        # median of two IS their mean) and skip cold costs — so draw 1's
+        # sum is not strictly commensurable with warm-draw sums. The
+        # min-sum official is therefore almost always a warm draw; cross-
+        # round comparisons should compare official-to-official, not
+        # draw-1-to-warm.
         "protocol": "min-sum of n_draws full draws; per-query median of "
-                    "n_runs within a draw (warm draws use n_runs_warm)",
+                    "n_runs=3 within draw 1, mean-of-2 (median==mean) in "
+                    "warm draws — draw sums mix estimators by design",
         "n_draws": len(draws),
         "n_runs_warm": _N_RUNS_WARM,
         "official_draw_index": draws.index(official),
         "draw_sums": [d["sum"] for d in draws],
         "draw_loadavgs": [d["loadavg_at_end"] for d in draws],
         "draw_error_counts": [len(d["errors"]) for d in draws],
-        # VERDICT r05 #3 A/B verdict (see ABCHECK.json for the raw runs):
-        # the r04->r05 'regressions' on snapshot_diff (0.35->0.77) and
-        # ingest_embed (0.61->0.95) re-measured at median-of-9 steady
-        # state 0.69 / 0.61 s on code byte-identical since r04 — pure
-        # measurement variance (r04's single-shots were lucky draws,
-        # r05's medians included cold first runs), not a regression.
-        "ab_commentary": "snapshot_diff/ingest_embed r05 deltas = noise; "
-                         "ABCHECK.json median-of-9: 0.69/0.61 s, code "
-                         "unchanged since r04",
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
         # Draw context: whole-bench totals on byte-identical code spanned
@@ -232,8 +244,7 @@ def _emit(draws, sf_dir: str, final: bool, spark) -> None:
     #    keeps a parseable {"metric", "value", "unit", "sf"} object.
     print(json.dumps(out))
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH.json"), "w") as f:
+        with open(_out_path(), "w") as f:
             # the in-repo record additionally keeps every raw run of
             # every draw (the printed line stays bounded for the
             # driver's tail capture)

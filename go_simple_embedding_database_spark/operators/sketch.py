@@ -144,6 +144,33 @@ HAVING count(*) >= floor(_n * {threshold_frac}) + 1
 # expression (xxhash64 / bit ops / higher-order functions): no UDF, no
 # driver-side bitset, and the bitset aggregation is map-side combinable.
 
+def _canonical_key(col, dtype):
+    """Canonicalize a key column before hashing: xxhash64 is TYPE-sensitive
+    (int 5 and bigint 5 hash differently), so a build/probe type mismatch
+    an equi-join would happily coerce becomes a silent FALSE NEGATIVE —
+    the one failure the Bloom contract forbids (ADVICE r07). Integral
+    widths all widen to long (a no-op for long, exact for the rest);
+    every other type passes through and :func:`bloom_prune` enforces
+    build/probe equality instead."""
+    from pyspark.sql import types as T
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType)):
+        return col.cast("long")
+    return col
+
+
+def _hash_family(dtype) -> str:
+    """The equivalence class :func:`bloom_prune` compares: every integral
+    width hashes identically after canonicalization; all other types
+    must match exactly (int-vs-double or string-vs-long pairs that SQL
+    coercion would equate hash differently — refuse instead of silently
+    dropping matches)."""
+    from pyspark.sql import types as T
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                          T.LongType)):
+        return "long"
+    return dtype.simpleString()
+
+
 def bloom_build(keys: DataFrame, key_col: str, num_bits: int = 1 << 14,
                 num_hashes: int = 5) -> DataFrame:
     """Aggregate ``keys`` into a 1-row Bloom bitset: ``bits`` is an
@@ -161,8 +188,9 @@ def bloom_build(keys: DataFrame, key_col: str, num_bits: int = 1 << 14,
     if num_bits % 64:
         raise ValueError(f"num_bits must be a multiple of 64: {num_bits}")
     words = num_bits // 64
+    key = _canonical_key(F.col(key_col), keys.schema[key_col].dataType)
     positions = F.explode(F.array(*[
-        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits))
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
         for i in range(num_hashes)])).alias("_pos")
     sparse = (keys.where(F.col(key_col).isNotNull()).select(positions)
               .select((F.col("_pos") / 64).cast("int").alias("_w"),
@@ -182,13 +210,20 @@ def bloom_build(keys: DataFrame, key_col: str, num_bits: int = 1 << 14,
 
 
 def bloom_might_contain(key, bits, num_bits: int = 1 << 14,
-                        num_hashes: int = 5):
+                        num_hashes: int = 5, key_type=None):
     """Membership probe against a :func:`bloom_build` bitset — a pure
     Catalyst boolean (k word lookups + bit tests, whole-stage-codegen
     friendly). Must be called with the same num_bits/num_hashes the
-    bitset was built with. NULL keys probe to NULL (SQL semantics), which
-    a filter treats as drop — matching the exact join NULL keys can
-    never match anyway."""
+    bitset was built with, and — because xxhash64 is type-sensitive —
+    with a key of the same hash family the bitset was built from: pass
+    ``key_type`` (the probe column's DataType) to apply the same
+    integral-widening canonicalization :func:`bloom_build` applies, or
+    pre-cast the key yourself (:func:`bloom_prune` does this from the
+    schemas and is the safe entry point). NULL keys probe to NULL (SQL
+    semantics), which a filter treats as drop — matching the exact join
+    NULL keys can never match anyway."""
+    if key_type is not None:
+        key = _canonical_key(key, key_type)
     cond = None
     for i in range(num_hashes):
         pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
@@ -209,9 +244,24 @@ def bloom_prune(fact: DataFrame, keys: DataFrame, fact_key: str,
     nested-loop join on the surface with a provably 1-row build — and
     the probe predicate sits directly on the fact scan, BEFORE any
     exchange the caller's subsequent exact join adds. Follow with the
-    exact join for exact semantics."""
+    exact join for exact semantics.
+
+    Type guard (ADVICE r07): build and probe keys are canonicalized to
+    the same hash family (every integral width widens to long) before
+    hashing; key types an equi-join would coerce but that hash
+    differently after canonicalization (int vs double, string vs long)
+    raise instead of silently dropping matching fact rows."""
+    fact_type = fact.schema[fact_key].dataType
+    dim_type = keys.schema[dim_key or fact_key].dataType
+    if _hash_family(fact_type) != _hash_family(dim_type):
+        raise ValueError(
+            f"bloom_prune key types hash differently: fact {fact_key} is "
+            f"{fact_type.simpleString()}, dim {dim_key or fact_key} is "
+            f"{dim_type.simpleString()} — matching rows would be silently "
+            f"dropped (false negatives). Cast both keys to one type first.")
     bloom = bloom_build(keys, dim_key or fact_key, num_bits, num_hashes)
     return (fact.crossJoin(F.broadcast(bloom))
             .filter(bloom_might_contain(F.col(fact_key), F.col("bits"),
-                                        num_bits, num_hashes))
+                                        num_bits, num_hashes,
+                                        key_type=fact_type))
             .drop("bits"))

@@ -15,53 +15,28 @@ import __spark_entry__ as em
 # it carries a full DuckDB oracle (VERDICT r05 #2).
 ROWS_ONLY_BY_DESIGN = set()
 
-# Queries whose implementation / oracle changes in round 7 — every one
+# Queries whose implementation / oracle changes in round 8 — every one
 # MUST sit inside the gate window so this round's CORRECTNESS file
 # records it.
-CHANGED_ROUND7 = {
-    "gate_canary",            # gate-normalization canary, always first
-    "approx_distinct_users",  # NULL-proof within_10pct verdict (ADVICE
-                              # r06): both sides gate on n_exact > 0
-    "pipeline_clean_corpus",  # affix-dedup stage added — the suffix-
-                              # truncation engine now runs under a full
-                              # composed plan (VERDICT r06 #6)
-    # NEW round-7 queries — their FIRST official row must land:
-    "bloom_prune_join",        # Bloom semi-join pruning (pure Catalyst)
-    "approx_order_quantiles",  # bounded-rank-error percentile sketch
-    "table_profile",           # one-pass ingest-audit column profile
+CHANGED_ROUND8 = {
+    "gate_canary",             # gate-normalization canary, always first
+    "pipeline_clean_corpus",   # planted suffix-truncation pair in the
+                               # corpus fixture (VERDICT r07 #6): the
+                               # suffix arm drops a doc on the natural
+                               # gate path, oracle agreeing
+    "bloom_prune_join",        # key-type canonicalization guard (ADVICE
+                               # r07): integral widths widen to long
+                               # before hashing; cross-family types raise
     # freshness fill-in (implementation unchanged this round; its
-    # family gains SCALE evidence — the prefix max_bucket sweep):
-    "dedup_prefix",
+    # production sketch-only shape gains a SCALE row — VERDICT r07 #5):
+    "table_profile",
 }
 
-# Round-7 rotation (standing policy, VERDICT r06 #1): these 43 queries'
-# newest official CORRECTNESS row dates from r05 (they were the r06
-# tail) — every one MUST sit inside the r07 window for a fresh row.
-STALE_OFFICIAL_R05 = {
-    "topk_cosine", "crud_query", "dedup_exact", "text_language_id",
-    "dedup_minhash", "dedup_winnow", "dedup_cosine",
-    "embedding_centroids", "user_event_pivot", "bucketed_join_revenue",
-    "ingest_violations", "text_stats", "text_quality", "events_asof",
-    "topk_small_collection", "events_range_join", "ann_lsh_join",
-    "events_salted_agg", "revenue_rollup", "top_orders_per_customer",
-    "events_windowed", "text_chunks", "events_sessionize",
-    "point_lookup", "collections_catalog", "record_pretty",
-    "source_length_stats", "pricing_summary", "segment_revenue",
-    "set_ops_customers", "semi_anti_customers", "user_moving_avg",
-    "order_percentiles", "cube_revenue", "train_split_counts",
-    "promo_revenue", "events_json_props", "monthly_revenue_growth",
-    "shipping_priority", "ann_ivf", "ann_quantized", "batch_topk",
-    "cosine_kernel_pairs",
-}
-
-# Green in the r06 official gate on byte-identical implementations.
-# Only these may sit outside the round-7 window. ann_recall and
-# dedup_containment were window fill-in candidates but ceded their
-# slots to the two NEW round-7 queries (both are r06-official-green,
-# and their families' new evidence lands in SCALE.json, not in their
-# oracles).
-OFFICIAL_R06_UNCHANGED = {
-    "ann_recall", "dedup_containment", "ngram_novelty",
+# Round-8 rotation (standing policy, VERDICT r07 #1): these 46 queries'
+# newest official CORRECTNESS row dates from r06 (they were the r07
+# tail) — every one MUST sit inside the r08 window for a fresh row.
+STALE_OFFICIAL_R06 = {
+    "ngram_novelty", "ann_recall", "dedup_containment",
     "multimodal_decode", "multimodal_metadata", "ingest_embed",
     "corpus_upsert", "events_rolling_7d", "pack_sequences",
     "token_budget", "kmeans_cells", "span_dedup", "dedup_simhash_pairs",
@@ -78,8 +53,28 @@ OFFICIAL_R06_UNCHANGED = {
     "quality_unigram", "incremental_dedup", "weighted_sample",
 }
 
+# Green in the r07 official gate on byte-identical implementations.
+# Only these may sit outside the round-8 window.
+OFFICIAL_R07_UNCHANGED = {
+    "approx_distinct_users", "approx_order_quantiles", "dedup_prefix",
+    "topk_cosine", "crud_query", "dedup_exact", "text_language_id",
+    "dedup_minhash", "dedup_winnow", "dedup_cosine",
+    "embedding_centroids", "user_event_pivot", "bucketed_join_revenue",
+    "ingest_violations", "text_stats", "text_quality", "events_asof",
+    "topk_small_collection", "events_range_join", "ann_lsh_join",
+    "events_salted_agg", "revenue_rollup", "top_orders_per_customer",
+    "events_windowed", "text_chunks", "events_sessionize",
+    "point_lookup", "collections_catalog", "record_pretty",
+    "source_length_stats", "pricing_summary", "segment_revenue",
+    "set_ops_customers", "semi_anti_customers", "user_moving_avg",
+    "order_percentiles", "cube_revenue", "train_split_counts",
+    "promo_revenue", "events_json_props", "monthly_revenue_growth",
+    "shipping_priority", "ann_ivf", "ann_quantized", "batch_topk",
+    "cosine_kernel_pairs",
+}
+
 # Everything that must be inside the 50-slot window this round.
-WINDOW_ROUND7 = STALE_OFFICIAL_R05 | CHANGED_ROUND7
+WINDOW_ROUND8 = STALE_OFFICIAL_R06 | CHANGED_ROUND8
 
 
 def test_every_query_has_an_oracle_or_documented_exemption():
@@ -92,13 +87,13 @@ def test_every_query_has_an_oracle_or_documented_exemption():
 
 def test_declared_sets_cover_the_surface_exactly():
     q = set(em.queries())
-    declared = WINDOW_ROUND7 | OFFICIAL_R06_UNCHANGED
+    declared = WINDOW_ROUND8 | OFFICIAL_R07_UNCHANGED
     assert declared == q, (
         f"undeclared queries: {q - declared} / stale declarations: "
         f"{declared - q}")
-    assert not (WINDOW_ROUND7 & OFFICIAL_R06_UNCHANGED), (
+    assert not (WINDOW_ROUND8 & OFFICIAL_R07_UNCHANGED), (
         "a query cannot be both in-window and tail-green")
-    assert not (STALE_OFFICIAL_R05 & CHANGED_ROUND7), (
+    assert not (STALE_OFFICIAL_R06 & CHANGED_ROUND8), (
         "a query cannot be both stale-rotated and changed")
 
 
@@ -108,21 +103,21 @@ def test_window_queries_sit_inside_the_gate_window():
     official row."""
     names = list(em.queries().keys())
     window = set(names[:50])
-    outside = WINDOW_ROUND7 - window
+    outside = WINDOW_ROUND8 - window
     assert not outside, (
         f"required queries fall outside the 50-entry window: "
         f"{sorted(outside)}")
 
 
 def test_tail_queries_all_have_fresh_official_rows():
-    """After the r07 rotation no query's newest official row may be
-    older than r06 — the tail must consist solely of queries green in
-    the r06 gate on byte-identical code."""
+    """After the r08 rotation no query's newest official row may be
+    older than r07 — the tail must consist solely of queries green in
+    the r07 gate on byte-identical code."""
     names = list(em.queries().keys())
     tail = set(names[50:])
-    unofficial = tail - OFFICIAL_R06_UNCHANGED
+    unofficial = tail - OFFICIAL_R07_UNCHANGED
     assert not unofficial, (
-        f"queries whose newest official row predates r06 fall outside "
+        f"queries whose newest official row predates r07 fall outside "
         f"the 50-entry window: {sorted(unofficial)}")
 
 
@@ -163,6 +158,28 @@ def test_window_marker_is_exact():
     names = list(em.queries().keys())
     assert names[0] == "gate_canary"
     for i, n in enumerate(names):
-        if n in WINDOW_ROUND7:
+        if n in WINDOW_ROUND8:
             assert i < 50, f"{n} (required) at index {i} — outside the gate"
-    assert names[50] in OFFICIAL_R06_UNCHANGED
+    assert names[50] in OFFICIAL_R07_UNCHANGED
+
+
+def test_planted_suffix_pair_passes_its_gates(spark):
+    """The planted pair (VERDICT r07 #6) only exercises the suffix arm if
+    BOTH docs survive the pipeline's quality and language filters and the
+    bare article is a proper suffix of the bannered copy — pin those
+    preconditions directly so a future gate-threshold change can't
+    silently turn the fixture into a no-op."""
+    from pyspark.sql import functions as F
+
+    from go_simple_embedding_database_spark.functions import text as tx
+    banner, bare = em._PLANTED_SUFFIX_DOCS
+    assert bare[1] != banner[1] and banner[1].endswith(bare[1])
+    assert len(bare[1]) >= 64  # suffix bucketing's min_len anchor
+    df = spark.createDataFrame([banner, bare],
+                               "doc_id long, text string, lang string, "
+                               "source string")
+    rows = df.select(
+        (tx.quality_score(F.col("text")) >= 0.5).alias("q"),
+        (tx.language_id(F.col("text")) == F.col("lang")).alias("l"),
+    ).collect()
+    assert all(r.q and r.l for r in rows), rows

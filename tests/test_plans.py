@@ -511,16 +511,14 @@ def test_surface_plan_antipattern_sweep(plans, name):
     assert "BatchEvalPython" not in p, (
         f"{name}: row-pickled Python in physical plan — every Python "
         f"boundary must be Arrow-batched")
-    if name in _BNLJ_ALLOWED:
-        # the concession is a BROADCAST nested loop of a bounded side;
-        # a shuffle-replicate nested loop is never allowed
-        for line in p.splitlines():
-            if "BroadcastNestedLoopJoin" in line and "(" in line:
-                assert "BuildRight" in line or "BuildLeft" in line or \
-                    line.strip().startswith("("), (
-                        f"{name}: BNLJ without a broadcast build side: "
-                        f"{line.strip()}")
-    else:
+    # BNLJ is allowed only on the bounded-build allowlist. Inside the
+    # allowlist no further per-line check runs (ADVICE r07: the old
+    # BuildLeft/startswith('(') clause was vacuous on formatted plans,
+    # and a BNLJ node always names a build side anyway): the non-
+    # broadcast nested loop surfaces as CartesianProduct, forbidden
+    # unconditionally above, and each allowlist entry's bounded-build
+    # rationale is pinned by its own plan test.
+    if name not in _BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in p, (
             f"{name}: BroadcastNestedLoopJoin outside the bounded-build "
             f"allowlist — a data-sized side entered a nested loop")

@@ -123,3 +123,33 @@ def test_bloom_string_keys(spark):
     pruned = bloom_prune(fact, keys, "k")
     kept = {r.k for r in pruned.join(keys, "k").collect()}
     assert kept == {"a", "b"}
+
+def test_bloom_mixed_integral_widths_have_no_false_negatives(spark):
+    """ADVICE r07: xxhash64 is type-sensitive, so an int-keyed dim
+    against a long-keyed fact used to hash to DIFFERENT positions and
+    silently drop every matching row — a false negative. Canonicalization
+    widens every integral width to long before hashing on BOTH sides, so
+    the values an equi-join would match always probe positive."""
+    fact = spark.createDataFrame(
+        [(i, i % 50) for i in range(1000)], "fid long, k long")
+    keys = spark.createDataFrame([(3,), (7,), (11,)], "k int")
+    pruned = bloom_prune(fact, keys, "k", dim_key="k")
+    exact = sorted(r.fid for r in
+                   pruned.join(keys.withColumn("k", F.col("k").cast("long")),
+                               "k").collect())
+    plain = sorted(r.fid for r in
+                   fact.join(keys.withColumn("k", F.col("k").cast("long")),
+                             "k").collect())
+    assert exact == plain and len(plain) == 3 * 20
+
+
+def test_bloom_prune_rejects_cross_family_key_types(spark):
+    """Key types SQL coercion would equate but xxhash64 hashes apart
+    (string vs long, double vs long) must raise, never silently drop."""
+    fact_l = spark.createDataFrame([(1,)], "k long")
+    keys_s = spark.createDataFrame([("1",)], "k string")
+    with pytest.raises(ValueError, match="hash differently"):
+        bloom_prune(fact_l, keys_s, "k")
+    keys_d = spark.createDataFrame([(1.0,)], "k double")
+    with pytest.raises(ValueError, match="hash differently"):
+        bloom_prune(fact_l, keys_d, "k")
