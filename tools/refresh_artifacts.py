@@ -94,6 +94,22 @@ def main() -> int:
         print(f"FAILED steps: {failures}", file=sys.stderr)
         return 1
     print("all artifacts regenerated on current code")
+    # Loud dirty-tree warning (VERDICT r07 #4): round 7 ended with the
+    # refreshed official BENCH.json sitting uncommitted — one stray
+    # checkout from data loss (and a later verification run did clobber
+    # it). Artifacts must land in the same commit as the code that
+    # produced them; this runner cannot commit for you, but it will not
+    # let the gap pass silently.
+    try:
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"], cwd=ROOT,
+            capture_output=True, text=True).stdout.strip()
+    except OSError:
+        dirty = ""
+    if dirty:
+        print("\n!! WORKING TREE IS DIRTY — commit the refreshed artifacts "
+              "NOW (uncommitted official artifacts have been lost to "
+              "verification re-runs before):\n" + dirty, file=sys.stderr)
     return 0
 
 
