@@ -105,7 +105,12 @@ def test_pipeline_affix_stage_drops_truncation_duplicates(spark, tmp_path):
     affix direction and runs the REAL pipeline query end-to-end: doc 2
     (a prefix cut of doc 1) and doc 3 (a suffix slice of doc 1) must be
     dropped by the affix stage while doc 1 and an unrelated doc survive —
-    and the DuckDB oracle must agree on the same corpus."""
+    and the DuckDB oracle must agree on the same corpus.
+
+    Round 8: the pipeline additionally unions its own 2-row planted
+    suffix pair into every corpus (VERDICT r07 #6 — both engines), so
+    the bannered survivor doc 10000000001 appears here too and its bare
+    suffix 10000000002 must be dropped alongside the planted docs 2/3."""
     import duckdb
     from pyspark.sql import functions as F
 
@@ -132,14 +137,14 @@ def test_pipeline_affix_stage_drops_truncation_duplicates(spark, tmp_path):
     df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
     out = entry_mod.queries()["pipeline_clean_corpus"](spark, str(tmp_path))
     surviving = {r.doc_id for r in out.select("doc_id").distinct().collect()}
-    assert surviving == {1, 4}, surviving
+    assert surviving == {1, 4, 10_000_000_001}, surviving
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{tmp_path}/documents.parquet/*.parquet')")
     osurv = {r[0] for r in con.sql(
         f"SELECT DISTINCT doc_id FROM "
         f"({entry_mod.oracle_sql()['pipeline_clean_corpus']})").fetchall()}
-    assert osurv == {1, 4}, osurv
+    assert osurv == {1, 4, 10_000_000_001}, osurv
 
 
 def test_entry_smoke(spark):
