@@ -52,49 +52,15 @@ def _timed_best(spark, fn, runs=2):
 
 
 def _exchange_metrics(df) -> dict:
-    """Engine-measured shuffle-exchange metrics (VERDICT r07 #3): execute
-    the frame, then read every ShuffleExchange's SQL metrics off the
-    final AQE physical plan via py4j. Wall time on this box is
-    draw-unstable, but the records/bytes an exchange moves are
-    load-invariant — for bloom_ab they ARE the operator's claim, so they
-    belong on the record as Spark's own numbers, not a hand-derived row
-    ratio. Returns totals + the per-exchange breakdown (the max-records
-    exchange is the fact-side shuffle the prune exists to shrink)."""
-    df.collect()
-
-    exchanges = []
-
-    def walk(node):
-        name = node.nodeName()
-        if name == "AdaptiveSparkPlan":
-            walk(node.executedPlan())
-            return
-        if "QueryStage" in name:      # Shuffle/Broadcast/ResultQueryStage
-            walk(node.plan())
-            return
-        if name == "Exchange":        # ShuffleExchangeExec; Broadcast
-            m = {}                    # exchanges move no shuffle rows
-            it = node.metrics().iterator()
-            while it.hasNext():
-                kv = it.next()
-                m[kv._1()] = kv._2().value()
-            exchanges.append({"records": int(m.get("shuffleRecordsWritten", 0)),
-                              "bytes": int(m.get("shuffleBytesWritten", 0))})
-        if name == "ReusedExchange":  # metrics live on the original
-            return
-        it = node.children().iterator()
-        while it.hasNext():
-            walk(it.next())
-
-    walk(df._jdf.queryExecution().executedPlan())
-    return {
-        "shuffle_records_total": sum(e["records"] for e in exchanges),
-        "shuffle_bytes_total": sum(e["bytes"] for e in exchanges),
-        "max_exchange_records": max((e["records"] for e in exchanges),
-                                    default=0),
-        "n_exchanges": len(exchanges),
-        "per_exchange": exchanges,
-    }
+    """Engine-measured shuffle-exchange metrics (VERDICT r07 #3): Spark's
+    own SQL metrics off the final AQE plan — the load-invariant record of
+    what each exchange moved, where wall time on this box is
+    draw-unstable and a hand-derived row ratio can describe a plan that
+    never ran. Delegates to the library's public audit utility
+    (``plans.exchange_metrics``) so the probe and the tests measure with
+    exactly one implementation."""
+    from go_simple_embedding_database_spark.plans import exchange_metrics
+    return exchange_metrics(df)
 
 
 def _synthesize(spark, out_dir: str) -> None:
