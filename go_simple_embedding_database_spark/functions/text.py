@@ -292,6 +292,36 @@ def shingles_sql(expr: str, n: int = 3) -> str:
     )
 
 
+def ngram_bag(text: Column, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity — the bag-of-hashed-ngrams feature
+    map of importance-resampling data selection (DSIR, Xie et al. 2023),
+    where a gram repeated k times contributes k counts. Identical
+    construction to :func:`shingles` (same tokenizer, same short-document
+    rule: < n words yield the full word sequence as one gram) minus the
+    ``array_distinct`` — dedup features and selection features must not
+    silently share multiplicity semantics. NULL text yields NULL (zero
+    grams after an explode) on BOTH engines — without the guard the
+    Spark HOF chain manufactures a phantom ``[NULL]`` single-gram array
+    that inflates every corpus total by one per NULL document."""
+    def per_words(ws: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
+        return F.transform(
+            idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
+
+    bag = F.element_at(
+        F.transform(F.array(words(lower_x(text))), per_words), 1)
+    return F.when(text.isNotNull(), bag)
+
+
+def ngram_bag_sql(expr: str, n: int = 2) -> str:
+    w = words_sql(f"{lower_x_sql(expr)}")
+    return (
+        f"CASE WHEN {expr} IS NOT NULL THEN "
+        f"[array_to_string(list_slice({w}, i + 1, i + {n}), ' ') "
+        f"for i in range(greatest(len({w}) - {n}, 0) + 1)] END"
+    )
+
+
 def chunk_text(text: Column, chunk_size: int = 4096) -> Column:
     """Split a document into fixed-size character chunks — the reference
     README's quickstart chunking (/root/reference/README.md:54-68, 4096-byte

@@ -1,0 +1,224 @@
+"""Distributed embedding second moments → covariance → PCA.
+
+The 100 TB embedding-hygiene pass: before ANN indexing / SemDeDup /
+whitening, a pipeline needs the corpus covariance spectrum (how many
+effective dimensions do the embeddings use? is one feature dominating
+distance?). The scalable shape is the classic two-step:
+
+1. **Distributed sufficient statistics** (:func:`embedding_moments`) —
+   ONE pass computes n, Σx (d-vector) and the Gram matrix ΣxxT (d×d)
+   via per-Arrow-batch int64 GEMM inside ``mapInPandas``: each batch
+   emits d(d+1)/2 + d + 1 tiny rows, so the shuffle that follows is
+   O(partitions·d²) — independent of the number of embeddings. The
+   naive Catalyst alternative (double posexplode + self-join on the
+   row id) shuffles N·d² rows; at d=64 that is 4096× the data volume.
+   Elements are quantized to exact integer units of 1e-4 IN CATALYST
+   (``F.round`` — half-up in both engines; numpy's half-to-even never
+   touches the data), so every partial and every merged moment is an
+   EXACT integer: Spark's nondeterministic partition/agg order cannot
+   move a float sum, and the DuckDB twin (a plain unnest self-join over
+   the same quantized ints) agrees bit-for-bit.
+2. **Driver-side eigendecomposition** (:func:`pca_components`) — the
+   moments relation is d(d+3)/2 + 1 rows (2145 at d=64) regardless of
+   corpus size; collecting it is the correct driver/cluster split
+   (same as k-means centroids, operators/clustering.py).
+
+Overflow ledger (bigint partials): |x_int| ≤ S·max|x| (S=1e4, unit-ish
+embeddings ⇒ ~1e5); a 1e6-row partition's Gram entry ≤ 1e16; the final
+covariance numerator n·ΣXY − ΣX·ΣY ≤ ~1e18 at n ≈ 3e7. Past that, flip
+the aggregate to ``decimal(38,0)`` (both engines exact to 38 digits) —
+the constant is a named knob, not a silent wrap; DuckDB raises on
+bigint overflow, so the oracle is also the canary.
+
+Rows whose embedding is NULL, has NULL elements, or has the wrong
+width are EXCLUDED from the moments (and from n) — mirrored in the
+oracle; a moments pass that crashes on one malformed row is useless at
+100 TB, and one that silently zero-fills skews every covariance.
+
+No counterpart in the reference (SURVEY.md §2 extensions): the 544-LoC
+surface stores embeddings but has no statistics over them.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMB_SCALE = 10_000  # quantization: exact integer units of 1e-4
+
+_MOMENTS_SCHEMA = "dim_i int, dim_j int, v long"
+
+
+def quantized_embeddings(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """(…, _q: array<long>) keeping only well-formed vectors: non-NULL,
+    exactly ``dim`` wide, no NULL elements. Quantization happens here,
+    in Catalyst, with ``F.round`` (half-up — matches DuckDB's
+    round-half-away on the non-negative .5 boundaries and on every
+    non-boundary value), NOT in numpy (half-to-even)."""
+    c = F.col(vec_col)
+    ok = (c.isNotNull() & (F.size(c) == dim)
+          & ~F.exists(c, lambda x: x.isNull()))
+    q = F.transform(c, lambda x: F.round(x.cast("double") * EMB_SCALE, 0)
+                    .cast("long"))
+    return df.filter(ok).withColumn("_q", q)
+
+
+def quantized_sql(vec_col: str, dim: int) -> tuple[str, str]:
+    """(predicate, quantized-list expression) — DuckDB twin of
+    :func:`quantized_embeddings`."""
+    pred = (f"{vec_col} IS NOT NULL AND len({vec_col}) = {dim} "
+            f"AND len(list_filter({vec_col}, x -> x IS NULL)) = 0")
+    q = (f"list_transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) "
+         f"* {EMB_SCALE}, 0) AS BIGINT))")
+    return pred, q
+
+
+def embedding_moments(df: DataFrame, vec_col: str = "embedding",
+                      dim: int = 64) -> DataFrame:
+    """Long-format exact integer moments over quantized embeddings:
+    (dim_i, dim_j, v) where (i, j, ΣXiXj) for i ≤ j is the Gram upper
+    triangle, (i, −1, ΣXi) the feature sums and (−1, −1, n) the count.
+    One scan; per-batch int64 GEMM; O(partitions·d²) shuffle rows."""
+    quant = quantized_embeddings(df, vec_col, dim).select("_q")
+
+    def gemm(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        n = 0
+        s = np.zeros(dim, dtype=np.int64)
+        g = np.zeros((dim, dim), dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(pdf["_q"].tolist(), dtype=np.int64)
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            g += x.T @ x
+        if n == 0:
+            return
+        iu, ju = np.triu_indices(dim)
+        yield pd.DataFrame({
+            "dim_i": np.concatenate([iu, np.arange(dim), [-1]]),
+            "dim_j": np.concatenate([ju, np.full(dim, -1), [-1]]),
+            "v": np.concatenate([g[iu, ju], s, [n]]),
+        })
+
+    partials = quant.mapInPandas(gemm, schema=_MOMENTS_SCHEMA)
+    return (partials.groupBy("dim_i", "dim_j")
+            .agg(F.sum("v").alias("v")))
+
+
+def covariance_long(df: DataFrame, vec_col: str = "embedding",
+                    dim: int = 64) -> DataFrame:
+    """Sample covariance in ORIGINAL units, long upper-triangle format:
+    (dim_i, dim_j, n_vecs, cov_num, cov) with cov_num the EXACT bigint
+    numerator n·ΣXiXj − ΣXi·ΣXj (scaled units) and
+    cov = round(cov_num / (n(n−1)) / EMB_SCALE², 6). Exact ints carry
+    the cross-engine contract; the double division is a fixed sequence
+    of IEEE ops on identical inputs."""
+    m = embedding_moments(df, vec_col, dim)
+    gram = (m.filter((F.col("dim_i") >= 0) & (F.col("dim_j") >= 0))
+            .select("dim_i", "dim_j", F.col("v").alias("_sxy")))
+    sums = (m.filter((F.col("dim_i") >= 0) & (F.col("dim_j") == -1))
+            .select(F.col("dim_i").alias("_d"), F.col("v").alias("_s")))
+    n = (m.filter((F.col("dim_i") == -1) & (F.col("dim_j") == -1))
+         .select(F.col("v").alias("_n")))
+    si = sums.select(F.col("_d").alias("dim_i"), F.col("_s").alias("_si"))
+    sj = sums.select(F.col("_d").alias("dim_j"), F.col("_s").alias("_sj"))
+    num = F.col("_n") * F.col("_sxy") - F.col("_si") * F.col("_sj")
+    denom = (F.col("_n") * (F.col("_n") - 1)).cast("double")
+    cov = F.round(F.col("cov_num").cast("double") / denom
+                  / float(EMB_SCALE) ** 2, 6)
+    return (gram.join(F.broadcast(si), "dim_i")
+            .join(F.broadcast(sj), "dim_j")
+            .crossJoin(F.broadcast(n))
+            .withColumn("cov_num", num)
+            .select("dim_i", "dim_j", F.col("_n").alias("n_vecs"),
+                    "cov_num", cov.alias("cov")))
+
+
+def covariance_long_sql(table: str, vec_col: str = "embedding",
+                        dim: int = 64) -> str:
+    """DuckDB twin of :func:`covariance_long` — same quantization, same
+    exact integer numerator, same division/rounding sequence."""
+    pred, q = quantized_sql(vec_col, dim)
+    return f"""
+WITH _q AS (
+  SELECT row_number() OVER () AS _rid, {q} AS _e
+  FROM {table} WHERE {pred}
+), _x AS (
+  SELECT _rid, CAST(generate_subscripts(_e, 1) - 1 AS INT) AS _d,
+         unnest(_e) AS _v
+  FROM _q
+), _g AS (
+  SELECT a._d AS dim_i, b._d AS dim_j,
+         CAST(sum(a._v * b._v) AS BIGINT) AS _sxy
+  FROM _x a JOIN _x b ON a._rid = b._rid AND a._d <= b._d
+  GROUP BY 1, 2
+), _s AS (
+  SELECT _d, CAST(sum(_v) AS BIGINT) AS _sv FROM _x GROUP BY _d
+), _n AS (
+  SELECT CAST(count(*) AS BIGINT) AS _n FROM _q
+)
+SELECT g.dim_i, g.dim_j, t._n AS n_vecs,
+       t._n * g._sxy - sa._sv * sb._sv AS cov_num,
+       round(CAST(t._n * g._sxy - sa._sv * sb._sv AS DOUBLE)
+             / CAST(t._n * (t._n - 1) AS DOUBLE)
+             / {float(EMB_SCALE) ** 2}, 6) AS cov
+FROM _g g JOIN _s sa ON g.dim_i = sa._d JOIN _s sb ON g.dim_j = sb._d, _n t
+"""
+
+
+def pca_components(df: DataFrame, vec_col: str = "embedding",
+                   dim: int = 64, k: int | None = None):
+    """Driver-side eigendecomposition of the distributed covariance:
+    returns (eigenvalues desc, components [k×d] numpy, n). The collect
+    is d(d+3)/2 + 1 rows — corpus-size-independent, the same
+    driver/cluster split as k-means centroids. Eigenvector SIGN is not
+    deterministic across LAPACK builds, so components are normalized to
+    a non-negative first significant coordinate."""
+    import numpy as np
+    rows = embedding_moments(df, vec_col, dim).collect()
+    n = 0
+    s = np.zeros(dim, dtype=np.float64)
+    g = np.zeros((dim, dim), dtype=np.float64)
+    for r in rows:
+        if r.dim_i == -1:
+            n = int(r.v)
+        elif r.dim_j == -1:
+            s[r.dim_i] = float(r.v)
+        else:
+            g[r.dim_i, r.dim_j] = g[r.dim_j, r.dim_i] = float(r.v)
+    if n < 2:
+        return np.zeros(0), np.zeros((0, dim)), n
+    cov = (g - np.outer(s, s) / n) / (n - 1) / float(EMB_SCALE) ** 2
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order].T
+    for i in range(vecs.shape[0]):
+        nz = np.flatnonzero(np.abs(vecs[i]) > 1e-12)
+        if nz.size and vecs[i, nz[0]] < 0:
+            vecs[i] = -vecs[i]
+    if k is not None:
+        vals, vecs = vals[:k], vecs[:k]
+    return vals, vecs, n
+
+
+def pca_project(df: DataFrame, components, vec_col: str = "embedding",
+                out_col: str = "pca") -> DataFrame:
+    """Project each embedding onto the (k×d) components — pure Catalyst:
+    the components are a LITERAL k×d matrix folded into a codegen'd
+    dot-product expression (d multiplies per output coordinate), no
+    Python on the data path, no shuffle at all."""
+    comps = [[float(x) for x in row] for row in components]
+    c = F.col(vec_col)
+    outs = [
+        F.aggregate(
+            F.zip_with(c, F.array(*[F.lit(w) for w in row]),
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        for row in comps
+    ]
+    return df.withColumn(out_col, F.array(*outs))

@@ -1,0 +1,141 @@
+"""Distributed embedding moments / covariance / PCA (operators/pca.py)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from go_simple_embedding_database_spark.operators import pca
+
+_D = 5
+
+
+def _mat(seed=7, n=40):
+    rng = np.random.RandomState(seed)
+    return rng.uniform(-1.0, 1.0, size=(n, _D))
+
+
+def _df(spark, x):
+    rows = [(i, [float(v) for v in row]) for i, row in enumerate(x)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _quant(x):
+    # float32 storage round-trip first — what the engines actually read
+    return np.round(np.asarray(x, dtype=np.float32).astype(np.float64)
+                    * pca.EMB_SCALE)
+
+
+def test_moments_match_numpy_exactly(spark):
+    x = _mat()
+    xq = _quant(x).astype(np.int64)
+    m = {(r.dim_i, r.dim_j): r.v
+         for r in pca.embedding_moments(_df(spark, x), dim=_D).collect()}
+    assert m[(-1, -1)] == x.shape[0]
+    g = xq.T @ xq
+    s = xq.sum(axis=0)
+    for i in range(_D):
+        assert m[(i, -1)] == s[i]
+        for j in range(i, _D):
+            assert m[(i, j)] == g[i, j]
+
+
+def test_covariance_matches_numpy(spark):
+    x = _mat(seed=11)
+    xq = _quant(x)
+    ref = np.cov(xq.T, ddof=1) / pca.EMB_SCALE ** 2
+    got = {(r.dim_i, r.dim_j): r.cov
+           for r in pca.covariance_long(_df(spark, x), dim=_D).collect()}
+    assert len(got) == _D * (_D + 1) // 2
+    for (i, j), v in got.items():
+        assert abs(v - ref[i, j]) < 1e-6, (i, j, v, ref[i, j])
+
+
+def test_malformed_rows_excluded_from_moments(spark):
+    """NULL vector / wrong width / NULL element rows must not crash the
+    GEMM and must not skew n — the 100 TB malformed-row contract."""
+    x = _mat(seed=3, n=10)
+    clean = pca.embedding_moments(_df(spark, x), dim=_D).collect()
+    rows = ([(i, [float(v) for v in row]) for i, row in enumerate(x)]
+            + [(100, None), (101, [1.0] * (_D + 1)),
+               (102, [1.0, None, 1.0, 1.0, 1.0]), (103, [])])
+    dirty_df = spark.createDataFrame(rows,
+                                     "vec_id long, embedding array<float>")
+    dirty = pca.embedding_moments(dirty_df, dim=_D).collect()
+    key = lambda rs: sorted((r.dim_i, r.dim_j, r.v) for r in rs)
+    assert key(clean) == key(dirty)
+
+
+def test_moments_invariant_under_repartition(spark):
+    x = _mat(seed=5)
+    df = _df(spark, x)
+    key = lambda df_: sorted((r.dim_i, r.dim_j, r.v) for r in
+                             pca.embedding_moments(df_, dim=_D).collect())
+    assert key(df) == key(df.repartition(9))
+
+
+def test_pca_components_match_numpy_eigh(spark):
+    x = _mat(seed=13, n=60)
+    vals, vecs, n = pca.pca_components(_df(spark, x), dim=_D, k=3)
+    assert n == 60 and vals.shape == (3,) and vecs.shape == (3, _D)
+    xq = _quant(x)
+    ref = np.cov(xq.T, ddof=1) / pca.EMB_SCALE ** 2
+    rvals = np.sort(np.linalg.eigvalsh(ref))[::-1][:3]
+    assert np.allclose(vals, rvals, rtol=1e-9)
+    # components are orthonormal rows with non-negative leading coord
+    assert np.allclose(vecs @ vecs.T, np.eye(3), atol=1e-9)
+    for row in vecs:
+        nz = np.flatnonzero(np.abs(row) > 1e-12)
+        assert row[nz[0]] >= 0
+
+
+def test_pca_project_is_the_literal_dot_product(spark):
+    x = _mat(seed=17, n=20)
+    df = _df(spark, x)
+    _, vecs, _ = pca.pca_components(df, dim=_D, k=2)
+    out = {r.vec_id: r.pca
+           for r in pca.pca_project(df, vecs).select("vec_id", "pca")
+           .collect()}
+    xf32 = np.asarray(x, dtype=np.float32).astype(np.float64)
+    ref = xf32 @ vecs.T
+    for i in range(x.shape[0]):
+        assert np.allclose(out[i], ref[i], atol=1e-9)
+
+
+def test_pca_project_plan_has_no_shuffle_and_no_python(spark):
+    from go_simple_embedding_database_spark.plans.explain_utils import (
+        formatted_plan)
+    x = _mat(n=8)
+    df = _df(spark, x)
+    _, vecs, _ = pca.pca_components(df, dim=_D, k=2)
+    plan = formatted_plan(pca.pca_project(df, vecs))
+    assert "Exchange" not in plan
+    # no Python evaluation nodes on the data path ("Python" alone would
+    # false-positive on createDataFrame's applySchemaToPythonRDD source)
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_empty_and_tiny_inputs(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert pca.covariance_long(empty, dim=_D).count() == 0
+    vals, vecs, n = pca.pca_components(empty, dim=_D)
+    assert n == 0 and vals.size == 0
+    one = _df(spark, _mat(n=1))
+    # n=1: covariance undefined (n-1 = 0) — pca refuses, moments fine
+    _, _, n1 = pca.pca_components(one, dim=_D)
+    assert n1 == 1
+
+
+def test_covariance_plan_bounded_exchange(spark):
+    """The moments shuffle must be O(partitions·d²), not O(N·d²): with
+    N rows across P partitions the single real exchange moves at most
+    P·(d(d+3)/2 + 1) partial rows — engine-measured, not asserted from
+    the plan text."""
+    from go_simple_embedding_database_spark.plans.exchange_metrics import (
+        exchange_metrics)
+    x = _mat(seed=23, n=400)
+    df = _df(spark, x)
+    p = df.rdd.getNumPartitions()
+    m = exchange_metrics(pca.embedding_moments(df, dim=_D))
+    bound = p * (_D * (_D + 3) // 2 + 1)
+    assert m["max_exchange_records"] <= bound, (m, p)
+    assert m["shuffle_records_total"] < 400, m  # never O(N·d²)

@@ -490,6 +490,15 @@ _BNLJ_ALLOWED = {
     "table_profile": "two global 1-row aggregates (sketch pass x exact "
                      "control pass) combined; both sides provably one "
                      "row; shape pinned by test_table_profile_plan_shape",
+    "dsir_select": "scalar gram totals (Ct, Cr — 1 row, a global "
+                   "aggregate) broadcast onto the 4096-row bucket "
+                   "spine; shape pinned by "
+                   "test_dsir_select_plan_is_top_k_not_sort",
+    "embedding_covariance": "scalar vector count n (1 row — filtered "
+                            "from the d²-bounded moments relation) "
+                            "broadcast onto the d(d+1)/2-row Gram "
+                            "triangle; shape pinned by "
+                            "test_covariance_plan_bounded_exchange",
 }
 
 _ALL_QUERIES = sorted(em.queries())

@@ -673,6 +673,10 @@ def _flagships():
         "ngram_novelty": q["ngram_novelty"],      # 1 row/doc (round 6)
         # round 8 — production sketch-only profile, fixed 5-row output
         "table_profile_sketch": profile_sketch,
+        # round 8 second half — fixed-output: top-100 selection / the
+        # d(d+1)/2-row covariance triangle, whatever the corpus size
+        "dsir_select": q["dsir_select"],
+        "embedding_covariance": q["embedding_covariance"],
     }
 
 
@@ -815,12 +819,32 @@ def main() -> None:
         deep_results["table_profile_sketch"]["note"] = (
             "production shape: exact_control=False — ONE scan, HLL++ "
             "sketch, Expand-free (plan-asserted)")
+        # DSIR selection at depth (round 8 second half): exact-copy docs
+        # 100x the bigram volume through two bucket reductions + the
+        # per-doc weight agg; output fixed at the 100-doc budget.
+        probe_scales({"dsir_select": _flagships()["dsir_select"]},
+                     [("1x", SF_DIR), (f"{DEEP_REPLICAS}x", db)],
+                     deep_results, runs=2)
+        deep_results["dsir_select"]["note"] = (
+            "exact-copy docs: bucket counts scale linearly, lambda table "
+            "fixed at 4096 rows, output fixed at budget=100")
         # bloom prune vs plain SMJ in the no-broadcast regime (round 7)
         bloom_ab = _bloom_ab(
             spark, [("1x", SF_DIR), (f"{DEEP_REPLICAS}x", db)])
         _synthesize_perm_embeddings(spark, de, DEEP_REPLICAS)
         probe_scales(sem_fns, [("1x", SF_DIR), (f"{DEEP_REPLICAS}x", de)],
                      deep_results, count_rows=True, runs=2)
+        # embedding covariance at depth (round 8 second half): the GEMM
+        # moments pass over 100x vectors — the exchange stays
+        # O(partitions*d^2) so the ratio should track the scan, and the
+        # output is the fixed 2080-row triangle at every scale.
+        probe_scales({"embedding_covariance":
+                      _flagships()["embedding_covariance"]},
+                     [("1x", SF_DIR), (f"{DEEP_REPLICAS}x", de)],
+                     deep_results, runs=2)
+        deep_results["embedding_covariance"]["note"] = (
+            "per-batch int64 GEMM moments; shuffle O(partitions*d^2), "
+            "output fixed at d(d+1)/2 rows")
         # ANN query family at the scaled operating point (VERDICT r06 #3)
         deep_results.update(_ann_deep(spark, SF_DIR, de, DEEP_REPLICAS))
     finally:
