@@ -214,6 +214,32 @@ COMMENTARY: dict[str, tuple[str, str]] = {
         "SortAggregate (77 s vs 2 s at sf0.1, measured). Production "
         "passes exact_control=False: single scan, no Expand, constant "
         "memory, mergeable sketches."),
+    "dsir_select": (
+        "DSIR importance-weighted data selection (round 8)",
+        "ONE tokenizer pass materializes (doc, bucket) gram occurrences "
+        "(localCheckpoint — three consumers must not re-run the regex "
+        "explode); target and raw bucket counts reduce to <= 4096 rows "
+        "each via map-side combine; the 1-row totals aggregate "
+        "broadcasts onto the 4096-row spine (the allowlisted "
+        "provably-1-row nested loop) to form the lambda table, which "
+        "broadcasts onto the grams for an exact-integer per-doc sum. "
+        "Selection is TakeOrderedAndProject — per-partition heaps plus "
+        "a budget-sized driver merge, never a global sort or a "
+        "single-partition window. At 100 TB every shuffle is either "
+        "bucket-sized (4096) or doc-keyed."),
+    "embedding_covariance": (
+        "Distributed embedding covariance via GEMM moments (round 8)",
+        "Per-Arrow-batch int64 GEMM inside mapInPandas emits "
+        "d(d+3)/2 + 1 tiny rows per batch, so the single real exchange "
+        "is O(partitions x d^2) — corpus-size-independent, "
+        "engine-measured at <= partitions x 2145 records by "
+        "tests/test_pca.py via plans.exchange_metrics (the naive "
+        "posexplode self-join the DuckDB oracle runs shuffles N x d^2 "
+        "rows — 4096x the data at d=64). Quantization to exact 1e-4 "
+        "integer units happens IN CATALYST before Python, so every "
+        "partial is an exact bigint and partition order cannot move "
+        "the result. The final combine joins the 2080-row triangle "
+        "against two broadcast relations (64-row sums, 1-row n)."),
     "snapshot_diff": (
         "Snapshot CDC diff (insert/update/delete)",
         "ONE full-outer sort-merge join on the key; both sides project "
