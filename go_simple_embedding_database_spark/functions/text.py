@@ -313,6 +313,18 @@ def ngram_bag(text: Column, n: int = 2) -> Column:
     return F.when(text.isNotNull(), bag)
 
 
+def ngram_bag_py(text: str | None, n: int = 2) -> list[str] | None:
+    """Python twin of ``ngram_bag`` (same recipe as ``shingles_py`` minus
+    the distinct; NULL in, NULL out) — the brute-force oracle the DSIR
+    property tests recompute weights with."""
+    import re
+    if text is None:
+        return None
+    ws = [w for w in re.split(r"\s+", lower_x_py(text), flags=re.ASCII)
+          if w]
+    return [" ".join(ws[i:i + n]) for i in range(max(len(ws) - n, 0) + 1)]
+
+
 def ngram_bag_sql(expr: str, n: int = 2) -> str:
     w = words_sql(f"{lower_x_sql(expr)}")
     return (

@@ -648,3 +648,99 @@ def test_percentile_sketch_honors_rank_tolerance(spark, vals):
         lt = sum(1 for x in vals if x < v)
         le = sum(1 for x in vals if x <= v)
         assert lt <= (q + tol) * n and le >= (q - tol) * n, (q, v, lt, le, n)
+
+
+# --- DSIR: Spark weights vs a pure-Python recomputation -----------------------
+
+def _half_up(x: float) -> int:
+    """Spark F.round(x, 0) semantics (HALF_UP, away from zero) — Python's
+    built-in round() is half-to-even and would fork on exact halves."""
+    import math
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+@SETTINGS
+@given(docs=st.lists(st.tuples(TEXTS, st.booleans()),
+                     min_size=1, max_size=20))
+def test_dsir_weights_match_python_brute_force(spark, docs):
+    """For ANY corpus/target split, every per-doc weight_micro equals a
+    from-scratch Python recomputation (ngram_bag_py tokens, md5 bucket,
+    math.log lambda, half-up micro quantization, exact int sum) — the
+    whole cross-engine-determinism design in one property."""
+    import hashlib
+    import math
+
+    from go_simple_embedding_database_spark.functions.text import (
+        ngram_bag_py)
+    from go_simple_embedding_database_spark.operators import dsir
+
+    B = dsir.DEFAULT_BUCKETS
+    rows = [(i, t, flag) for i, (t, flag) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    got = {r.doc_id: (r.n_grams, r.weight_micro) for r in
+           dsir.dsir_weights(df, "doc_id", "text", F.col("tgt")).collect()}
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % B
+
+    ct, cr = {}, {}
+    for i, t, flag in rows:
+        for g in ngram_bag_py(t):
+            b = bucket(g)
+            cr[b] = cr.get(b, 0) + 1
+            if flag:
+                ct[b] = ct.get(b, 0) + 1
+    Ct, Cr = sum(ct.values()), sum(cr.values())
+
+    def lam_micro(b):
+        lam = (math.log(ct.get(b, 0) + 1.0) - math.log(Ct + float(B))
+               - math.log(cr.get(b, 0) + 1.0) + math.log(Cr + float(B)))
+        return _half_up(lam * dsir.LAMBDA_SCALE)
+
+    for i, t, flag in rows:
+        grams = ngram_bag_py(t)
+        want = (len(grams), sum(lam_micro(bucket(g)) for g in grams))
+        assert got[i] == want, (i, t, got[i], want)
+
+
+@SETTINGS
+@given(texts=st.lists(st.one_of(TEXTS, st.none()), min_size=1, max_size=20))
+def test_ngram_bag_py_matches_spark(spark, texts):
+    from go_simple_embedding_database_spark.functions.text import (
+        ngram_bag, ngram_bag_py)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.g for r in
+           df.select(ngram_bag(F.col("text")).alias("g")).collect()]
+    assert got == [ngram_bag_py(t) for t in texts]
+
+
+# --- embedding moments: Spark GEMM vs numpy on quantized ints -----------------
+
+@SETTINGS
+@given(vecs=st.lists(
+    st.lists(st.integers(min_value=-1000, max_value=1000),
+             min_size=4, max_size=4),
+    min_size=2, max_size=40))
+def test_embedding_moments_match_numpy_property(spark, vecs):
+    """For ANY vector set (values i/1000 — never a rounding-half
+    boundary after the float32 round-trip), the distributed GEMM
+    moments equal numpy's int64 sums EXACTLY: n, per-dim sums, and the
+    full Gram upper triangle."""
+    import numpy as np
+
+    from go_simple_embedding_database_spark.operators import pca
+
+    x = [[v / 1000.0 for v in row] for row in vecs]
+    df = spark.createDataFrame(
+        [(i, row) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>")
+    m = {(r.dim_i, r.dim_j): r.v
+         for r in pca.embedding_moments(df, dim=4).collect()}
+    xq = np.round(np.asarray(x, dtype=np.float32).astype(np.float64)
+                  * pca.EMB_SCALE).astype(np.int64)
+    g, s = xq.T @ xq, xq.sum(axis=0)
+    assert m[(-1, -1)] == len(vecs)
+    for i in range(4):
+        assert m[(i, -1)] == s[i]
+        for j in range(i, 4):
+            assert m[(i, j)] == g[i, j]
