@@ -503,12 +503,38 @@ _BNLJ_ALLOWED = {
 
 _ALL_QUERIES = sorted(em.queries())
 
+# Partition-less Window (WindowExec's "moving all data to a single
+# partition" warning) is a 100 TB collapse when the input is data-sized;
+# it is legitimate ONLY over a relation already reduced to a bounded
+# cardinality. Allowlist with per-entry bound, mirroring _BNLJ_ALLOWED.
+_GLOBAL_WINDOW_ALLOWED = {
+    "monthly_revenue_growth": "lag over the MONTHLY aggregate — "
+                              "calendar-bounded (months, not orders); "
+                              "the groupBy reduces before the window",
+}
+
 
 def test_bnlj_allowlist_entries_are_live_queries():
     """A renamed/removed query must not leave a stale allowlist entry
     silently widening the sweep."""
     stale = set(_BNLJ_ALLOWED) - set(_ALL_QUERIES)
     assert not stale, f"allowlist entries without a query: {sorted(stale)}"
+    stale_w = set(_GLOBAL_WINDOW_ALLOWED) - set(_ALL_QUERIES)
+    assert not stale_w, f"window allowlist stale: {sorted(stale_w)}"
+
+
+def _partitionless_windows(plan: str) -> list[str]:
+    """Detail lines whose windowspecdefinition has NO partition columns:
+    the first argument is an order expression (``col ASC/DESC``) or the
+    frame itself (order-less global window)."""
+    import re
+    hits = []
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+        first = m.group(1).split(",")[0].strip()
+        if (" ASC" in first or " DESC" in first
+                or first.startswith("specifiedwindowframe")):
+            hits.append(m.group(0))
+    return hits
 
 
 @pytest.mark.parametrize("name", _ALL_QUERIES)
@@ -531,6 +557,13 @@ def test_surface_plan_antipattern_sweep(plans, name):
         assert "BroadcastNestedLoopJoin" not in p, (
             f"{name}: BroadcastNestedLoopJoin outside the bounded-build "
             f"allowlist — a data-sized side entered a nested loop")
+    # Partition-less Window = single-partition sort of its whole input;
+    # allowed only over provably bounded (post-aggregate) relations.
+    if name not in _GLOBAL_WINDOW_ALLOWED:
+        pw = _partitionless_windows(p)
+        assert not pw, (
+            f"{name}: partition-less Window outside the bounded-input "
+            f"allowlist — all rows would move to ONE partition: {pw[:2]}")
 
 
 def test_bloom_prune_filters_fact_before_exchange(plans):
