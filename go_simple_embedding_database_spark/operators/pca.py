@@ -118,7 +118,7 @@ def covariance_long(df: DataFrame, vec_col: str = "embedding",
     cov = round(cov_num / (n(n−1)) / EMB_SCALE², 6). Exact ints carry
     the cross-engine contract; the double division is a fixed sequence
     of IEEE ops on identical inputs."""
-    m = embedding_moments(df, vec_col, dim)
+    m = embedding_moments(df, vec_col, dim).localCheckpoint(eager=False)
     gram = (m.filter((F.col("dim_i") >= 0) & (F.col("dim_j") >= 0))
             .select("dim_i", "dim_j", F.col("v").alias("_sxy")))
     sums = (m.filter((F.col("dim_i") >= 0) & (F.col("dim_j") == -1))
@@ -131,6 +131,12 @@ def covariance_long(df: DataFrame, vec_col: str = "embedding",
     denom = (F.col("_n") * (F.col("_n") - 1)).cast("double")
     cov = F.round(F.col("cov_num").cast("double") / denom
                   / float(EMB_SCALE) ** 2, 6)
+    # m feeds FOUR consumers (gram, si, sj, n). Without materialization
+    # Catalyst plans four independent GEMM scans of the corpus (the
+    # static plan showed 4x MapInPandas + Scan); the moments relation is
+    # d(d+3)/2 + 1 tiny rows, so pin it once. Lazy localCheckpoint —
+    # blocks self-release when the result is dropped (the
+    # split_contamination pattern).
     return (gram.join(F.broadcast(si), "dim_i")
             .join(F.broadcast(sj), "dim_j")
             .crossJoin(F.broadcast(n))

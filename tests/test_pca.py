@@ -114,6 +114,20 @@ def test_pca_project_plan_has_no_shuffle_and_no_python(spark):
         assert node not in plan
 
 
+def test_covariance_runs_one_gemm_scan_not_four(spark):
+    """covariance_long derives gram/sums/n from ONE moments relation;
+    without materialization Catalyst planned FOUR independent GEMM
+    scans of the corpus (caught in the static plan during round 8). The
+    checkpointed moments must appear as scans of an ExistingRDD, with
+    zero MapInPandas left in the final plan."""
+    from go_simple_embedding_database_spark.plans.explain_utils import (
+        formatted_plan)
+    x = _mat(seed=29, n=30)
+    plan = formatted_plan(pca.covariance_long(_df(spark, x), dim=_D))
+    assert plan.count("MapInPandas") == 0, plan
+    assert "Scan ExistingRDD" in plan
+
+
 def test_empty_and_tiny_inputs(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert pca.covariance_long(empty, dim=_D).count() == 0
