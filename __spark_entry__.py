@@ -2439,13 +2439,21 @@ def _q_events_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     this corpus's 10-type vocabulary, load-bearing at catalog scale).
     Marginals and the user total are broadcast back. All products stay
     exact bigints until the final IEEE-exact division, so the oracle
-    matches bit-for-bit."""
+    matches bit-for-bit.
+
+    The capped (user, type) relation feeds FIVE consumers (both
+    self-join sides, both marginals, the user total); un-materialized,
+    Catalyst replayed its derivation per consumer — TEN scans of the
+    events table, the corpus-sized input (caught by the round-8
+    scan-count audit). One lazy localCheckpoint of the
+    vocabulary-bounded relation collapses the plan to a single events
+    scan."""
     ev = _events(spark, sf_dir)
     ut_all = ev.select("user_id", "event_type").distinct()
     ok_users = (ut_all.groupBy("user_id")
                 .agg(F.count("*").alias("_nt"))
                 .filter(F.col("_nt") <= _PMI_MAX_TYPES).select("user_id"))
-    ut = ut_all.join(ok_users, "user_id")
+    ut = ut_all.join(ok_users, "user_id").localCheckpoint(eager=False)
     totals = ut.groupBy("event_type").agg(F.count("*").alias("n_t"))
     n_users = ut.agg(F.countDistinct("user_id").alias("n_users"))
     a, b = ut.alias("a"), ut.alias("b")

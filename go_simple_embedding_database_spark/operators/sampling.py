@@ -96,8 +96,13 @@ def mixture_report(df: DataFrame, domain_col: str, id_col: str,
     (the threshold admits whatever ids hash below it) — the report makes
     that deviation visible, which is the point. The rates relation is
     computed ONCE and shared with the sampler (it feeds both the report
-    columns and the sampling threshold)."""
-    rates = temperature_rates(df, domain_col, alpha, budget)
+    columns and the sampling threshold) — and MATERIALIZED once (lazy
+    localCheckpoint): its three consumers (report columns, broadcast
+    threshold, final join) otherwise each replay the corpus aggregation
+    — five scans of the corpus in the static plan for a domains-sized
+    relation (round-8 scan-count audit)."""
+    rates = temperature_rates(df, domain_col, alpha, budget)\
+        .localCheckpoint(eager=False)
     sampled = (temperature_sample(df, domain_col, id_col, alpha, budget,
                                   rates=rates)
                .groupBy(domain_col).agg(F.count("*").alias("sampled_n")))
