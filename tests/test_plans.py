@@ -514,6 +514,38 @@ _GLOBAL_WINDOW_ALLOWED = {
 }
 
 
+# Scanning the SAME table more than twice in one plan usually means a
+# multi-consumer relation is being re-derived per consumer — the defect
+# the round-8 audit found in embedding_covariance (4 GEMM scans),
+# events_pmi (10 events scans) and mixture_report (5 corpus scans), all
+# fixed by materializing the tiny intermediate. Two same-table scans are
+# free (build+probe, old+new, tf+stats are all legitimate); more needs a
+# rationale. query -> {table: max scan nodes allowed}.
+_MULTISCAN_ALLOWED = {
+    # four DIFFERENTLY-FILTERED fixture slices (seed batch, duplicate
+    # ids, embedder mismatch, null embeddings) — each filter pushes to
+    # its own pruned scan; nothing is re-derived
+    "ingest_violations": {"documents": 4},
+    # MERGE reads target + source + writes a new version (txn layer)
+    "corpus_upsert": {"documents": 3},
+    # CDC diff: old snapshot + new snapshot + the change fixture
+    "snapshot_diff": {"documents": 3},
+    # tf relation + corpus stats (1-row) + df counts — the documented
+    # recipe; stats/df are scan-cheap aggregates, not re-derivations
+    "bm25_search": {"documents": 3},
+    # vocabulary build + token stats + the scoring join
+    "quality_unigram": {"documents": 3},
+    # shingle->band index (both join sides re-explode from the cached
+    # fingerprint arrays) + the candidate-verify join back to text
+    "dedup_minhash": {"documents": 3},
+    # UNION/INTERSECT/EXCEPT demo — set semantics are inherently
+    # one-scan-per-operand
+    "set_ops_customers": {"orders": 3},
+    # corpus side + the constant query-vector relation drawn twice
+    "batch_topk": {"embeddings": 3},
+}
+
+
 def test_bnlj_allowlist_entries_are_live_queries():
     """A renamed/removed query must not leave a stale allowlist entry
     silently widening the sweep."""
@@ -521,6 +553,22 @@ def test_bnlj_allowlist_entries_are_live_queries():
     assert not stale, f"allowlist entries without a query: {sorted(stale)}"
     stale_w = set(_GLOBAL_WINDOW_ALLOWED) - set(_ALL_QUERIES)
     assert not stale_w, f"window allowlist stale: {sorted(stale_w)}"
+    stale_m = set(_MULTISCAN_ALLOWED) - set(_ALL_QUERIES)
+    assert not stale_m, f"multiscan allowlist stale: {sorted(stale_m)}"
+
+
+def _same_table_scan_counts(plan: str) -> dict:
+    """table name -> number of parquet Scan NODES over it, read from the
+    formatted plan's detail blocks (each node's Location line names the
+    file)."""
+    import re
+    counts: dict = {}
+    for m in re.finditer(
+            r"\(\d+\) Scan parquet[^\n]*\n(?:[^\n(]*\n)*?"
+            r"[^\n]*Location[^\n]*?([a-z_]+)\.parquet", plan):
+        t = m.group(1)
+        counts[t] = counts.get(t, 0) + 1
+    return counts
 
 
 def _partitionless_windows(plan: str) -> list[str]:
@@ -564,6 +612,15 @@ def test_surface_plan_antipattern_sweep(plans, name):
         assert not pw, (
             f"{name}: partition-less Window outside the bounded-input "
             f"allowlist — all rows would move to ONE partition: {pw[:2]}")
+    # Same-table scan multiplicity: >2 scans of one table means a
+    # shared relation is re-derived per consumer unless allowlisted.
+    caps = _MULTISCAN_ALLOWED.get(name, {})
+    for table, n in _same_table_scan_counts(p).items():
+        assert n <= caps.get(table, 2), (
+            f"{name}: {n} parquet scans of `{table}` — a multi-consumer "
+            f"relation is being re-derived per consumer; materialize it "
+            f"(lazy localCheckpoint) or add a rationale to "
+            f"_MULTISCAN_ALLOWED")
 
 
 def test_bloom_prune_filters_fact_before_exchange(plans):
