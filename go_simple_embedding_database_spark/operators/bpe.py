@@ -1,0 +1,172 @@
+"""Distributed BPE tokenizer training (byte-pair-encoding merges).
+
+The vocabulary-building step of an LLM pipeline proper: learn the top-K
+BPE merges from a corpus (Sennrich et al. 2016, public). The scale
+design is the one every real tokenizer trainer uses:
+
+1. **One corpus scan** (:func:`word_counts`) reduces the corpus to the
+   (word, count) vocabulary — map-side combinable, Zipf-small output.
+   This is the ONLY stage that touches the data; at 100 TB it is a
+   single aggregation.
+2. **K merge iterations over the vocabulary relation only**
+   (:func:`bpe_train`): explode adjacent symbol pairs weighted by word
+   count (map-side partial agg to the pair vocabulary), take the
+   argmax pair on the driver (one row per iteration — the k-means/
+   PageRank driver-loop precedent), and rewrite the symbol arrays with
+   a pure-Catalyst left-to-right greedy fold (``F.aggregate`` HOF — no
+   Python on the data path). Each iteration's vocab is pinned with a
+   lazy localCheckpoint, exactly like PageRank's superstep ranks:
+   without it iteration i replays all i-1 prior rewrites per consumer
+   and the lineage grows quadratically.
+
+Iteration cost is corpus-size-INVARIANT after step 1 (exact-copy 10x
+data changes counts, not the vocabulary), which is what the SCALE row
+demonstrates. Determinism: ties on pair count break on (left, right)
+lexicographic order, so the merge table is reproducible across
+partitionings and engines — pinned by a repartition-invariance test
+and a pure-Python reference implementation.
+
+Symbols are characters of the lower_x-normalized word plus a trailing
+end-of-word marker ``</w>`` (the original formulation — without it,
+word-final and word-internal pairs collapse and the learned merges
+cannot reconstruct word boundaries).
+
+No counterpart in the reference (SURVEY.md §2 extensions): its
+embedders hash raw bytes; nothing learns a vocabulary. Library surface
+(like operators/lm.py): the merge loop is iterative and therefore has
+no single-statement DuckDB twin — correctness is pinned by the Python
+reference instead of the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import lower_x, words
+
+EOW = "</w>"
+
+
+def word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, n) over the whitespace/lower_x tokenization — the single
+    corpus-touching aggregation. NULL text contributes nothing."""
+    return (df.select(F.explode(words(lower_x(F.col(text_col))))
+                      .alias("word"))
+            .groupBy("word").agg(F.count("*").alias("n")))
+
+
+def _initial_symbols(word: Column) -> Column:
+    """Characters plus the end-of-word marker."""
+    return F.concat(F.split(word, ""), F.array(F.lit(EOW)))
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) into
+    left+right — a pure-Catalyst fold (no UDF). Overlaps resolve
+    greedily: 'aaa' under (a,a) becomes [aa, a], matching the Python
+    reference and every standard BPE implementation."""
+    merged = F.lit(left + right)
+
+    def step(acc: Column, x: Column) -> Column:
+        can = (F.size(acc) > 0) \
+            & (F.element_at(acc, -1) == F.lit(left)) & (x == F.lit(right))
+        return F.when(
+            can,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    empty = F.array().cast("array<string>")
+    return F.aggregate(syms, empty, step)
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """(left, right, cnt) — adjacent symbol pairs weighted by word
+    count, over the vocabulary relation (never the corpus)."""
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("syms") - 1),
+        lambda i: F.struct(F.element_at(F.col("syms"), i).alias("l"),
+                           F.element_at(F.col("syms"), i + 1).alias("r")))
+    return (vocab.filter(F.size("syms") >= 2)
+            .select(F.col("n"), F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+            .agg(F.sum("n").alias("cnt")))
+
+
+def bpe_train(df: DataFrame, text_col: str, num_merges: int,
+              min_pair_count: int = 2) -> list[tuple[str, str]]:
+    """Learn up to ``num_merges`` merges; stops early when the best
+    remaining pair occurs fewer than ``min_pair_count`` times (weighted
+    by word frequency). Returns [(left, right), ...] in merge order."""
+    vocab = (word_counts(df, text_col)
+             .select(_initial_symbols(F.col("word")).alias("syms"), "n")
+             .localCheckpoint(eager=False))
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        best = (pair_counts(vocab)
+                .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+                .limit(1).collect())
+        if not best or best[0].cnt < min_pair_count:
+            break
+        left, right = best[0].left, best[0].right
+        merges.append((left, right))
+        vocab = (vocab.select(_apply_merge(F.col("syms"), left, right)
+                              .alias("syms"), "n")
+                 .localCheckpoint(eager=False))
+    return merges
+
+
+def bpe_encode_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply a learned merge table to one word (driver-side helper for
+    inspection/tests) — same greedy left-to-right semantics."""
+    syms = list(word) + [EOW]
+    for left, right in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def bpe_train_py(texts: list[str | None], num_merges: int,
+                 min_pair_count: int = 2) -> list[tuple[str, str]]:
+    """Pure-Python reference (the correctness oracle for tests): same
+    tokenization, same greedy fold, same (cnt desc, left, right)
+    tie-break."""
+    import re
+
+    from ..functions.text import lower_x_py
+
+    counts: dict[str, int] = {}
+    for t in texts:
+        if t is None:
+            continue
+        for w in re.split(r"\s+", lower_x_py(t), flags=re.ASCII):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    vocab = {w: list(w) + [EOW] for w in counts}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + counts[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        left, right = best[0]
+        merges.append((left, right))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges

@@ -1,0 +1,84 @@
+"""Distributed BPE training (operators/bpe.py) vs the Python reference."""
+
+from pyspark.sql import functions as F
+
+from go_simple_embedding_database_spark.operators import bpe
+
+_CORPUS = [
+    "low low low low low",
+    "lower lower newer newer newer newer",
+    "newest newest newest widest widest",
+    None,
+]
+
+
+def _df(spark, texts=None):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts or _CORPUS)],
+        "doc_id long, text string")
+
+
+def test_merges_match_python_reference(spark):
+    got = bpe.bpe_train(_df(spark), "text", num_merges=8)
+    want = bpe.bpe_train_py(_CORPUS, num_merges=8)
+    assert got == want
+    assert len(got) == 8
+    # the classic corpus learns e+r</w> style merges; spot-check shape
+    assert all(isinstance(l, str) and isinstance(r, str) for l, r in got)
+
+
+def test_merges_invariant_under_repartition(spark):
+    df = _df(spark)
+    assert (bpe.bpe_train(df, "text", 5)
+            == bpe.bpe_train(df.repartition(7), "text", 5))
+
+
+def test_min_pair_count_stops_early(spark):
+    df = _df(spark, ["ab", "cd", "ef"])  # every pair occurs once
+    assert bpe.bpe_train(df, "text", 5, min_pair_count=2) == []
+
+
+def test_empty_and_null_corpora(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe.bpe_train(empty, "text", 3) == []
+    assert bpe.bpe_train(_df(spark, [None, None]), "text", 3) == []
+
+
+def test_encode_reconstructs_word(spark):
+    merges = bpe.bpe_train(_df(spark), "text", 10)
+    for w in ("lowest", "newer", "low"):
+        toks = bpe.bpe_encode_py(w, merges)
+        assert "".join(toks) == w + bpe.EOW
+        assert len(toks) <= len(w) + 1
+
+
+def test_greedy_overlap_semantics(spark):
+    """'aaa' under merge (a,a) must become [aa, a] — greedy
+    left-to-right, matching every standard implementation."""
+    df = _df(spark, ["aaa aaa aaa"])
+    merges = bpe.bpe_train(df, "text", 1)
+    assert merges == [("a", "a")]
+    assert bpe.bpe_encode_py("aaa", merges) == ["aa", "a", bpe.EOW]
+
+
+def test_iteration_runs_on_vocab_not_corpus(spark):
+    """Exact-copy duplication changes counts, never the vocabulary —
+    the learned merges must be identical, demonstrating the iterations
+    are corpus-size-invariant after the one word-count scan."""
+    base = [t for t in _CORPUS if t]
+    assert (bpe.bpe_train(_df(spark, base), "text", 6)
+            == bpe.bpe_train(_df(spark, base * 7), "text", 6))
+
+
+def test_pair_argmax_plan_is_top_k(spark):
+    from go_simple_embedding_database_spark.plans.explain_utils import (
+        formatted_plan)
+    vocab = (bpe.word_counts(_df(spark), "text")
+             .select(bpe._initial_symbols(F.col("word")).alias("syms"),
+                     "n"))
+    plan = formatted_plan(
+        bpe.pair_counts(vocab)
+        .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right")).limit(1))
+    assert "TakeOrderedAndProject" in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "CartesianProduct"):
+        assert node not in plan

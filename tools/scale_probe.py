@@ -643,6 +643,21 @@ def _flagships():
         return (bloom_prune(docs, keys, "doc_id", num_bits=bits)
                 .join(keys, "doc_id").groupBy("source").count())
 
+    def bpe_merges(spark, d):
+        """BPE tokenizer training (round 8, lib operators/bpe.py): ONE
+        corpus scan reduces to the (word, n) vocabulary; the 8 merge
+        iterations then run on the vocabulary relation only, so the
+        10x exact-copy tier should track the scan (the vocabulary —
+        and therefore the iteration cost — is scale-invariant under
+        duplication; the learned merges are pinned identical by
+        test_bpe). Output: fixed 8-row merge table."""
+        from go_simple_embedding_database_spark.operators import bpe
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        merges = bpe.bpe_train(docs, "text", num_merges=8)
+        return spark.createDataFrame(
+            [(i, l, r) for i, (l, r) in enumerate(merges)],
+            "rank int, left string, right string")
+
     def profile_sketch(spark, d):
         """table_profile's PRODUCTION shape (VERDICT r07 #5):
         exact_control=False — ONE scan, HLL++ sketch cardinality, no
@@ -677,6 +692,8 @@ def _flagships():
         # d(d+1)/2-row covariance triangle, whatever the corpus size
         "dsir_select": q["dsir_select"],
         "embedding_covariance": q["embedding_covariance"],
+        # round 8 second half — one corpus scan + vocab-sized merge loop
+        "bpe_train_merges": bpe_merges,
     }
 
 
