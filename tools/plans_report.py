@@ -503,9 +503,36 @@ def _lm_perplexity_df(spark, sf_dir: str):
     return score_perplexity(docs.filter(F.col("doc_id") % 2 == 1), lm)
 
 
+def _bpe_iteration_df(spark, sf_dir: str):
+    """Library-only operator: the per-iteration plan of bpe_train — the
+    weighted adjacent-pair count + argmax over the vocabulary relation
+    (the part that repeats K times; the one corpus scan is the plain
+    word_counts aggregate)."""
+    from pyspark.sql import functions as F
+
+    from go_simple_embedding_database_spark.operators import bpe
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = (bpe.word_counts(docs, "text")
+             .select(bpe._initial_symbols(F.col("word")).alias("syms"),
+                     "n"))
+    return (bpe.pair_counts(vocab)
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(1))
+
+
 # Library operators without a queries() entry: name -> (title, comment,
 # builder). Same rendering as the driver queries.
 EXTRA_SECTIONS = {
+    "bpe_iteration": (
+        "BPE merge iteration (library operator)",
+        "One bpe_train iteration: the vocabulary's symbol arrays "
+        "explode to weighted adjacent pairs, hash-aggregate with "
+        "map-side partials to the pair vocabulary, and the argmax is "
+        "`TakeOrderedAndProject` (one driver row per iteration). The "
+        "merge rewrite itself is an `F.aggregate` HOF in a projection — "
+        "no Python, no window, no sort; after the single word_counts "
+        "corpus scan, every exchange here is vocabulary-sized.",
+        _bpe_iteration_df),
     "lm_perplexity": (
         "Bigram-LM perplexity scoring (library operator)",
         "Scoring is explode + two LEFT `BroadcastHashJoin`s against the "
