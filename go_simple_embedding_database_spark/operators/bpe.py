@@ -116,6 +116,39 @@ def bpe_train(df: DataFrame, text_col: str, num_merges: int,
     return merges
 
 
+def bpe_segment(df: DataFrame, id_col: str, text_col: str,
+                merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a learned merge table to a corpus: (id, tokens, n_tokens)
+    with ``tokens`` the concatenated BPE segmentation of the document's
+    words. The scale shape mirrors training: the merge chain is applied
+    ONCE per distinct word (vocabulary-sized work — K chained
+    ``F.aggregate`` folds in a single projection, no Python), and the
+    word→tokens dictionary broadcast-joins back onto the exploded
+    corpus. Documents with NULL text keep a 0-token row (the
+    dsir_weights corpus-join contract). At 100 TB the corpus-sized
+    stages are one explode and one broadcast join; every merge-table
+    application is vocabulary-sized."""
+    vocab = (df.select(F.explode(words(lower_x(F.col(text_col))))
+                       .alias("word")).distinct())
+    syms = _initial_symbols(F.col("word"))
+    for left, right in merges:
+        syms = _apply_merge(syms, left, right)
+    dictionary = vocab.select("word", syms.alias("_toks"))
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode_outer(words(lower_x(F.col(text_col))))
+        .alias("_pos", "word"))
+    return (exploded.join(F.broadcast(dictionary), "word", "left")
+            .groupBy(id_col)
+            .agg(F.flatten(F.array_sort(F.collect_list(
+                F.when(F.col("_toks").isNotNull(),
+                       F.struct(F.col("_pos"), F.col("_toks")))))
+                 ["_toks"]).alias("tokens"))
+            .select(id_col, F.coalesce("tokens", F.array().cast(
+                "array<string>")).alias("tokens"))
+            .withColumn("n_tokens", F.size("tokens")))
+
+
 def bpe_encode_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Apply a learned merge table to one word (driver-side helper for
     inspection/tests) — same greedy left-to-right semantics."""

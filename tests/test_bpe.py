@@ -82,3 +82,48 @@ def test_pair_argmax_plan_is_top_k(spark):
     assert "TakeOrderedAndProject" in plan
     for node in ("ArrowEvalPython", "BatchEvalPython", "CartesianProduct"):
         assert node not in plan
+
+
+def test_segment_matches_python_encode(spark):
+    """bpe_segment's per-document tokens equal the word-by-word Python
+    encoding concatenated in document order."""
+    import re
+
+    from go_simple_embedding_database_spark.functions.text import (
+        lower_x_py)
+
+    merges = bpe.bpe_train(_df(spark), "text", 6)
+    out = {r.doc_id: (list(r.tokens), r.n_tokens)
+           for r in bpe.bpe_segment(_df(spark), "doc_id", "text",
+                                    merges).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for i, t in enumerate(_CORPUS):
+        if t is None:
+            assert out[i] == ([], 0)
+            continue
+        want = []
+        for w in re.split(r"\s+", lower_x_py(t), flags=re.ASCII):
+            if w:
+                want.extend(bpe.bpe_encode_py(w, merges))
+        assert out[i] == (want, len(want)), (i, out[i], want)
+
+
+def test_segment_plan_is_broadcast_join_no_python(spark):
+    """The dictionary must broadcast; the corpus-sized path has no
+    Python nodes and no sort-merge shuffle for the vocabulary join."""
+    from go_simple_embedding_database_spark.plans.explain_utils import (
+        formatted_plan)
+    merges = bpe.bpe_train(_df(spark), "text", 3)
+    plan = formatted_plan(
+        bpe.bpe_segment(_df(spark), "doc_id", "text", merges))
+    assert "BroadcastHashJoin" in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "CartesianProduct",
+                 "SortMergeJoin"):
+        assert node not in plan
+
+
+def test_segment_with_no_merges_is_character_segmentation(spark):
+    out = {r.doc_id: list(r.tokens)
+           for r in bpe.bpe_segment(_df(spark, ["ab b"]), "doc_id",
+                                    "text", []).collect()}
+    assert out[0] == ["a", "b", bpe.EOW, "b", bpe.EOW]
