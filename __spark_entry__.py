@@ -3189,6 +3189,15 @@ def _q_gate_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
     - tiny       : 1e-06 — smallest round-6 quantum, scientific-notation
                    rendering probe;
     - uni_héllo✓ : non-ASCII string normalization/encoding probe;
+    - sign_zero  : round(-1e-9, 6) + 0.0, engine-computed on BOTH sides
+                   (round 9) — a tiny negative rounding to zero keeps
+                   IEEE -0.0 under DuckDB's round but canonicalizes to
+                   +0.0 under Spark's F.round (the round-8 official
+                   gate's only-ever red row, embedding_covariance);
+                   `+ 0.0` is the repo-wide normalization idiom
+                   (-0.0 + 0.0 = +0.0, every other value unchanged).
+                   Flips if either engine's round/addition semantics
+                   move, i.e. if the idiom ever stops normalizing;
     - null_int   : NULL in the BIGINT column — flips if the gate fetches
                    through pandas, which widens a nullable int64 column
                    to float64 (NULL→NaN; and the widening ALSO corrupts
@@ -3210,6 +3219,7 @@ def _q_gate_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("ratio", 0, 0.0, None),  # v_dbl overwritten below, engine-computed
          ("int_like", 0, 2.0, None),
          ("tiny", 0, 0.000001, None),
+         ("sign_zero", 0, 0.0, None),  # v_dbl overwritten, engine-computed
          ("uni_héllo✓", 0, 0.0, None),
          ("null_int", None, 0.0, None),
          ("date", 0, 0.0, datetime.date(2024, 2, 29))],
@@ -3217,6 +3227,8 @@ def _q_gate_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
     lits = lits.withColumn(
         "v_dbl", F.when(F.col("probe") == "ratio",
                         F.round(F.lit(1.0) / F.lit(3.0), 6))
+        .when(F.col("probe") == "sign_zero",
+              F.round(F.lit(-1e-9), 6) + F.lit(0.0))
         .otherwise(F.col("v_dbl")))
     return sum_row.unionByName(lits)
 
@@ -3232,6 +3244,8 @@ SELECT * FROM (VALUES
   ('ratio', CAST(0 AS BIGINT), round(CAST(1.0 AS DOUBLE) / 3.0, 6), CAST(NULL AS DATE)),
   ('int_like', CAST(0 AS BIGINT), CAST(2.0 AS DOUBLE), CAST(NULL AS DATE)),
   ('tiny', CAST(0 AS BIGINT), CAST(0.000001 AS DOUBLE), CAST(NULL AS DATE)),
+  ('sign_zero', CAST(0 AS BIGINT),
+   round(CAST(-0.000000001 AS DOUBLE), 6) + 0.0, CAST(NULL AS DATE)),
   ('uni_héllo✓', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(NULL AS DATE)),
   ('null_int', CAST(NULL AS BIGINT), CAST(0.0 AS DOUBLE), CAST(NULL AS DATE)),
   ('date', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), DATE '2024-02-29')

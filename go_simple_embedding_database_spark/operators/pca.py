@@ -129,8 +129,14 @@ def covariance_long(df: DataFrame, vec_col: str = "embedding",
     sj = sums.select(F.col("_d").alias("dim_j"), F.col("_s").alias("_sj"))
     num = F.col("_n") * F.col("_sxy") - F.col("_si") * F.col("_sj")
     denom = (F.col("_n") * (F.col("_n") - 1)).cast("double")
+    # `+ 0.0` normalizes IEEE signed zero (−0.0 + 0.0 = +0.0, every
+    # other value unchanged): a tiny negative covariance rounds to zero
+    # with DuckDB's round keeping the sign (−0.0) while Spark's F.round
+    # (BigDecimal HALF_UP) canonicalizes to +0.0 — numerically equal,
+    # byte-hash different (the round-8 official gate's only failure;
+    # two cells at sf0.01). Mirrored in covariance_long_sql.
     cov = F.round(F.col("cov_num").cast("double") / denom
-                  / float(EMB_SCALE) ** 2, 6)
+                  / float(EMB_SCALE) ** 2, 6) + F.lit(0.0)
     # m feeds FOUR consumers (gram, si, sj, n). Without materialization
     # Catalyst plans four independent GEMM scans of the corpus (the
     # static plan showed 4x MapInPandas + Scan); the moments relation is
@@ -170,9 +176,11 @@ WITH _q AS (
 )
 SELECT g.dim_i, g.dim_j, t._n AS n_vecs,
        t._n * g._sxy - sa._sv * sb._sv AS cov_num,
+       -- + 0.0 normalizes signed zero (DuckDB round keeps -0.0 on tiny
+       -- negative covariances; Spark's F.round twin emits +0.0)
        round(CAST(t._n * g._sxy - sa._sv * sb._sv AS DOUBLE)
              / CAST(t._n * (t._n - 1) AS DOUBLE)
-             / {float(EMB_SCALE) ** 2}, 6) AS cov
+             / {float(EMB_SCALE) ** 2}, 6) + 0.0 AS cov
 FROM _g g JOIN _s sa ON g.dim_i = sa._d JOIN _s sb ON g.dim_j = sb._d, _n t
 """
 

@@ -153,10 +153,14 @@ def test_gate_canary_values_are_pinned(spark):
         "ratio": (0, 0.333333, None),
         "int_like": (0, 2.0, None),
         "tiny": (0, 0.000001, None),
+        "sign_zero": (0, 0.0, None),
         "uni_héllo✓": (0, 0.0, None),
         "null_int": (None, 0.0, None),
         "date": (0, 0.0, _dt.date(2024, 2, 29)),
     }
+    # the sign_zero probe's whole point: the normalized zero is POSITIVE
+    import math
+    assert math.copysign(1.0, rows["sign_zero"][1]) == 1.0
 
 
 def test_window_marker_is_exact():

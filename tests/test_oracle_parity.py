@@ -24,10 +24,15 @@ def duck():
 
 
 def _norm(v):
+    # Lockstep twin of tools/self_correctness.py::_norm — floats
+    # normalize to the repr STRING of the round-6 value so the compare
+    # distinguishes -0.0 from 0.0 exactly like the driver's byte hash
+    # (the round-8 embedding_covariance lesson: Python's `==` reads
+    # -0.0 == 0.0, the driver's value hash does not).
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        return repr(round(v, 6))
     if isinstance(v, (int, bool)):
         return v
     return str(v) if v is not None else None
@@ -152,3 +157,39 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) == 5
     assert rows[0].sim == pytest.approx(1.0)
+
+
+def test_norm_is_signed_zero_sensitive():
+    """Round-8 lesson made structural: the comparator must distinguish
+    what the driver's byte hash distinguishes. Its former `round==`
+    normalization read -0.0 == 0.0 and reported green on a red official
+    gate (embedding_covariance). Planted probes, one per pattern."""
+    # signed zero — the round-8 divergence class
+    assert _norm(-0.0) != _norm(0.0)
+    # a tiny negative that ROUNDS to zero must keep its sign distinct
+    assert _norm(-1e-9) != _norm(1e-9)
+    assert _norm(-1e-9) == _norm(-0.0)
+    assert _norm(1e-9) == _norm(0.0)
+    # NaN — sentinel, equal to itself, distinct from zero
+    assert _norm(float("nan")) == "NaN" != _norm(0.0)
+    # ordinary values still normalize identically across magnitudes
+    assert _norm(0.3333333333) == _norm(0.33333349999)  # both → 0.333333
+    assert _norm(2.0) == _norm(2.0000000001)
+    assert _norm(-0.5) != _norm(0.5)
+
+
+def test_norm_twins_are_in_lockstep():
+    """tools/self_correctness.py::_norm (the SELFCHECK comparator) and
+    this file's _norm must be the SAME function behaviorally — a skew
+    between them is exactly how a red gate hides behind a green
+    artifact."""
+    from tools.self_correctness import _norm as tool_norm
+
+    import datetime
+    from decimal import Decimal
+
+    probes = [0.0, -0.0, 1e-9, -1e-9, float("nan"), 0.333333, -0.5,
+              2.0, 9007199254740993, -42, True, None, "héllo✓",
+              Decimal("1.50"), datetime.date(2024, 2, 29)]
+    for p in probes:
+        assert _norm(p) == tool_norm(p), p

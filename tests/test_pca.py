@@ -153,3 +153,53 @@ def test_covariance_plan_bounded_exchange(spark):
     bound = p * (_D * (_D + 3) // 2 + 1)
     assert m["max_exchange_records"] <= bound, (m, p)
     assert m["shuffle_records_total"] < 400, m  # never O(N·d²)
+
+
+def test_signed_zero_covariance_is_bitwise_equal_across_engines(
+        spark, tmp_path):
+    """Round-8 official-gate regression (the gate's only-ever red row):
+    a tiny NEGATIVE covariance that rounds to zero — DuckDB's round(,6)
+    keeps IEEE −0.0 while Spark's F.round canonicalizes to +0.0;
+    numerically equal, byte-hash different. Both twins now append
+    `+ 0.0` after the round (−0.0 + 0.0 = +0.0, all other values
+    unchanged), so EVERY exported value must be bitwise equal.
+
+    Planted fixture: quantized vectors [1,0],[0,1],[0,0] give the (0,1)
+    cell cov_num = n·ΣXY − ΣX·ΣY = 3·0 − 1 = −1 → cov = −1/6/1e8 ≈
+    −1.7e−9, squarely on the knife edge."""
+    import math
+    import struct
+
+    import duckdb
+
+    rows = [(0, [1e-4, 0.0]), (1, [0.0, 1e-4]), (2, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "knife.parquet")
+    df.write.parquet(path)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW emb AS SELECT * FROM '{path}/*.parquet'")
+
+    # The fixture must actually exercise the knife edge: DuckDB's raw
+    # round (no normalization) yields a NEGATIVE zero for the (0,1)
+    # cell — otherwise this test would pass vacuously.
+    raw = con.sql(
+        "SELECT round(CAST(-1 AS DOUBLE) / 6.0 / 1e8, 6)").fetchone()[0]
+    assert raw == 0.0 and math.copysign(1.0, raw) == -1.0
+
+    got = {(r.dim_i, r.dim_j): r
+           for r in pca.covariance_long(
+               spark.read.parquet(path), dim=2).collect()}
+    ora = {(r[0], r[1]): r
+           for r in con.sql(pca.covariance_long_sql("emb", dim=2)).fetchall()}
+    assert set(got) == set(ora) == {(0, 0), (0, 1), (1, 1)}
+    assert got[(0, 1)].cov_num == ora[(0, 1)][3] == -1
+    for key, srow in got.items():
+        for sv, dv in zip((srow.n_vecs, srow.cov_num, srow.cov),
+                          ora[key][2:]):
+            assert struct.pack("<d", float(sv)) == struct.pack(
+                "<d", float(dv)), (key, sv, dv)
+    # and the knife-edge cell itself lands on POSITIVE zero on BOTH
+    assert got[(0, 1)].cov == 0.0
+    assert math.copysign(1.0, got[(0, 1)].cov) == 1.0
+    assert math.copysign(1.0, ora[(0, 1)][4]) == 1.0

@@ -27,12 +27,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def _norm(v):
     # MUST stay in lockstep with tests/test_oracle_parity.py::_norm (the
-    # CI twin of this comparison): floats round to 6 / NaN-sentinel,
-    # ints/bools pass, and everything else (Decimal, date, timestamp)
+    # CI twin of this comparison): floats round to 6 then normalize to
+    # their repr STRING — repr('-0.0') != repr('0.0'), so the comparison
+    # is signed-zero-sensitive like the driver's byte hash (round 8
+    # shipped a red official gate on embedding_covariance that this
+    # comparator's former `round==` could not see: DuckDB round(,6)
+    # keeps IEEE -0.0 where Spark F.round returns +0.0). ints/bools
+    # pass, and everything else (Decimal, date, timestamp)
     # string-normalizes so cross-engine type skew can't flip the verdict
     # between the two harnesses.
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else round(v, 6)
+        return "NaN" if math.isnan(v) else repr(round(v, 6))
     if isinstance(v, (int, bool)):
         return v
     return str(v) if v is not None else None
