@@ -15,73 +15,80 @@ import __spark_entry__ as em
 # it carries a full DuckDB oracle (VERDICT r05 #2).
 ROWS_ONLY_BY_DESIGN = set()
 
-# Queries whose implementation / oracle changes in round 8 — every one
+# Queries whose implementation / oracle changes in round 9 — every one
 # MUST sit inside the gate window so this round's CORRECTNESS file
 # records it.
-CHANGED_ROUND8 = {
-    "gate_canary",             # gate-normalization canary, always first
-    "dsir_select",             # NEW in round 8 — importance-weighted
-                               # data selection; no official row exists
-    "embedding_covariance",    # NEW in round 8 — distributed GEMM
-                               # moments; no official row exists
-    "pipeline_clean_corpus",   # planted suffix-truncation pair in the
-                               # corpus fixture (VERDICT r07 #6): the
-                               # suffix arm drops a doc on the natural
-                               # gate path, oracle agreeing
-    "bloom_prune_join",        # key-type canonicalization guard (ADVICE
-                               # r07): integral widths widen to long
-                               # before hashing; cross-family types raise
+CHANGED_ROUND9 = {
+    "gate_canary",             # grew the sign_zero probe row
+    "embedding_covariance",    # the round-8 gate's only-ever red row:
+                               # signed-zero export normalized (+ 0.0)
+                               # in both twins (operators/pca.py)
+    # SURVEY §8.8 audit: every NEGATIVE-CAPABLE rounded-double export in
+    # the r09 window gained the same `+ 0.0` normalization (cosine /
+    # score / sim columns, centroid means, growth_pct) — all ten were
+    # r07-official and due for rotation anyway, so the change is free
+    # window-wise:
+    "topk_cosine", "topk_small_collection", "batch_topk",
+    "cosine_kernel_pairs", "embedding_centroids", "ann_ivf",
+    "ann_lsh_join", "crud_query", "ann_quantized",
+    "monthly_revenue_growth",
 }
 
-# The ONE r06-official query the 50-slot arithmetic defers to the r09
-# window (1 canary + 2 new + 2 changed + 46 stale = 51 > 50). Chosen as
-# the plainest SQL on the surface (filter + join + agg, no custom
-# operator); hash-match green in SELFCHECK.json on round-8 code.
-DEFERRED_TO_R09 = {"big_orders_customers"}
+# The r08 deferral, honored: big_orders_customers (newest official row
+# r06) leads the r09 window right after the canary and the never-green
+# covariance, exactly as tests/test_driver_contract.py@r08 promised.
+DEFERRED_HONORED_R09 = {"big_orders_customers"}
 
-# Round-8 rotation (standing policy, VERDICT r07 #1): these 46 queries'
-# newest official CORRECTNESS row dates from r06 (they were the r07
-# tail) — every one MUST sit inside the r08 window for a fresh row.
-STALE_OFFICIAL_R06 = {
+# Round-9 rotation (standing policy, VERDICT r07 #1): the 37 queries
+# whose newest official row dates from r07 and whose code is
+# byte-identical this round — every one sits inside the r09 window for
+# a fresh row. (The other 10 r07-official queries are in CHANGED_ROUND9:
+# their exports gained the signed-zero normalization.)
+STALE_OFFICIAL_R07 = {
+    "approx_distinct_users", "approx_order_quantiles", "dedup_prefix",
+    "dedup_exact", "text_language_id", "dedup_minhash", "dedup_winnow",
+    "dedup_cosine", "user_event_pivot", "bucketed_join_revenue",
+    "ingest_violations", "text_stats", "text_quality", "events_asof",
+    "events_range_join", "events_salted_agg", "revenue_rollup",
+    "top_orders_per_customer", "events_windowed", "text_chunks",
+    "events_sessionize", "point_lookup", "collections_catalog",
+    "record_pretty", "source_length_stats", "pricing_summary",
+    "segment_revenue", "set_ops_customers", "semi_anti_customers",
+    "user_moving_avg", "order_percentiles", "cube_revenue",
+    "train_split_counts", "promo_revenue", "events_json_props",
+    "shipping_priority", "table_profile",
+}
+
+# Green in the r08 official gate on byte-identical implementations.
+# Only these may sit outside the round-9 window.
+OFFICIAL_R08_UNCHANGED = {
+    "dsir_select", "pipeline_clean_corpus", "bloom_prune_join",
     "ngram_novelty", "ann_recall", "dedup_containment",
     "multimodal_decode", "multimodal_metadata", "ingest_embed",
     "corpus_upsert", "events_rolling_7d", "pack_sequences",
     "token_budget", "kmeans_cells", "span_dedup", "dedup_simhash_pairs",
     "dedup_simhash", "split_contamination", "pii_scrub",
     "pagerank_suppliers", "frequent_tokens", "dedup_jaccard",
-    "dedup_keep", "nation_acctbal_outliers",
-    "ngram_vocab", "udtf_chunks", "balanced_sample",
-    "local_supplier_revenue", "dedup_clusters", "tfidf_top_terms",
-    "user_activity_streaks", "order_value_histogram",
-    "similarity_join_knn", "text_repetition", "event_funnel",
-    "events_retention", "mixture_sample", "snapshot_diff", "events_pmi",
-    "split_leakage_safe", "zorder_layout", "user_spend_trend",
-    "incremental_revenue", "semantic_dedup", "bm25_search",
-    "quality_unigram", "incremental_dedup", "weighted_sample",
+    "dedup_keep", "nation_acctbal_outliers", "ngram_vocab",
+    "udtf_chunks", "balanced_sample", "local_supplier_revenue",
+    "dedup_clusters", "tfidf_top_terms", "user_activity_streaks",
+    "order_value_histogram", "similarity_join_knn", "text_repetition",
+    "event_funnel", "events_retention", "mixture_sample",
+    "snapshot_diff", "events_pmi", "split_leakage_safe", "zorder_layout",
+    "user_spend_trend", "incremental_revenue", "semantic_dedup",
+    "bm25_search", "quality_unigram", "incremental_dedup",
+    "weighted_sample",
 }
 
-# Green in the r07 official gate on byte-identical implementations.
-# Only these may sit outside the round-8 window.
-OFFICIAL_R07_UNCHANGED = {
-    "approx_distinct_users", "approx_order_quantiles", "dedup_prefix",
-    "topk_cosine", "crud_query", "dedup_exact", "text_language_id",
-    "dedup_minhash", "dedup_winnow", "dedup_cosine",
-    "embedding_centroids", "user_event_pivot", "bucketed_join_revenue",
-    "ingest_violations", "text_stats", "text_quality", "events_asof",
-    "topk_small_collection", "events_range_join", "ann_lsh_join",
-    "events_salted_agg", "revenue_rollup", "top_orders_per_customer",
-    "events_windowed", "text_chunks", "events_sessionize",
-    "point_lookup", "collections_catalog", "record_pretty",
-    "source_length_stats", "pricing_summary", "segment_revenue",
-    "set_ops_customers", "semi_anti_customers", "user_moving_avg",
-    "order_percentiles", "cube_revenue", "train_split_counts",
-    "promo_revenue", "events_json_props", "monthly_revenue_growth",
-    "shipping_priority", "ann_ivf", "ann_quantized", "batch_topk",
-    "cosine_kernel_pairs", "table_profile",
-}
+# Zero deferrals this round: 1 canary + 1 covariance + 1 honored
+# deferral + 10 changed + 37 stale = 50 exactly. The 98-query surface
+# is precisely the 50-slot window's carrying capacity (2 x 49
+# non-canary slots) — which is WHY the surface grows library-first
+# (operators/bpe.py precedent) rather than by new gate queries.
+DEFERRED_TO_R10 = set()
 
 # Everything that must be inside the 50-slot window this round.
-WINDOW_ROUND8 = STALE_OFFICIAL_R06 | CHANGED_ROUND8
+WINDOW_ROUND9 = STALE_OFFICIAL_R07 | CHANGED_ROUND9 | DEFERRED_HONORED_R09
 
 
 def test_every_query_has_an_oracle_or_documented_exemption():
@@ -94,17 +101,30 @@ def test_every_query_has_an_oracle_or_documented_exemption():
 
 def test_declared_sets_cover_the_surface_exactly():
     q = set(em.queries())
-    declared = WINDOW_ROUND8 | OFFICIAL_R07_UNCHANGED | DEFERRED_TO_R09
+    declared = WINDOW_ROUND9 | OFFICIAL_R08_UNCHANGED | DEFERRED_TO_R10
     assert declared == q, (
         f"undeclared queries: {q - declared} / stale declarations: "
         f"{declared - q}")
-    assert not (WINDOW_ROUND8 & OFFICIAL_R07_UNCHANGED), (
+    assert not (WINDOW_ROUND9 & OFFICIAL_R08_UNCHANGED), (
         "a query cannot be both in-window and tail-green")
-    assert not (STALE_OFFICIAL_R06 & CHANGED_ROUND8), (
+    assert not (STALE_OFFICIAL_R07 & CHANGED_ROUND9), (
         "a query cannot be both stale-rotated and changed")
-    assert not (DEFERRED_TO_R09 & (WINDOW_ROUND8 | OFFICIAL_R07_UNCHANGED))
-    assert len(DEFERRED_TO_R09) <= 1, (
+    assert not (DEFERRED_TO_R10 & (WINDOW_ROUND9 | OFFICIAL_R08_UNCHANGED))
+    assert len(DEFERRED_TO_R10) <= 1, (
         "the rotation may defer at most one stale query per round")
+
+
+def test_surface_is_within_the_window_carrying_capacity():
+    """With a 50-slot gate window and the every-query-refreshed-within-
+    2-rounds rotation policy, the surface can hold at most
+    2 x (50 - 1) = 98 gate queries (the canary re-gates every round).
+    At 99+, some query's newest official row necessarily ages past two
+    rounds every round — permanent rotation debt. New capabilities
+    beyond 98 ship library-first (pytest + property tests + SCALE rows,
+    the operators/bpe.py precedent) or REPLACE an existing gate query."""
+    assert len(em.queries()) <= 2 * (50 - 1), (
+        "surface exceeds the 50-slot window's carrying capacity — "
+        "ship the new capability library-first or replace a gate query")
 
 
 def test_window_queries_sit_inside_the_gate_window():
@@ -113,30 +133,31 @@ def test_window_queries_sit_inside_the_gate_window():
     official row."""
     names = list(em.queries().keys())
     window = set(names[:50])
-    outside = WINDOW_ROUND8 - window
+    outside = WINDOW_ROUND9 - window
     assert not outside, (
         f"required queries fall outside the 50-entry window: "
         f"{sorted(outside)}")
 
 
+def test_window_leads_with_the_round8_debt():
+    """VERDICT r08 #3 pinned the order: canary, then embedding_covariance
+    (the only query never officially green), then big_orders_customers
+    (the honored r08 deferral)."""
+    names = list(em.queries().keys())
+    assert names[:3] == ["gate_canary", "embedding_covariance",
+                         "big_orders_customers"]
+
+
 def test_tail_queries_all_have_fresh_official_rows():
-    """After the r08 rotation the tail consists of queries green in the
-    r07 gate on byte-identical code, plus the ONE explicitly-deferred
-    r06-official query the 50-slot arithmetic forces out (two NEW
-    queries entered a full window; see DEFERRED_TO_R09)."""
+    """After the r09 rotation the tail consists exactly of the queries
+    green in the r08 gate on byte-identical code — zero deferrals (the
+    r09 arithmetic closes at 50 with every debt item inside)."""
     names = list(em.queries().keys())
     tail = set(names[50:])
-    unofficial = tail - OFFICIAL_R07_UNCHANGED - DEFERRED_TO_R09
+    unofficial = tail - OFFICIAL_R08_UNCHANGED - DEFERRED_TO_R10
     assert not unofficial, (
-        f"queries whose newest official row predates r07 fall outside "
+        f"queries whose newest official row predates r08 fall outside "
         f"the 50-entry window undocumented: {sorted(unofficial)}")
-
-
-def test_callables_and_sql_are_well_formed():
-    for name, fn in em.queries().items():
-        assert callable(fn), name
-    for name, sql in em.oracle_sql().items():
-        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
 
 def test_gate_canary_values_are_pinned(spark):
@@ -164,37 +185,19 @@ def test_gate_canary_values_are_pinned(spark):
 
 
 def test_window_marker_is_exact():
-    """Round 3's review caught an off-by-one: 51 entries sat above the
+    """A refactor that reorders queries() can silently move the
     'gate window ends here' comment, silently pushing entry 51 out of the
     official gate. Pin the window composition directly: entry 50 (the
     first OUTSIDE the window) must be an officially-green query, and
-    every changed query must be at index < 50 (re-asserted here against
-    the exact boundary rather than via set membership)."""
+    entry 49 (the last INSIDE) must be one that needs the fresh row."""
     names = list(em.queries().keys())
     assert names[0] == "gate_canary"
-    for i, n in enumerate(names):
-        if n in WINDOW_ROUND8:
-            assert i < 50, f"{n} (required) at index {i} — outside the gate"
-    assert names[50] in OFFICIAL_R07_UNCHANGED
+    assert names[49] in WINDOW_ROUND9
+    assert names[50] in OFFICIAL_R08_UNCHANGED
 
 
-def test_planted_suffix_pair_passes_its_gates(spark):
-    """The planted pair (VERDICT r07 #6) only exercises the suffix arm if
-    BOTH docs survive the pipeline's quality and language filters and the
-    bare article is a proper suffix of the bannered copy — pin those
-    preconditions directly so a future gate-threshold change can't
-    silently turn the fixture into a no-op."""
-    from pyspark.sql import functions as F
-
-    from go_simple_embedding_database_spark.functions import text as tx
-    banner, bare = em._PLANTED_SUFFIX_DOCS
-    assert bare[1] != banner[1] and banner[1].endswith(bare[1])
-    assert len(bare[1]) >= 64  # suffix bucketing's min_len anchor
-    df = spark.createDataFrame([banner, bare],
-                               "doc_id long, text string, lang string, "
-                               "source string")
-    rows = df.select(
-        (tx.quality_score(F.col("text")) >= 0.5).alias("q"),
-        (tx.language_id(F.col("text")) == F.col("lang")).alias("l"),
-    ).collect()
-    assert all(r.q and r.l for r in rows), rows
+def test_callables_and_sql_are_well_formed():
+    for name, fn in em.queries().items():
+        assert callable(fn), name
+    for name, sql in em.oracle_sql().items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
