@@ -302,7 +302,32 @@ def ngram_bag(text: Column, n: int = 2) -> Column:
     silently share multiplicity semantics. NULL text yields NULL (zero
     grams after an explode) on BOTH engines — without the guard the
     Spark HOF chain manufactures a phantom ``[NULL]`` single-gram array
-    that inflates every corpus total by one per NULL document."""
+    that inflates every corpus total by one per NULL document.
+
+    Blank-document convention (ADVICE r08, documented): a non-NULL
+    document whose text is whitespace-only tokenizes to zero words, and
+    the short-document rule (``greatest(size - n, 0)`` floors the index
+    range at [0, 0]) then emits ONE empty-string gram — blank docs carry
+    n_grams = 1 and a finite DSIR weight instead of disappearing from
+    weight/budget arithmetic the way NULL docs do (NULL = no content
+    recorded, excluded; blank = content recorded, vacuous, retained at
+    the neutral '' feature).
+
+    KNOWN LATENT twin divergence (found writing the pin test — the
+    ADVICE's "all three twins agree" is NOT true on this edge): the
+    Catalyst and Python twins emit ``['']`` for a blank doc, but the
+    DuckDB twin's ``array_to_string(list_slice(w, 1, n), ' ')`` over an
+    empty word list yields ``[NULL]`` — a different gram, hence a
+    different hash bucket, if a blank doc ever reaches the gate. It
+    cannot today: every gate SF has zero NULL and zero blank documents
+    (measured r09, all three SFs), and the sign-sensitive SELFCHECK
+    re-proves whole-surface parity on the actual data each round. The
+    fix (guard blank → zero grams in ALL three twins, the ADVICE's
+    other option) changes dsir_select's implementation and therefore
+    waits for dsir_select's scheduled r10 window rotation — same policy
+    as the four negative-capable tail doubles (SURVEY §8.8). Current
+    behavior, divergence included, is pinned by
+    tests/test_text.py::test_ngram_bag_blank_document_convention."""
     def per_words(ws: Column) -> Column:
         idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
         return F.transform(

@@ -697,13 +697,14 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     localCheckpoint (materialized before the loop's working set is
     released); its blocks free themselves once the caller drops the
     result — no session-pinned cache, same discipline as the other
-    materializing operators. Release is GC-DRIVEN (ContextCleaner
-    reacts to the JVM collecting the RDD reference), so there is no
-    forced-release hook and ``.unpersist()`` on the result is a no-op;
-    a caller that must free the blocks deterministically before heavy
-    follow-on work should drop its references and nudge
-    ``spark._jvm.System.gc()``. Intermediate rounds and the edge
-    relation are released here.
+    materializing operators. Release is GC-DRIVEN by default
+    (ContextCleaner reacts to the JVM collecting the RDD reference) and
+    ``.unpersist()`` on the result is a no-op (checkpoint blocks live
+    on the RDD, not in the CacheManager); a caller that must free the
+    blocks deterministically before heavy follow-on work should call
+    ``plans.checkpoints.release_local_checkpoint(result)`` (round 9 —
+    unpersists the LogicalRDD's own RDD reference). Intermediate rounds
+    and the edge relation are released here.
 
     Raises RuntimeError if labels are still changing after ``max_iter``
     rounds — partial labels would silently mis-cluster downstream dedup."""

@@ -127,3 +127,66 @@ def test_segment_with_no_merges_is_character_segmentation(spark):
            for r in bpe.bpe_segment(_df(spark, ["ab b"]), "doc_id",
                                     "text", []).collect()}
     assert out[0] == ["a", "b", bpe.EOW, "b", bpe.EOW]
+
+
+def test_train_pins_at_most_two_supersteps(spark):
+    """ADVICE r08: the merge loop chains one lazy localCheckpoint per
+    iteration; without explicit release all K vocabulary snapshots stay
+    pinned in executor storage (DataFrame.unpersist is a no-op on
+    checkpoint blocks — they live on the RDD, not in the CacheManager).
+    bpe_train now frees each superstep via release_local_checkpoint as
+    soon as its successor materializes, so training K merges must leave
+    the persistent-RDD census where it started."""
+    sc = spark.sparkContext
+    base = set(sc._jsc.getPersistentRDDs().keySet())
+    merges = bpe.bpe_train(_df(spark), "text", 8)
+    assert len(merges) >= 4  # the loop genuinely iterated
+    now = set(sc._jsc.getPersistentRDDs().keySet())
+    leaked = now - base
+    assert not leaked, f"training left {len(leaked)} checkpoint RDDs pinned"
+
+
+def test_release_local_checkpoint_frees_blocks_and_is_safe(spark):
+    from go_simple_embedding_database_spark.plans.checkpoints import (
+        release_local_checkpoint)
+    sc = spark.sparkContext
+    base = set(sc._jsc.getPersistentRDDs().keySet())
+    df = spark.range(100).selectExpr("id", "id * 2 AS y") \
+        .localCheckpoint(eager=True)
+    assert set(sc._jsc.getPersistentRDDs().keySet()) - base
+    assert release_local_checkpoint(df) is True
+    assert not (set(sc._jsc.getPersistentRDDs().keySet()) - base)
+    # non-checkpointed frames are a harmless no-op
+    assert release_local_checkpoint(spark.range(5)) is False
+
+
+def test_segment_broadcast_and_shuffle_paths_agree(spark):
+    """VERDICT r08 #5: above the vocabulary knob the dictionary join
+    falls back from broadcast to a shuffled join — same results. Force
+    both paths over the same corpus and merges; also exercise the auto
+    knob's fallback decision (limit=1 forces the shuffle path)."""
+    merges = bpe.bpe_train(_df(spark), "text", 5)
+    args = (_df(spark), "doc_id", "text", merges)
+    rows = lambda df: sorted(
+        (r.doc_id, tuple(r.tokens), r.n_tokens) for r in df.collect())
+    b = rows(bpe.bpe_segment(*args, broadcast_vocab=True))
+    s = rows(bpe.bpe_segment(*args, broadcast_vocab=False))
+    auto_small = rows(bpe.bpe_segment(*args, broadcast_vocab_limit=1))
+    assert b == s == auto_small
+    assert len(b) == 4 and any(n > 0 for _, _, n in b)
+
+
+def test_segment_shuffle_path_plan_has_no_broadcast_of_dictionary(spark):
+    """The fallback must genuinely shuffle: no BroadcastHashJoin for the
+    word join (SortMergeJoin or shuffled hash join instead), still zero
+    Python and no cartesian blowup."""
+    from go_simple_embedding_database_spark.plans.explain_utils import (
+        formatted_plan)
+    merges = bpe.bpe_train(_df(spark), "text", 3)
+    plan = formatted_plan(
+        bpe.bpe_segment(_df(spark), "doc_id", "text", merges,
+                        broadcast_vocab=False))
+    assert "BroadcastHashJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    for node in ("ArrowEvalPython", "BatchEvalPython", "CartesianProduct"):
+        assert node not in plan

@@ -255,3 +255,52 @@ def test_words_and_lower_are_engine_stable_on_unicode(spark):
     # ASCII invariance: lower_x == plain lower, words == \s+ split
     assert got[2][1] == cases[2].lower()
     assert got[2][0] == cases[2].lower().split()  # no casing in tokens
+
+
+def test_ngram_bag_blank_document_convention(spark):
+    """ADVICE r08, pinned: whitespace-only (and empty) non-NULL documents
+    emit exactly ONE empty-string gram under the Catalyst and Python
+    twins (content-recorded-but-vacuous docs stay in DSIR weight/budget
+    arithmetic at the neutral '' feature), while NULL docs yield NULL →
+    zero grams. The DuckDB twin DIVERGES on this edge ([NULL], not ['']
+    — a latent hash break the ADVICE's "all three twins agree" missed);
+    it cannot fire today because every gate SF holds zero blank/NULL
+    documents (measured r09). This test pins the divergence so the r10
+    fix (blank → zero grams in all three twins, landing with
+    dsir_select's window rotation) has a failing-to-green record. See
+    the ngram_bag docstring."""
+    import duckdb
+
+    from go_simple_embedding_database_spark.functions.text import (
+        ngram_bag, ngram_bag_py, ngram_bag_sql)
+
+    cases = [("   \t\n ", [""]), ("", [""]), (None, None),
+             ("one", ["one"]), ("two words here",
+                                ["two words", "words here"])]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i int, t string")
+    got = {r.i: (list(r.g) if r.g is not None else None)
+           for r in df.select("i", ngram_bag(F.col("t")).alias("g"))
+           .collect()}
+    con = duckdb.connect()
+    sql_expr = ngram_bag_sql("?")
+    for i, (t, want) in enumerate(cases):
+        py = ngram_bag_py(t)
+        sql = con.execute(f"SELECT {sql_expr}",
+                          [t] * sql_expr.count("?")).fetchone()[0]
+        assert got[i] == py == want, (t, got[i], py, want)
+        if t is not None and t.split():
+            # non-degenerate docs: all THREE twins agree
+            assert sql == want, (t, sql, want)
+        elif t is not None:
+            # the pinned latent divergence: DuckDB's empty-word-list
+            # slice stringifies to NULL, not ''
+            assert sql == [None], (t, sql)
+    # the gate data cannot reach the divergence: zero blank/NULL docs
+    import glob
+    for sf in sorted(glob.glob("/root/testdata/sf*")):
+        n = con.sql(
+            f"SELECT count(*) FROM '{sf}/documents.parquet' WHERE text IS "
+            "NULL OR len(regexp_replace(text, '\\s+', '', 'g')) = 0"
+        ).fetchone()[0]
+        assert n == 0, (sf, n)
