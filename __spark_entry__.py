@@ -3356,12 +3356,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
            grows library-first (operators/bpe.py precedent) rather
            than by new gate queries;
     (tail) the 48 queries green in the r08 official gate on code
-           byte-identical this round (4 of them carry documented
+           byte-identical this round (5 of them carry documented
            negative-capable doubles — multimodal_decode, ingest_embed,
-           events_pmi, user_spend_trend — scheduled for the same
-           `+ 0.0` normalization when they rotate into the r10 window;
-           until then the sign-sensitive SELFCHECK comparator proves no
-           live -0.0 divergence at sf0.01).
+           events_pmi, user_spend_trend, similarity_join_knn —
+           scheduled for the same `+ 0.0` normalization when they
+           rotate into the r10 window; until then the sign-sensitive
+           SELFCHECK comparator proves no live -0.0 divergence at
+           sf0.01).
            tests/test_oracle_parity.py re-checks ALL entries every CI
            run regardless of the window, and tools/self_correctness.py
            records the uncapped sweep in SELFCHECK.json each round."""

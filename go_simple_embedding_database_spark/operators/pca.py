@@ -236,3 +236,58 @@ def pca_project(df: DataFrame, components, vec_col: str = "embedding",
         for row in comps
     ]
     return df.withColumn(out_col, F.array(*outs))
+
+
+def pca_whiten(df: DataFrame, components, eigenvalues, n: int,
+               vec_col: str = "embedding", out_col: str = "white",
+               mean=None, eps: float = 1e-9) -> DataFrame:
+    """PCA-whitening transform — the standard embedding-hygiene step
+    before cosine-distance work (SemDeDup §3, retrieval literature):
+    project onto the eigenbasis, divide each coordinate by √λᵢ so the
+    transformed corpus has identity covariance and no dimension
+    dominates distance. Like :func:`pca_project` this is pure Catalyst:
+    mean vector and √λ-scaled components fold into ONE literal k×d
+    matrix + k offsets at plan-build time (whitened coordinate i =
+    Σⱼ Wᵢⱼ·xⱼ − Wᵢ·μ, both terms codegen'd), so the data path has zero
+    Python, zero shuffles, and survives any corpus size trivially.
+
+    ``components``/``eigenvalues``/``n`` come from
+    :func:`pca_components`; pass ``mean`` (length-d, ORIGINAL units) to
+    center — the default derives nothing and treats input as centered,
+    because deriving μ here would hide a second corpus scan inside a
+    "projection". Eigenvalues ≤ ``eps`` (numerically dead directions)
+    are DROPPED rather than divided by ~0 and exploded into noise; the
+    output width is the number of retained directions."""
+    import numpy as np
+    vals = np.asarray(eigenvalues, dtype=np.float64)
+    comps = np.asarray(components, dtype=np.float64)
+    keep = vals > eps
+    w = comps[keep] / np.sqrt(vals[keep])[:, None]   # (k', d)
+    offs = (w @ np.asarray(mean, dtype=np.float64)
+            if mean is not None else np.zeros(w.shape[0]))
+    c = F.col(vec_col)
+    outs = [
+        F.aggregate(
+            F.zip_with(c, F.array(*[F.lit(float(x)) for x in row]),
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x) - F.lit(float(off))
+        for row, off in zip(w, offs)
+    ]
+    return df.withColumn(out_col, F.array(*outs))
+
+
+def effective_rank(eigenvalues, eps: float = 1e-12) -> float:
+    """Effective rank (Roy & Vetterli 2007): exp of the Shannon entropy
+    of the normalized eigenvalue spectrum — 'how many dimensions do the
+    embeddings actually use'. The corpus-health number the covariance
+    pass exists to produce: erank ≈ d means the space is fully used;
+    erank ≪ d means a few directions dominate every cosine and the
+    corpus wants whitening before ANN/SemDeDup. Driver-side arithmetic
+    over the d eigenvalues — corpus-size-independent by construction."""
+    import numpy as np
+    vals = np.asarray(eigenvalues, dtype=np.float64)
+    vals = vals[vals > eps]
+    if vals.size == 0:
+        return 0.0
+    p = vals / vals.sum()
+    return float(np.exp(-(p * np.log(p)).sum()))

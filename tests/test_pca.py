@@ -1,6 +1,7 @@
 """Distributed embedding moments / covariance / PCA (operators/pca.py)."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from go_simple_embedding_database_spark.operators import pca
@@ -203,3 +204,70 @@ def test_signed_zero_covariance_is_bitwise_equal_across_engines(
     assert got[(0, 1)].cov == 0.0
     assert math.copysign(1.0, got[(0, 1)].cov) == 1.0
     assert math.copysign(1.0, ora[(0, 1)][4]) == 1.0
+
+
+def test_pca_whiten_identity_covariance_and_numpy_parity(spark):
+    """Whitened output must equal (X − μ) @ Wᵀ with W = Λ^{-1/2}·V (numpy
+    parity, atol 1e-9), and its sample covariance must be ≈ identity —
+    the whole point of whitening."""
+    x = _mat(seed=41, n=200)
+    vals, vecs, n = pca.pca_components(_df(spark, x), dim=_D)
+    mu = _quant(x).mean(axis=0) / pca.EMB_SCALE
+    out = pca.pca_whiten(_df(spark, x), vecs, vals, n, mean=mu)
+    got = np.array([r.white for r in out.orderBy("vec_id").collect()])
+    # the transform applies to the RAW float32-stored embeddings (the
+    # 1e-4 quantization is the COVARIANCE machinery's contract, not the
+    # projection's), so the numpy reference uses the storage round-trip
+    x32 = np.asarray(x, dtype=np.float32).astype(np.float64)
+    w = vecs / np.sqrt(vals)[:, None]
+    want = (x32 - mu) @ w.T
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-9)
+    # identity covariance up to the quantization error the eigenbasis
+    # carries (W is exact for the QUANTIZED corpus; inputs are raw)
+    cov = np.cov(got.T, ddof=1)
+    assert np.allclose(cov, np.eye(got.shape[1]), atol=5e-4)
+
+
+def test_pca_whiten_drops_dead_directions(spark):
+    """A constant feature has eigenvalue ~0; whitening must DROP the
+    dead direction (output width shrinks), never divide by √0."""
+    rng = np.random.RandomState(5)
+    x = rng.uniform(-1, 1, size=(60, _D))
+    x[:, 2] = 0.25  # constant → one zero eigenvalue
+    vals, vecs, n = pca.pca_components(_df(spark, x), dim=_D)
+    assert (vals > 1e-9).sum() == _D - 1
+    mu = _quant(x).mean(axis=0) / pca.EMB_SCALE
+    out = pca.pca_whiten(_df(spark, x), vecs, vals, n, mean=mu)
+    widths = {len(r.white) for r in out.collect()}
+    assert widths == {_D - 1}
+    got = np.array([r.white for r in out.orderBy("vec_id").collect()])
+    assert np.all(np.isfinite(got))
+
+
+def test_pca_whiten_plan_has_no_shuffle_and_no_python(spark):
+    """Like pca_project: the whitening matrix folds into literal codegen
+    expressions — zero exchanges, zero Python nodes on the data path."""
+    from go_simple_embedding_database_spark.plans.explain_utils import (
+        formatted_plan)
+    x = _mat(seed=13, n=30)
+    vals, vecs, n = pca.pca_components(_df(spark, x), dim=_D)
+    plan = formatted_plan(pca.pca_whiten(_df(spark, x), vecs, vals, n))
+    for node in ("Exchange", "ArrowEvalPython", "BatchEvalPython",
+                 "MapInPandas"):
+        assert node not in plan, (node, plan)
+
+
+def test_effective_rank_spectrum_properties():
+    """erank(uniform spectrum) = d; erank(one-hot) = 1; zero/negative
+    eigenvalues are ignored; matches the exp-entropy formula."""
+    assert pca.effective_rank([2.0] * 7) == pytest.approx(7.0)
+    assert pca.effective_rank([5.0, 0.0, 0.0]) == pytest.approx(1.0)
+    assert pca.effective_rank([]) == 0.0
+    assert pca.effective_rank([0.0, -1e-15]) == 0.0
+    spec = np.array([4.0, 2.0, 1.0])
+    p = spec / spec.sum()
+    want = float(np.exp(-(p * np.log(p)).sum()))
+    assert pca.effective_rank(spec) == pytest.approx(want)
+    # whitened spectrum is uniform by construction → erank == kept dims
+    assert pca.effective_rank([1.0] * 4) == pytest.approx(4.0)

@@ -658,6 +658,40 @@ def _flagships():
             [(i, l, r) for i, (l, r) in enumerate(merges)],
             "rank int, left string, right string")
 
+    _seg_merges: dict[str, list] = {}
+
+    def _merges_for(spark, d):
+        # learned once per dir and memoized so the segment rows time the
+        # corpus-sized work (explode + dictionary join + re-assembly),
+        # not tokenizer training; run 1 of the min-of-N absorbs the
+        # training cost and the min discards it. The merge table is
+        # provably identical across exact-copy replicas anyway
+        # (test_bpe's corpus-duplication invariance).
+        from go_simple_embedding_database_spark.operators import bpe
+        if d not in _seg_merges:
+            docs = spark.read.parquet(f"{d}/documents.parquet")
+            _seg_merges[d] = bpe.bpe_train(docs, "text", num_merges=8)
+        return _seg_merges[d]
+
+    def bpe_segment_bcast(spark, d):
+        """Merge-table application, broadcast-dictionary path (round 9).
+        Output: 1 row/doc — linear."""
+        from go_simple_embedding_database_spark.operators import bpe
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return bpe.bpe_segment(docs, "doc_id", "text",
+                               _merges_for(spark, d), broadcast_vocab=True)
+
+    def bpe_segment_shuffled(spark, d):
+        """Same application under the r09 multilingual-vocabulary
+        fallback (broadcast_vocab=False — shuffled dictionary join,
+        VERDICT r08 #5): measures what the fallback costs when a 100 TB
+        crawl's vocabulary outgrows the broadcast knob. Results are
+        pinned equal to the broadcast path by test_bpe."""
+        from go_simple_embedding_database_spark.operators import bpe
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return bpe.bpe_segment(docs, "doc_id", "text",
+                               _merges_for(spark, d), broadcast_vocab=False)
+
     def profile_sketch(spark, d):
         """table_profile's PRODUCTION shape (VERDICT r07 #5):
         exact_control=False — ONE scan, HLL++ sketch cardinality, no
@@ -694,6 +728,10 @@ def _flagships():
         "embedding_covariance": q["embedding_covariance"],
         # round 8 second half — one corpus scan + vocab-sized merge loop
         "bpe_train_merges": bpe_merges,
+        # round 9 — merge-table application A/B: broadcast dictionary vs
+        # the over-the-knob shuffled fallback, 1 row/doc output
+        "bpe_segment_bcast": bpe_segment_bcast,
+        "bpe_segment_shuffled": bpe_segment_shuffled,
     }
 
 
