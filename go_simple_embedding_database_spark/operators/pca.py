@@ -117,38 +117,10 @@ def covariance_long(df: DataFrame, vec_col: str = "embedding",
     numerator n·ΣXiXj − ΣXi·ΣXj (scaled units) and
     cov = round(cov_num / (n(n−1)) / EMB_SCALE², 6). Exact ints carry
     the cross-engine contract; the double division is a fixed sequence
-    of IEEE ops on identical inputs."""
-    m = embedding_moments(df, vec_col, dim).localCheckpoint(eager=False)
-    gram = (m.filter((F.col("dim_i") >= 0) & (F.col("dim_j") >= 0))
-            .select("dim_i", "dim_j", F.col("v").alias("_sxy")))
-    sums = (m.filter((F.col("dim_i") >= 0) & (F.col("dim_j") == -1))
-            .select(F.col("dim_i").alias("_d"), F.col("v").alias("_s")))
-    n = (m.filter((F.col("dim_i") == -1) & (F.col("dim_j") == -1))
-         .select(F.col("v").alias("_n")))
-    si = sums.select(F.col("_d").alias("dim_i"), F.col("_s").alias("_si"))
-    sj = sums.select(F.col("_d").alias("dim_j"), F.col("_s").alias("_sj"))
-    num = F.col("_n") * F.col("_sxy") - F.col("_si") * F.col("_sj")
-    denom = (F.col("_n") * (F.col("_n") - 1)).cast("double")
-    # `+ 0.0` normalizes IEEE signed zero (−0.0 + 0.0 = +0.0, every
-    # other value unchanged): a tiny negative covariance rounds to zero
-    # with DuckDB's round keeping the sign (−0.0) while Spark's F.round
-    # (BigDecimal HALF_UP) canonicalizes to +0.0 — numerically equal,
-    # byte-hash different (the round-8 official gate's only failure;
-    # two cells at sf0.01). Mirrored in covariance_long_sql.
-    cov = F.round(F.col("cov_num").cast("double") / denom
-                  / float(EMB_SCALE) ** 2, 6) + F.lit(0.0)
-    # m feeds FOUR consumers (gram, si, sj, n). Without materialization
-    # Catalyst plans four independent GEMM scans of the corpus (the
-    # static plan showed 4x MapInPandas + Scan); the moments relation is
-    # d(d+3)/2 + 1 tiny rows, so pin it once. Lazy localCheckpoint —
-    # blocks self-release when the result is dropped (the
-    # split_contamination pattern).
-    return (gram.join(F.broadcast(si), "dim_i")
-            .join(F.broadcast(sj), "dim_j")
-            .crossJoin(F.broadcast(n))
-            .withColumn("cov_num", num)
-            .select("dim_i", "dim_j", F.col("_n").alias("n_vecs"),
-                    "cov_num", cov.alias("cov")))
+    of IEEE ops on identical inputs. Delegates the derivation to
+    :func:`covariance_from_moments` (one implementation serves the
+    scan-based and the incremental/merged-moments paths)."""
+    return covariance_from_moments(embedding_moments(df, vec_col, dim))
 
 
 def covariance_long_sql(table: str, vec_col: str = "embedding",
@@ -291,3 +263,61 @@ def effective_rank(eigenvalues, eps: float = 1e-12) -> float:
         return 0.0
     p = vals / vals.sum()
     return float(np.exp(-(p * np.log(p)).sum()))
+
+
+def merge_moments(*moments: DataFrame) -> DataFrame:
+    """Merge moments relations from disjoint corpus slices into the
+    moments of their union — the payoff of carrying EXACT integer
+    sufficient statistics: n, Σx and ΣxxT are all additive, so the
+    merge is a union + groupBy-sum of tiny d(d+3)/2+1-row relations and
+    is EXACTLY equal (bigint arithmetic, no float drift) to a full
+    recompute over the combined corpus. At 100 TB this is the
+    incremental path: compute :func:`embedding_moments` per ingest
+    batch, merge, and re-derive covariance/PCA from the running moments
+    without ever rescanning history. Inputs must cover DISJOINT rows
+    (double-counting is the caller's contract, same as any additive
+    sketch) and share one quantization scale."""
+    if not moments:
+        raise ValueError("merge_moments needs at least one moments relation")
+    out = moments[0]
+    for m in moments[1:]:
+        out = out.unionByName(m)
+    return out.groupBy("dim_i", "dim_j").agg(F.sum("v").alias("v"))
+
+
+def covariance_from_moments(moments: DataFrame) -> DataFrame:
+    """Covariance in the :func:`covariance_long` output shape, derived
+    from an EXISTING moments relation (e.g. a :func:`merge_moments`
+    running total) instead of a corpus scan — the read side of the
+    incremental path, and since round 9 the single implementation
+    :func:`covariance_long` delegates to. Same exact-bigint numerator
+    n·ΣXiXj − ΣXi·ΣXj; the derived double appends `+ 0.0` after the
+    round — IEEE signed-zero normalization (−0.0 + 0.0 = +0.0, every
+    other value unchanged): a tiny negative covariance rounds to zero
+    with DuckDB's round keeping the sign where Spark's F.round emits
+    +0.0 (the round-8 official gate's only failure, two cells at
+    sf0.01); mirrored in covariance_long_sql. The moments relation
+    feeds FOUR consumers (gram, si, sj, n) — without the lazy
+    localCheckpoint Catalyst replays the (possibly corpus-scanning)
+    derivation per consumer (the round-8 4×-GEMM-scan finding); the
+    relation is d(d+3)/2 + 1 tiny rows, so pin it once and let the
+    blocks self-release when the result is dropped."""
+    m = moments.localCheckpoint(eager=False)
+    gram = (m.filter((F.col("dim_i") >= 0) & (F.col("dim_j") >= 0))
+            .select("dim_i", "dim_j", F.col("v").alias("_sxy")))
+    sums = (m.filter((F.col("dim_i") >= 0) & (F.col("dim_j") == -1))
+            .select(F.col("dim_i").alias("_d"), F.col("v").alias("_s")))
+    n = (m.filter((F.col("dim_i") == -1) & (F.col("dim_j") == -1))
+         .select(F.col("v").alias("_n")))
+    si = sums.select(F.col("_d").alias("dim_i"), F.col("_s").alias("_si"))
+    sj = sums.select(F.col("_d").alias("dim_j"), F.col("_s").alias("_sj"))
+    num = F.col("_n") * F.col("_sxy") - F.col("_si") * F.col("_sj")
+    denom = (F.col("_n") * (F.col("_n") - 1)).cast("double")
+    cov = F.round(F.col("cov_num").cast("double") / denom
+                  / float(EMB_SCALE) ** 2, 6) + F.lit(0.0)
+    return (gram.join(F.broadcast(si), "dim_i")
+            .join(F.broadcast(sj), "dim_j")
+            .crossJoin(F.broadcast(n))
+            .withColumn("cov_num", num)
+            .select("dim_i", "dim_j", F.col("_n").alias("n_vecs"),
+                    "cov_num", cov.alias("cov")))

@@ -271,3 +271,53 @@ def test_effective_rank_spectrum_properties():
     assert pca.effective_rank(spec) == pytest.approx(want)
     # whitened spectrum is uniform by construction → erank == kept dims
     assert pca.effective_rank([1.0] * 4) == pytest.approx(4.0)
+
+
+def test_merge_moments_equals_full_recompute_exactly(spark):
+    """The additivity payoff of exact integer sufficient statistics:
+    per-slice moments merged == one-pass moments over the union,
+    BIT-EXACTLY (bigint sums — no float drift), and the covariance
+    derived from the running moments equals the scan-based covariance
+    including the rounded double (same IEEE sequence on identical
+    ints)."""
+    import struct
+
+    x = _mat(seed=17, n=90)
+    full = _df(spark, x)
+    slices = [_df(spark, x[:20]), _df(spark, x[20:55]), _df(spark, x[55:])]
+    merged = pca.merge_moments(
+        *[pca.embedding_moments(s, dim=_D) for s in slices])
+    want = {(r.dim_i, r.dim_j): r.v
+            for r in pca.embedding_moments(full, dim=_D).collect()}
+    got = {(r.dim_i, r.dim_j): r.v for r in merged.collect()}
+    assert got == want  # exact bigint equality, every cell
+    cov_full = {(r.dim_i, r.dim_j): r
+                for r in pca.covariance_long(full, dim=_D).collect()}
+    cov_inc = {(r.dim_i, r.dim_j): r
+               for r in pca.covariance_from_moments(merged).collect()}
+    assert set(cov_inc) == set(cov_full)
+    for k, a in cov_inc.items():
+        b = cov_full[k]
+        assert (a.n_vecs, a.cov_num) == (b.n_vecs, b.cov_num)
+        assert struct.pack("<d", a.cov) == struct.pack("<d", b.cov), k
+
+
+def test_merge_moments_incremental_ingest_loop(spark):
+    """The 100 TB usage shape: a running moments total updated batch by
+    batch (merge of exactly two relations per step), never rescanning
+    history — the final running total equals the full recompute."""
+    x = _mat(seed=23, n=60)
+    running = pca.embedding_moments(_df(spark, x[:15]), dim=_D)
+    for lo, hi in ((15, 30), (30, 42), (42, 60)):
+        batch = pca.embedding_moments(_df(spark, x[lo:hi]), dim=_D)
+        running = pca.merge_moments(running, batch)
+    want = {(r.dim_i, r.dim_j): r.v
+            for r in pca.embedding_moments(_df(spark, x), dim=_D).collect()}
+    got = {(r.dim_i, r.dim_j): r.v for r in running.collect()}
+    assert got == want
+    assert got[(-1, -1)] == 60
+
+
+def test_merge_moments_requires_input():
+    with pytest.raises(ValueError):
+        pca.merge_moments()
