@@ -179,17 +179,20 @@ def test_norm_is_signed_zero_sensitive():
 
 
 def test_norm_twins_are_in_lockstep():
-    """tools/self_correctness.py::_norm (the SELFCHECK comparator) and
-    this file's _norm must be the SAME function behaviorally — a skew
-    between them is exactly how a red gate hides behind a green
-    artifact."""
-    from tools.self_correctness import _norm as tool_norm
-
+    """EVERY value comparator in the repo — SELFCHECK
+    (tools/self_correctness.py), UNICHECK (tools/unicode_probe.py),
+    FETCHCHECK (tools/gate_fetch_paths.py) and this file's _norm — must
+    be the SAME function behaviorally: a skew between any pair is
+    exactly how a red gate hides behind a green artifact (round 8)."""
     import datetime
     from decimal import Decimal
+
+    from tools.gate_fetch_paths import _norm as fetch_norm
+    from tools.self_correctness import _norm as tool_norm
+    from tools.unicode_probe import _norm as uni_norm
 
     probes = [0.0, -0.0, 1e-9, -1e-9, float("nan"), 0.333333, -0.5,
               2.0, 9007199254740993, -42, True, None, "héllo✓",
               Decimal("1.50"), datetime.date(2024, 2, 29)]
     for p in probes:
-        assert _norm(p) == tool_norm(p), p
+        assert _norm(p) == tool_norm(p) == uni_norm(p) == fetch_norm(p), p

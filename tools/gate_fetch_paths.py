@@ -50,9 +50,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _norm(v):
-    # Keep in lockstep with tools/self_correctness.py::_norm.
+    # Keep in lockstep with tools/self_correctness.py::_norm —
+    # sign-sensitive since round 9 (repr distinguishes -0.0 from 0.0,
+    # like the driver's byte hash; the round-8 covariance lesson).
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else round(v, 6)
+        return "NaN" if math.isnan(v) else repr(round(v, 6))
     if isinstance(v, (int, bool)):
         return v
     return str(v) if v is not None else None
