@@ -356,3 +356,57 @@ def streaming_dedup_ingest(spark, source_dir: str, corpus_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_batch_moments(batch: DataFrame, batch_id: int, moments_path: str,
+                        vec_col: str = "embedding", dim: int = 64) -> None:
+    """One micro-batch of the streaming-moments maintenance (round 9):
+    compute the batch's EXACT integer embedding moments
+    (operators/pca.embedding_moments) and write them under their own
+    ``batch_id=N`` partition with DYNAMIC partition overwrite. The
+    partition-per-batch layout is what makes foreachBatch's
+    at-least-once replay safe for an ADDITIVE statistic: a
+    crashed-and-replayed batch OVERWRITES its own partition instead of
+    double-counting into a running total (the same replay-idempotence
+    argument as streaming_upsert's deterministic merge, adapted to
+    sums). Exposed at module level so tests can replay it directly."""
+    from ..operators.pca import embedding_moments
+    (embedding_moments(batch, vec_col, dim)
+     .withColumn("batch_id", F.lit(int(batch_id)))
+     .repartition(1)  # d(d+3)/2+1 tiny rows — one file per batch
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id")
+     .parquet(moments_path))
+
+
+def streaming_moments(spark, source_dir: str, moments_path: str,
+                      checkpoint_dir: str,
+                      schema: str = "vec_id long, embedding array<double>",
+                      vec_col: str = "embedding", dim: int = 64,
+                      available_now: bool = True) -> StreamingQuery:
+    """Maintain running embedding moments over a vector stream — the
+    streaming face of the incremental covariance path
+    (operators/pca.merge_moments): each micro-batch appends ONLY its
+    own d(d+3)/2+1-row moments partition; nothing ever rescans history,
+    and :func:`read_running_moments` folds the partitions into the
+    exact union moments on demand. Covariance/PCA over a growing corpus
+    therefore costs O(batches·d²) storage and a tiny groupBy-sum to
+    read, instead of a full recompute per refresh."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    writer = (stream.writeStream
+              .foreachBatch(lambda b, i: write_batch_moments(
+                  b, i, moments_path, vec_col, dim))
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_running_moments(spark, moments_path: str) -> DataFrame:
+    """The union moments of every batch ingested so far: merge the
+    per-batch partitions (bigint additivity — bit-exact vs a full
+    recompute, tests/test_pca.py) into the (dim_i, dim_j, v) relation
+    operators/pca.covariance_from_moments / pca_components consume."""
+    per_batch = spark.read.parquet(moments_path).drop("batch_id")
+    return per_batch.groupBy("dim_i", "dim_j").agg(F.sum("v").alias("v"))

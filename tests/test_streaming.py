@@ -435,3 +435,95 @@ def test_streaming_dedup_ingest_grows_dedup_free_corpus(spark, tmp_path):
     assert got == {1, 3, 11}
     idx_ids = {r.doc_id for r in spark.read.parquet(index_dir).collect()}
     assert idx_ids == {1, 3, 11}  # index grew with exactly the kept docs
+
+
+def test_streaming_moments_match_batch_covariance(spark, tmp_path):
+    """streaming_moments maintains per-batch moments partitions whose
+    merged total is BIT-EXACTLY the one-pass moments of everything
+    ingested, so covariance derived from the running total equals the
+    batch recompute — including the rounded double (same IEEE sequence
+    on identical bigints)."""
+    import struct
+
+    import numpy as np
+
+    from go_simple_embedding_database_spark.operators import pca
+    from go_simple_embedding_database_spark.streaming.ingest import (
+        read_running_moments, streaming_moments)
+
+    rng = np.random.RandomState(31)
+    x = rng.uniform(-1.0, 1.0, size=(80, 4))
+    src = str(tmp_path / "src")
+    mpath = str(tmp_path / "moments")
+    ckpt = str(tmp_path / "ckpt")
+
+    def vec_df(rows):
+        return spark.createDataFrame(
+            [(i, [float(v) for v in r]) for i, r in rows],
+            "vec_id long, embedding array<double>")
+
+    # part files go directly under src (append mode): the file stream
+    # source lists the directory itself, not nested dataset dirs
+    vec_df(list(enumerate(x[:50]))).repartition(1) \
+        .write.mode("append").parquet(src)
+    q = streaming_moments(spark, src, mpath, ckpt, dim=4)
+    q.awaitTermination(120)
+
+    full_df = vec_df(list(enumerate(x[:50])))
+    want = {(r.dim_i, r.dim_j): r.v
+            for r in pca.embedding_moments(full_df, dim=4).collect()}
+    got = {(r.dim_i, r.dim_j): r.v
+           for r in read_running_moments(spark, mpath).collect()}
+    assert got == want
+
+    # second ingestion: the stream resumes from the checkpoint, adds
+    # ONLY the new batch's partition, and the running total tracks
+    vec_df(list(enumerate(x[50:], start=50))).repartition(1) \
+        .write.mode("append").parquet(src)
+    q2 = streaming_moments(spark, src, mpath, ckpt, dim=4)
+    q2.awaitTermination(120)
+    full_df = vec_df(list(enumerate(x)))
+    want = {(r.dim_i, r.dim_j): r.v
+            for r in pca.embedding_moments(full_df, dim=4).collect()}
+    got = {(r.dim_i, r.dim_j): r.v
+           for r in read_running_moments(spark, mpath).collect()}
+    assert got == want
+    assert got[(-1, -1)] == 80
+
+    # covariance from the running moments == batch covariance, bitwise
+    inc = {(r.dim_i, r.dim_j): r for r in pca.covariance_from_moments(
+        read_running_moments(spark, mpath)).collect()}
+    ref = {(r.dim_i, r.dim_j): r
+           for r in pca.covariance_long(full_df, dim=4).collect()}
+    assert set(inc) == set(ref)
+    for k, a in inc.items():
+        assert (a.n_vecs, a.cov_num) == (ref[k].n_vecs, ref[k].cov_num)
+        assert struct.pack("<d", a.cov) == struct.pack("<d", ref[k].cov)
+
+
+def test_streaming_moments_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crashed-and-replayed micro-batch
+    re-runs write_batch_moments with the SAME batch_id. The
+    partition-per-batch dynamic overwrite must leave the running total
+    unchanged — replaying must never double-count an additive
+    statistic."""
+    from go_simple_embedding_database_spark.streaming.ingest import (
+        read_running_moments, write_batch_moments)
+
+    mpath = str(tmp_path / "moments")
+    batch = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])],
+        "vec_id long, embedding array<double>")
+    write_batch_moments(batch, 0, mpath, dim=2)
+    once = {(r.dim_i, r.dim_j): r.v
+            for r in read_running_moments(spark, mpath).collect()}
+    write_batch_moments(batch, 0, mpath, dim=2)  # the replay
+    twice = {(r.dim_i, r.dim_j): r.v
+             for r in read_running_moments(spark, mpath).collect()}
+    assert once == twice
+    assert twice[(-1, -1)] == 2
+    # a genuinely NEW batch still adds
+    write_batch_moments(batch, 1, mpath, dim=2)
+    more = {(r.dim_i, r.dim_j): r.v
+            for r in read_running_moments(spark, mpath).collect()}
+    assert more[(-1, -1)] == 4
