@@ -268,27 +268,49 @@ def shingles(text: Column, n: int = 3) -> Column:
     Jaccard dedup. Documents shorter than n words yield their full word
     sequence as one shingle.
 
+    Degenerate-document convention (r10, uniform across all three twins
+    and shared with :func:`ngram_bag`): NULL text → NULL; non-NULL text
+    that tokenizes to ZERO words (empty / whitespace-only) → the EMPTY
+    shingle array. Through r09 the Catalyst and Python twins emitted
+    ``['']`` here while the DuckDB twin's ``array_to_string`` over an
+    empty slice stringified to NULL and ``list_distinct`` then dropped
+    it — a latent cross-twin hash divergence (unreachable on gate data:
+    zero blank/NULL docs at every SF, asserted each round), and a skew
+    bomb at scale: every blank doc in a 100 TB corpus used to collide on
+    the single '' shingle. Zero shingles means blank docs drop out of
+    all pair generation; identical-blank duplicates are exact-dedup's
+    job (hash groupBy), not MinHash's. Pinned by
+    tests/test_text.py::test_shingles_degenerate_document_convention.
+
     The words array is LET-BOUND via a one-element ``transform`` before the
     shingle loop: HOF lambda bodies re-evaluate captured outer expressions
     on every element, so referencing ``words(text)`` directly inside the
     loop re-runs the regex split once per shingle — O(words²) splits per
     document, measured 12.5s → 1.3s for 5000 × 300-char docs at sf0.1.
-    As a bound lambda variable it is evaluated once per row."""
+    As a bound lambda variable it is evaluated once per row. The NULL
+    guard is also load-bearing: without it the HOF chain manufactures a
+    phantom ``[NULL]`` array for NULL text (the round-8 ngram_bag
+    lesson)."""
     def per_words(ws: Column) -> Column:
         idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
-        return F.array_distinct(
+        sh = F.array_distinct(
             F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
         )
+        return F.when(F.size(ws) > 0, sh).otherwise(
+            F.array().cast("array<string>"))
 
-    return F.element_at(
+    bag = F.element_at(
         F.transform(F.array(words(lower_x(text))), per_words), 1)
+    return F.when(text.isNotNull(), bag)
 
 
 def shingles_sql(expr: str, n: int = 3) -> str:
     w = words_sql(f"{lower_x_sql(expr)}")
     return (
-        f"list_distinct([array_to_string(list_slice({w}, i + 1, i + {n}), ' ') "
-        f"for i in range(greatest(len({w}) - {n}, 0) + 1)])"
+        f"CASE WHEN {expr} IS NULL THEN NULL "
+        f"WHEN len({w}) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_distinct([array_to_string(list_slice({w}, i + 1, i + {n}), ' ') "
+        f"for i in range(greatest(len({w}) - {n}, 0) + 1)]) END"
     )
 
 
@@ -304,34 +326,26 @@ def ngram_bag(text: Column, n: int = 2) -> Column:
     Spark HOF chain manufactures a phantom ``[NULL]`` single-gram array
     that inflates every corpus total by one per NULL document.
 
-    Blank-document convention (ADVICE r08, documented): a non-NULL
-    document whose text is whitespace-only tokenizes to zero words, and
-    the short-document rule (``greatest(size - n, 0)`` floors the index
-    range at [0, 0]) then emits ONE empty-string gram — blank docs carry
-    n_grams = 1 and a finite DSIR weight instead of disappearing from
-    weight/budget arithmetic the way NULL docs do (NULL = no content
-    recorded, excluded; blank = content recorded, vacuous, retained at
-    the neutral '' feature).
-
-    KNOWN LATENT twin divergence (found writing the pin test — the
-    ADVICE's "all three twins agree" is NOT true on this edge): the
-    Catalyst and Python twins emit ``['']`` for a blank doc, but the
-    DuckDB twin's ``array_to_string(list_slice(w, 1, n), ' ')`` over an
-    empty word list yields ``[NULL]`` — a different gram, hence a
-    different hash bucket, if a blank doc ever reaches the gate. It
-    cannot today: every gate SF has zero NULL and zero blank documents
-    (measured r09, all three SFs), and the sign-sensitive SELFCHECK
-    re-proves whole-surface parity on the actual data each round. The
-    fix (guard blank → zero grams in ALL three twins, the ADVICE's
-    other option) changes dsir_select's implementation and therefore
-    waits for dsir_select's scheduled r10 window rotation — same policy
-    as the four negative-capable tail doubles (SURVEY §8.8). Current
-    behavior, divergence included, is pinned by
+    Blank-document convention (r10, all three twins): a non-NULL
+    document whose text is whitespace-only tokenizes to zero words and
+    yields ZERO grams — the empty array, exactly like an explode of a
+    NULL doc. Blank docs therefore join NULL docs at DSIR's neutral
+    prior (weight 0 via the corpus left join in
+    ``operators/dsir.dsir_weights``) instead of carrying a phantom ''
+    feature. History: r08 shipped ``['']`` here on the Catalyst and
+    Python twins while the DuckDB twin's
+    ``array_to_string(list_slice(w, 1, n), ' ')`` over an empty word
+    list yields ``[NULL]`` — a latent three-twin hash divergence the
+    pin test found (the r08 ADVICE's "all three twins agree" was
+    false). The r10 fix guards blank → zero grams in ALL THREE twins;
+    agreement on every edge is pinned by
     tests/test_text.py::test_ngram_bag_blank_document_convention."""
     def per_words(ws: Column) -> Column:
         idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
-        return F.transform(
+        grams = F.transform(
             idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
+        return F.when(F.size(ws) > 0, grams).otherwise(
+            F.array().cast("array<string>"))
 
     bag = F.element_at(
         F.transform(F.array(words(lower_x(text))), per_words), 1)
@@ -347,14 +361,17 @@ def ngram_bag_py(text: str | None, n: int = 2) -> list[str] | None:
         return None
     ws = [w for w in re.split(r"\s+", lower_x_py(text), flags=re.ASCII)
           if w]
+    if not ws:
+        return []
     return [" ".join(ws[i:i + n]) for i in range(max(len(ws) - n, 0) + 1)]
 
 
 def ngram_bag_sql(expr: str, n: int = 2) -> str:
     w = words_sql(f"{lower_x_sql(expr)}")
     return (
-        f"CASE WHEN {expr} IS NOT NULL THEN "
-        f"[array_to_string(list_slice({w}, i + 1, i + {n}), ' ') "
+        f"CASE WHEN {expr} IS NULL THEN NULL "
+        f"WHEN len({w}) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE [array_to_string(list_slice({w}, i + 1, i + {n}), ' ') "
         f"for i in range(greatest(len({w}) - {n}, 0) + 1)] END"
     )
 
@@ -383,13 +400,17 @@ def shingles_py(text: str, n: int = 3) -> list[str]:
     """Python twin of ``shingles`` (same recipe — ASCII ``\\s`` equals
     WS_CHARS exactly, and lower_x_py carries the İ/Σ pre-substitution;
     first-occurrence distinct) — the batch kernel used by the vectorized
-    dedup UDFs."""
+    dedup UDFs. Kernel convention: None and blank both map to the EMPTY
+    shingle list (the Column/SQL twins carry the NULL-in-NULL-out guard
+    at the relational layer; inside an Arrow batch there is no NULL
+    array to propagate, and every kernel consumer treats zero shingles
+    as 'no signature')."""
     import re
     ws = [w for w in re.split(r"\s+", lower_x_py(text or ""),
                               flags=re.ASCII) if w]
     k = len(ws)
     if k == 0:
-        return [""]
+        return []
     if k <= n:
         return [" ".join(ws)]
     return list(dict.fromkeys(" ".join(ws[i:i + n]) for i in range(k - n + 1)))
@@ -400,20 +421,29 @@ def ngrams_all(text: Column, n: int = 2) -> Column:
     dedups): the denominator of repetition scoring needs every
     occurrence. Same let-binding trick as ``shingles`` so the word split
     runs once per row, not once per n-gram. Docs shorter than n words
-    yield their full word sequence as the single n-gram."""
+    yield their full word sequence as the single n-gram; NULL → NULL and
+    blank → zero grams (the r10 degenerate-document convention shared by
+    shingles/ngram_bag — repetition fractions then read 0.0 for blank
+    docs and NULL for NULL docs in BOTH engines)."""
     def per_words(ws: Column) -> Column:
         idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
-        return F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
+        grams = F.transform(
+            idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
+        return F.when(F.size(ws) > 0, grams).otherwise(
+            F.array().cast("array<string>"))
 
-    return F.element_at(
+    bag = F.element_at(
         F.transform(F.array(words(lower_x(text))), per_words), 1)
+    return F.when(text.isNotNull(), bag)
 
 
 def ngrams_all_sql(expr: str, n: int = 2) -> str:
     w = words_sql(f"{lower_x_sql(expr)}")
     return (
-        f"[array_to_string(list_slice({w}, i + 1, i + {n}), ' ') "
-        f"for i in range(greatest(len({w}) - {n}, 0) + 1)]"
+        f"CASE WHEN {expr} IS NULL THEN NULL "
+        f"WHEN len({w}) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE [array_to_string(list_slice({w}, i + 1, i + {n}), ' ') "
+        f"for i in range(greatest(len({w}) - {n}, 0) + 1)] END"
     )
 
 
@@ -522,7 +552,10 @@ def pii_counts_sql(expr: str) -> dict[str, str]:
 def doc_fingerprint(text: Column, n: int = 3) -> Column:
     """Document fingerprint: the lexicographically minimal md5 over word
     n-gram shingles (a 1-function MinHash / winnowing-lite). Stable under
-    reordering-free edits far from the minimal shingle; cross-engine exact."""
+    reordering-free edits far from the minimal shingle; cross-engine
+    exact. NULL and blank docs fingerprint to NULL in both engines (min
+    over the r10 zero-shingle convention — through r09 Spark hashed the
+    phantom '' shingle here while DuckDB returned NULL)."""
     return F.array_min(
         F.transform(shingles(text, n), lambda s: F.md5(s.cast("binary")))
     )

@@ -94,7 +94,8 @@ def pair_counts(vocab: DataFrame) -> DataFrame:
 
 
 def bpe_train(df: DataFrame, text_col: str, num_merges: int,
-              min_pair_count: int = 2) -> list[tuple[str, str]]:
+              min_pair_count: int = 2,
+              on_superstep=None) -> list[tuple[str, str]]:
     """Learn up to ``num_merges`` merges; stops early when the best
     remaining pair occurs fewer than ``min_pair_count`` times (weighted
     by word frequency). Returns [(left, right), ...] in merge order.
@@ -108,7 +109,16 @@ def bpe_train(df: DataFrame, text_col: str, num_merges: int,
     has materialized the CURRENT vocab's checkpoint, the previous
     superstep's blocks are dead — ``release_local_checkpoint`` frees
     them immediately via the LogicalRDD's own RDD reference, so exactly
-    one superstep (plus the one being built) is ever pinned."""
+    one superstep (plus the one being built) is ever pinned.
+
+    ``on_superstep``, if given, is called as ``on_superstep(i)`` after
+    iteration ``i`` has materialized its vocab and released its
+    predecessor — the observation point at which the two-pinned-
+    supersteps storage invariant must hold. tools/scale_probe.py's
+    deep-merge row samples the persistent-RDD census here at K≥500
+    (VERDICT r09 #3: the invariant is only worth claiming at realistic
+    merge depth); the hook is observational — it must not touch the
+    vocab relation."""
     from ..plans.checkpoints import release_local_checkpoint
 
     vocab = (word_counts(df, text_col)
@@ -133,6 +143,8 @@ def bpe_train(df: DataFrame, text_col: str, num_merges: int,
             vocab.select(_apply_merge(F.col("syms"), left, right)
                          .alias("syms"), "n")
             .localCheckpoint(eager=False))
+        if on_superstep is not None:
+            on_superstep(len(merges) - 1)
     # range exhaustion exits with the last superstep's parent still held
     # (no further collect released it) and the final vocab's checkpoint
     # merely declared — drop both; only `merges` leaves this function

@@ -131,9 +131,18 @@ def minhash_signature(text: Column, num_hashes: int = 12, n: int = 3) -> Column:
         out = []
         for t in texts:
             hs = _shingle_hashes_py(t, n)
+            if hs.size == 0:
+                # zero shingles (NULL/blank doc, r10 convention): the
+                # min over an empty set is NULL per hash — identical to
+                # array_min([]) in the expr twin and list_min([]) in
+                # the DuckDB twin (and a crash in numpy otherwise).
+                out.append([None] * num_hashes)
+                continue
             # products < 2^63: hs < 2^32, a < 2^31 — no int64 overflow.
-            out.append((hs[:, None] * a[None, :] + b[None, :]) % MERSENNE_P)
-        return pd.Series([m.min(axis=0) for m in out])
+            out.append(
+                ((hs[:, None] * a[None, :] + b[None, :]) % MERSENNE_P)
+                .min(axis=0))
+        return pd.Series(out)
 
     return _sig(text)
 
@@ -1180,8 +1189,12 @@ def duplicated_span_stats(df: DataFrame, text_col: str = "text",
     counts — never the text twice. Intra-doc repeats count toward
     ``n_spans`` but only cross-doc presence marks a span duplicated.
 
-    Returns (id_col, n_spans, n_dup_spans, dup_frac) for every input doc
-    (0/0 -> 0.0 cannot occur: every doc yields >= 1 span).
+    Returns (id_col, n_spans, n_dup_spans, dup_frac) for every input
+    doc. NULL/blank docs yield zero spans under the r10 degenerate-
+    document convention and are restored by a corpus left join as
+    0/0 → dup_frac 0.0 (nothing duplicated in an empty doc) — a
+    contamination scorer that silently drops unparseable docs corrupts
+    downstream budget arithmetic, the dsir_weights lesson.
     """
     from pyspark.sql import Window
 
@@ -1195,10 +1208,16 @@ def duplicated_span_stats(df: DataFrame, text_col: str = "text",
            .agg(F.sum("_m").alias("n_spans"),
                 F.sum(F.when(F.col("_ndocs") >= 2, F.col("_m"))
                       .otherwise(F.lit(0))).alias("n_dup_spans")))
-    return out.select(
-        F.col("_id").alias(id_col), "n_spans", "n_dup_spans",
-        F.round(F.col("n_dup_spans").cast("double") /
-                F.col("n_spans").cast("double"), 6).alias("dup_frac"))
+    spine = df.select(F.col(id_col).alias("_id"))
+    return (spine.join(out, "_id", "left")
+            .select(
+                F.col("_id").alias(id_col),
+                F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+                F.coalesce(
+                    F.round(F.col("n_dup_spans").cast("double") /
+                            F.col("n_spans").cast("double"), 6),
+                    F.lit(0.0)).alias("dup_frac")))
 
 
 def duplicated_span_stats_sql(table: str = "documents",
@@ -1226,11 +1245,14 @@ agg AS (
   SELECT _id, CAST(sum(_m) AS BIGINT) AS n_spans,
          CAST(sum(CASE WHEN _ndocs >= 2 THEN _m ELSE 0 END) AS BIGINT)
            AS n_dup_spans
-  FROM marked GROUP BY _id)
-SELECT _id AS {id_expr}, n_spans, n_dup_spans,
-       round(CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE), 6)
-         AS dup_frac
-FROM agg
+  FROM marked GROUP BY _id),
+spine AS (SELECT {id_expr} AS _id FROM {table})
+SELECT spine._id AS {id_expr},
+       COALESCE(n_spans, 0) AS n_spans,
+       COALESCE(n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(round(CAST(n_dup_spans AS DOUBLE)
+                      / CAST(n_spans AS DOUBLE), 6), 0.0) AS dup_frac
+FROM spine LEFT JOIN agg ON spine._id = agg._id
 """
 
 

@@ -68,8 +68,9 @@ def ngram_bucket_table(df: DataFrame, id_col: str, text_col: str,
                        num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     """(id, bucket, _t) — one row per gram OCCURRENCE, localCheckpointed
     (lazy: blocks self-release when the result is dropped) because three
-    consumers read it. NULL text explodes to zero rows here; the corpus
-    left join in :func:`dsir_weights` restores those documents."""
+    consumers read it. NULL and whitespace-only text explode to zero
+    rows here (zero grams in all three ngram_bag twins since r10); the
+    corpus left join in :func:`dsir_weights` restores those documents."""
     return (df.select(F.col(id_col), is_target.alias("_t"),
                       F.explode(ngram_bag(F.col(text_col), n)).alias("_g"))
             .select(id_col, "_t",

@@ -210,7 +210,7 @@ def pca_project(df: DataFrame, components, vec_col: str = "embedding",
     return df.withColumn(out_col, F.array(*outs))
 
 
-def pca_whiten(df: DataFrame, components, eigenvalues, n: int,
+def pca_whiten(df: DataFrame, components, eigenvalues,
                vec_col: str = "embedding", out_col: str = "white",
                mean=None, eps: float = 1e-9) -> DataFrame:
     """PCA-whitening transform — the standard embedding-hygiene step
@@ -223,17 +223,25 @@ def pca_whiten(df: DataFrame, components, eigenvalues, n: int,
     Σⱼ Wᵢⱼ·xⱼ − Wᵢ·μ, both terms codegen'd), so the data path has zero
     Python, zero shuffles, and survives any corpus size trivially.
 
-    ``components``/``eigenvalues``/``n`` come from
-    :func:`pca_components`; pass ``mean`` (length-d, ORIGINAL units) to
-    center — the default derives nothing and treats input as centered,
-    because deriving μ here would hide a second corpus scan inside a
-    "projection". Eigenvalues ≤ ``eps`` (numerically dead directions)
-    are DROPPED rather than divided by ~0 and exploded into noise; the
-    output width is the number of retained directions."""
+    ``components``/``eigenvalues`` come from :func:`pca_components`;
+    pass ``mean`` (length-d, ORIGINAL units) to center — the default
+    derives nothing and treats input as centered, because deriving μ
+    here would hide a second corpus scan inside a "projection".
+    Eigenvalues ≤ ``eps`` (numerically dead directions) are DROPPED
+    rather than divided by ~0 and exploded into noise; the output width
+    is the number of retained directions. A FULLY degenerate spectrum
+    (no eigenvalue above ``eps`` — a constant corpus, or garbage
+    eigenvalues) raises instead of silently emitting zero-width arrays
+    into downstream distance arithmetic (ADVICE r09)."""
     import numpy as np
     vals = np.asarray(eigenvalues, dtype=np.float64)
     comps = np.asarray(components, dtype=np.float64)
     keep = vals > eps
+    if not keep.any():
+        raise ValueError(
+            f"pca_whiten: no eigenvalue above eps={eps} — the spectrum "
+            "is fully degenerate (constant corpus?); whitening would "
+            "produce zero-width vectors")
     w = comps[keep] / np.sqrt(vals[keep])[:, None]   # (k', d)
     offs = (w @ np.asarray(mean, dtype=np.float64)
             if mean is not None else np.zeros(w.shape[0]))
@@ -265,6 +273,32 @@ def effective_rank(eigenvalues, eps: float = 1e-12) -> float:
     return float(np.exp(-(p * np.log(p)).sum()))
 
 
+def moments_int64_row_bound(max_abs: float = 1.0) -> int:
+    """Guaranteed-safe corpus row count for int64 moments accumulation
+    (ADVICE r09: the 'bit-exact at 100 TB' claim needs its bound stated,
+    not implied). A quantized coordinate is |x| ≤ EMB_SCALE·max_abs, so
+    one row contributes ≤ (EMB_SCALE·max_abs)² to a Gram cell; int64
+    holds 2⁶³−1, giving ≈ 9.2e10 rows for coordinates bounded by 1.0
+    (unit-NORM d=64 embeddings have |e| ≤ 1, typically ~d^{-1/2}, so the
+    practical ceiling is ~d× higher). The bound is per-CELL and
+    independent of dim. Two distinct hazards share it:
+
+    * the accumulated Gram cells themselves (``embedding_moments`` /
+      :func:`merge_moments` / ``streaming_moments`` running totals) —
+      bounded by n·(EMB_SCALE·max_abs)²;
+    * the derived covariance NUMERATOR n·ΣXiXj − ΣXi·ΣXj in
+      :func:`covariance_from_moments`, whose terms scale with n² —
+      it overflows FIRST, around n ≈ sqrt(2⁶³/(EMB_SCALE·max_abs)²)
+      ≈ 3e5·(typical cancellation slack; see the module Overflow
+      ledger — centered data cancels most of it, and the DuckDB twin
+      raises on bigint overflow, so the oracle is the live canary).
+
+    Past the bound, flip the accumulators to ``decimal(38,0)`` (both
+    engines exact to 38 digits) — a schema knob, not a redesign; the
+    additivity proof is type-independent."""
+    return int((2 ** 63 - 1) // int((EMB_SCALE * max_abs) ** 2))
+
+
 def merge_moments(*moments: DataFrame) -> DataFrame:
     """Merge moments relations from disjoint corpus slices into the
     moments of their union — the payoff of carrying EXACT integer
@@ -276,7 +310,11 @@ def merge_moments(*moments: DataFrame) -> DataFrame:
     batch, merge, and re-derive covariance/PCA from the running moments
     without ever rescanning history. Inputs must cover DISJOINT rows
     (double-counting is the caller's contract, same as any additive
-    sketch) and share one quantization scale."""
+    sketch) and share one quantization scale. The bit-exactness claim
+    holds up to :func:`moments_int64_row_bound` total rows (≈ 9.2e10
+    for unit-bounded coordinates) — beyond that, non-ANSI Spark sum
+    wraps silently; see the bound helper for the decimal(38,0)
+    escape."""
     if not moments:
         raise ValueError("merge_moments needs at least one moments relation")
     out = moments[0]

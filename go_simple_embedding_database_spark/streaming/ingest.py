@@ -403,10 +403,95 @@ def streaming_moments(spark, source_dir: str, moments_path: str,
     return writer.start()
 
 
+def _effective_moments(df: DataFrame) -> DataFrame:
+    """The de-duplicated view of a moments store that may hold compacted
+    partitions: a compacted partition carries ``batch_id = -(W+1)`` and
+    SUPERSEDES every batch partition with id ≤ W and every older
+    compacted partition. Selecting (newest compacted) ∪ (batches > its
+    watermark) makes reads correct even when a crashed compaction left
+    superseded partitions behind — deletion is garbage collection, not
+    a correctness step."""
+    wmax = F.max(F.when(F.col("batch_id") < 0, -F.col("batch_id") - 1))
+    w = df.agg(F.coalesce(wmax, F.lit(-1)).alias("_w"))
+    return (df.crossJoin(F.broadcast(w))
+            .filter((F.col("batch_id") == -(F.col("_w") + 1))
+                    | (F.col("batch_id") > F.col("_w")))
+            .drop("_w"))
+
+
 def read_running_moments(spark, moments_path: str) -> DataFrame:
     """The union moments of every batch ingested so far: merge the
     per-batch partitions (bigint additivity — bit-exact vs a full
     recompute, tests/test_pca.py) into the (dim_i, dim_j, v) relation
-    operators/pca.covariance_from_moments / pca_components consume."""
-    per_batch = spark.read.parquet(moments_path).drop("batch_id")
-    return per_batch.groupBy("dim_i", "dim_j").agg(F.sum("v").alias("v"))
+    operators/pca.covariance_from_moments / pca_components consume.
+    Compaction-aware (round 10): partitions superseded by a
+    :func:`compact_moments` consolidation are excluded, so the fold
+    touches O(batches-since-compaction) partitions instead of one per
+    micro-batch over the stream's whole life."""
+    per_batch = _effective_moments(spark.read.parquet(moments_path))
+    return (per_batch.drop("batch_id")
+            .groupBy("dim_i", "dim_j").agg(F.sum("v").alias("v")))
+
+
+def compact_moments(spark, moments_path: str, watermark: int) -> None:
+    """Fold every moments partition with ``batch_id ≤ watermark`` (and
+    any older compacted partition) into ONE consolidated partition —
+    the small-files relief for a long-lived moments stream (VERDICT
+    r09 #5): without it a stream accumulates one file+partition per
+    micro-batch forever, and every :func:`read_running_moments` pays
+    the listing + fold cost of the full history.
+
+    Layout contract: the consolidated partition is written under
+    ``batch_id = -(watermark + 1)`` (real batch ids are ≥ 0, so the
+    sign is the marker and the id encodes the covered horizon). Reads
+    ignore everything a newer compacted partition supersedes
+    (:func:`_effective_moments`), which makes the operation
+    crash-safe and replay-idempotent: a compaction that wrote its
+    partition but died before cleanup leaves a store that reads
+    IDENTICALLY, and re-running the same compaction overwrites the
+    same partition with the same bit-exact sums (bigint additivity —
+    the merge_moments proof). Cleanup of superseded partition
+    directories happens last, via the Hadoop FileSystem API (works on
+    any scheme, not just file://).
+
+    ``watermark`` must be ≥ the horizon of the newest existing
+    compaction (compactions only move forward) and should trail the
+    stream's live batches — only micro-batches that can no longer be
+    REPLAYED by the checkpointed query may be folded (a replay of
+    batch N overwrites partition ``batch_id=N``; if N were already
+    folded the replay would resurrect it as a double count). In
+    practice: compact up to (last committed batch − the sink's replay
+    horizon), e.g. from the checkpoint's commit log."""
+    df = spark.read.parquet(moments_path)
+    ids = [r.batch_id for r in df.select("batch_id").distinct().collect()]
+    prev_w = max((-i - 1 for i in ids if i < 0), default=-1)
+    if watermark < prev_w:
+        raise ValueError(
+            f"compact_moments: watermark {watermark} is behind the "
+            f"existing compaction horizon {prev_w} — compactions only "
+            "move forward")
+    folded = (_effective_moments(df)
+              .filter(F.col("batch_id") <= watermark)
+              .drop("batch_id")
+              .groupBy("dim_i", "dim_j").agg(F.sum("v").alias("v"))
+              .withColumn("batch_id", F.lit(-(watermark + 1))))
+    (folded.repartition(1)
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id")
+     .parquet(moments_path))
+    # GC: drop superseded partition dirs (batches ≤ watermark, older
+    # compactions). Correctness never depends on this step succeeding.
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    root = jvm.org.apache.hadoop.fs.Path(moments_path)
+    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        bid = int(name.split("=", 1)[1])
+        if bid == -(watermark + 1):
+            continue
+        if bid < 0 or bid <= watermark:
+            fs.delete(st.getPath(), True)

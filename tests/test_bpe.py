@@ -190,3 +190,22 @@ def test_segment_shuffle_path_plan_has_no_broadcast_of_dictionary(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
     for node in ("ArrowEvalPython", "BatchEvalPython", "CartesianProduct"):
         assert node not in plan
+
+
+def test_on_superstep_hook_observes_two_pinned_invariant(spark):
+    """The on_superstep hook (round 10, the deep-merge probe's
+    observation point) fires once per learned merge, right after the
+    predecessor release — the persistent-RDD census there must never
+    exceed baseline + 2 (current superstep + the one being declared),
+    and training still returns the census to baseline."""
+    sc = spark.sparkContext
+    base = len(sc._jsc.getPersistentRDDs().keySet())
+    deltas = []
+
+    def hook(i):
+        deltas.append(len(sc._jsc.getPersistentRDDs().keySet()) - base)
+
+    merges = bpe.bpe_train(_df(spark), "text", 6, on_superstep=hook)
+    assert len(deltas) == len(merges) >= 4  # fired once per merge
+    assert max(deltas) <= 2, deltas
+    assert len(sc._jsc.getPersistentRDDs().keySet()) == base

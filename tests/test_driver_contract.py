@@ -15,80 +15,79 @@ import __spark_entry__ as em
 # it carries a full DuckDB oracle (VERDICT r05 #2).
 ROWS_ONLY_BY_DESIGN = set()
 
-# Queries whose implementation / oracle changes in round 9 — every one
-# MUST sit inside the gate window so this round's CORRECTNESS file
-# records it.
-CHANGED_ROUND9 = {
-    "gate_canary",             # grew the sign_zero probe row
-    "embedding_covariance",    # the round-8 gate's only-ever red row:
-                               # signed-zero export normalized (+ 0.0)
-                               # in both twins (operators/pca.py)
-    # SURVEY §8.8 audit: every NEGATIVE-CAPABLE rounded-double export in
-    # the r09 window gained the same `+ 0.0` normalization (cosine /
-    # score / sim columns, centroid means, growth_pct) — all ten were
-    # r07-official and due for rotation anyway, so the change is free
-    # window-wise:
-    "topk_cosine", "topk_small_collection", "batch_topk",
-    "cosine_kernel_pairs", "embedding_centroids", "ann_ivf",
-    "ann_lsh_join", "crud_query", "ann_quantized",
-    "monthly_revenue_growth",
+# Queries whose implementation / oracle changes in round 10 AND whose
+# newest official row is r09 (they would otherwise tail until r11) —
+# changed code must re-certify the round it changes, so they are pulled
+# into the window ahead of their natural rotation. All three consume
+# functions/text.shingles (doc_fingerprint delegates to it), whose
+# blank/NULL-document convention was unified across all three twins this
+# round (the r09 ngram_bag latent-divergence class, closed whole-class).
+CHANGED_ROUND10_EARLY = {"dedup_minhash", "dedup_prefix", "text_stats"}
+
+# Round-10 rotation (standing policy): every query whose newest official
+# row dates from r08 sits inside the r10 window for a fresh row. Changed
+# members re-certify their r10 code: the five negative-capable
+# sign-normalized exports (multimodal_decode, ingest_embed, events_pmi,
+# user_spend_trend, similarity_join_knn — SURVEY §8.8 class "scheduled",
+# closed), dsir_select (ngram_bag blank fix), span_dedup/text_repetition
+# (ngrams_all convention + the duplicated_span_stats 0/0 restore), and
+# every shingle consumer (dedup_jaccard, dedup_containment,
+# dedup_simhash, dedup_simhash_pairs, dedup_clusters, incremental_dedup,
+# split_leakage_safe, ngram_novelty, ngram_vocab, frequent_tokens,
+# pipeline_clean_corpus).
+ROTATING_OFFICIAL_R08 = {
+    "multimodal_decode", "ingest_embed", "events_pmi", "user_spend_trend",
+    "similarity_join_knn", "dsir_select", "span_dedup", "text_repetition",
+    "dedup_jaccard", "dedup_containment", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_clusters", "incremental_dedup",
+    "split_leakage_safe", "ngram_novelty", "ngram_vocab",
+    "frequent_tokens", "pipeline_clean_corpus", "bloom_prune_join",
+    "ann_recall", "multimodal_metadata", "corpus_upsert",
+    "pack_sequences", "token_budget", "kmeans_cells",
+    "split_contamination", "pii_scrub", "pagerank_suppliers",
+    "dedup_keep", "nation_acctbal_outliers", "udtf_chunks",
+    "balanced_sample", "tfidf_top_terms", "user_activity_streaks",
+    "order_value_histogram", "event_funnel", "events_retention",
+    "mixture_sample", "snapshot_diff", "zorder_layout",
+    "incremental_revenue", "semantic_dedup", "bm25_search",
+    "quality_unigram", "weighted_sample",
 }
 
-# The r08 deferral, honored: big_orders_customers (newest official row
-# r06) leads the r09 window right after the canary and the never-green
-# covariance, exactly as tests/test_driver_contract.py@r08 promised.
-DEFERRED_HONORED_R09 = {"big_orders_customers"}
-
-# Round-9 rotation (standing policy, VERDICT r07 #1): the 37 queries
-# whose newest official row dates from r07 and whose code is
-# byte-identical this round — every one sits inside the r09 window for
-# a fresh row. (The other 10 r07-official queries are in CHANGED_ROUND9:
-# their exports gained the signed-zero normalization.)
-STALE_OFFICIAL_R07 = {
-    "approx_distinct_users", "approx_order_quantiles", "dedup_prefix",
-    "dedup_exact", "text_language_id", "dedup_minhash", "dedup_winnow",
-    "dedup_cosine", "user_event_pivot", "bucketed_join_revenue",
-    "ingest_violations", "text_stats", "text_quality", "events_asof",
-    "events_range_join", "events_salted_agg", "revenue_rollup",
-    "top_orders_per_customer", "events_windowed", "text_chunks",
-    "events_sessionize", "point_lookup", "collections_catalog",
-    "record_pretty", "source_length_stats", "pricing_summary",
-    "segment_revenue", "set_ops_customers", "semi_anti_customers",
-    "user_moving_avg", "order_percentiles", "cube_revenue",
-    "train_split_counts", "promo_revenue", "events_json_props",
-    "shipping_priority", "table_profile",
+# Green in the r09 official gate on byte-identical implementations.
+# Only these may sit outside the round-10 window; all rotate in r11.
+OFFICIAL_R09_UNCHANGED = {
+    "embedding_covariance", "big_orders_customers", "topk_cosine",
+    "topk_small_collection", "batch_topk", "cosine_kernel_pairs",
+    "embedding_centroids", "ann_ivf", "ann_lsh_join", "crud_query",
+    "ann_quantized", "monthly_revenue_growth", "approx_distinct_users",
+    "approx_order_quantiles", "dedup_exact", "text_language_id",
+    "dedup_winnow", "dedup_cosine", "user_event_pivot",
+    "bucketed_join_revenue", "ingest_violations", "text_quality",
+    "events_asof", "events_range_join", "events_salted_agg",
+    "revenue_rollup", "top_orders_per_customer", "events_windowed",
+    "text_chunks", "events_sessionize", "point_lookup",
+    "collections_catalog", "record_pretty", "source_length_stats",
+    "pricing_summary", "segment_revenue", "set_ops_customers",
+    "semi_anti_customers", "user_moving_avg", "order_percentiles",
+    "cube_revenue", "train_split_counts", "promo_revenue",
+    "events_json_props", "shipping_priority", "table_profile",
 }
 
-# Green in the r08 official gate on byte-identical implementations.
-# Only these may sit outside the round-9 window.
-OFFICIAL_R08_UNCHANGED = {
-    "dsir_select", "pipeline_clean_corpus", "bloom_prune_join",
-    "ngram_novelty", "ann_recall", "dedup_containment",
-    "multimodal_decode", "multimodal_metadata", "ingest_embed",
-    "corpus_upsert", "events_rolling_7d", "pack_sequences",
-    "token_budget", "kmeans_cells", "span_dedup", "dedup_simhash_pairs",
-    "dedup_simhash", "split_contamination", "pii_scrub",
-    "pagerank_suppliers", "frequent_tokens", "dedup_jaccard",
-    "dedup_keep", "nation_acctbal_outliers", "ngram_vocab",
-    "udtf_chunks", "balanced_sample", "local_supplier_revenue",
-    "dedup_clusters", "tfidf_top_terms", "user_activity_streaks",
-    "order_value_histogram", "similarity_join_knn", "text_repetition",
-    "event_funnel", "events_retention", "mixture_sample",
-    "snapshot_diff", "events_pmi", "split_leakage_safe", "zorder_layout",
-    "user_spend_trend", "incremental_revenue", "semantic_dedup",
-    "bm25_search", "quality_unigram", "incremental_dedup",
-    "weighted_sample",
-}
+# Retired from the gate surface in round 10 (consolidation — VERDICT
+# r09 #8's replacement rule, spent on the degenerate-document class
+# closure's 3 early-certification slots): implementations kept, parity
+# coverage continues in tests/test_retired_queries.py, capabilities
+# stay gated by their named twins.
+RETIRED_ROUND10 = {"local_supplier_revenue", "events_rolling_7d"}
 
-# Zero deferrals this round: 1 canary + 1 covariance + 1 honored
-# deferral + 10 changed + 37 stale = 50 exactly. The 98-query surface
-# is precisely the 50-slot window's carrying capacity (2 x 49
-# non-canary slots) — which is WHY the surface grows library-first
-# (operators/bpe.py precedent) rather than by new gate queries.
-DEFERRED_TO_R10 = set()
+# Zero deferrals this round: 1 canary + 3 early + 46 rotating = 50
+# exactly. Post-consolidation surface: 96 = 2 x 48 < the 2 x 49
+# carrying capacity — one spare window slot per 2-round cycle, ending
+# the r08-r09 zero-slack treadmill.
+DEFERRED_TO_R11 = set()
 
 # Everything that must be inside the 50-slot window this round.
-WINDOW_ROUND9 = STALE_OFFICIAL_R07 | CHANGED_ROUND9 | DEFERRED_HONORED_R09
+WINDOW_ROUND10 = ROTATING_OFFICIAL_R08 | CHANGED_ROUND10_EARLY
 
 
 def test_every_query_has_an_oracle_or_documented_exemption():
@@ -101,17 +100,20 @@ def test_every_query_has_an_oracle_or_documented_exemption():
 
 def test_declared_sets_cover_the_surface_exactly():
     q = set(em.queries())
-    declared = WINDOW_ROUND9 | OFFICIAL_R08_UNCHANGED | DEFERRED_TO_R10
+    declared = (WINDOW_ROUND10 | OFFICIAL_R09_UNCHANGED | {"gate_canary"}
+                | DEFERRED_TO_R11)
     assert declared == q, (
         f"undeclared queries: {q - declared} / stale declarations: "
         f"{declared - q}")
-    assert not (WINDOW_ROUND9 & OFFICIAL_R08_UNCHANGED), (
+    assert not (WINDOW_ROUND10 & OFFICIAL_R09_UNCHANGED), (
         "a query cannot be both in-window and tail-green")
-    assert not (STALE_OFFICIAL_R07 & CHANGED_ROUND9), (
-        "a query cannot be both stale-rotated and changed")
-    assert not (DEFERRED_TO_R10 & (WINDOW_ROUND9 | OFFICIAL_R08_UNCHANGED))
-    assert len(DEFERRED_TO_R10) <= 1, (
+    assert not (ROTATING_OFFICIAL_R08 & CHANGED_ROUND10_EARLY)
+    assert not (DEFERRED_TO_R11 & (WINDOW_ROUND10 | OFFICIAL_R09_UNCHANGED))
+    assert len(DEFERRED_TO_R11) <= 1, (
         "the rotation may defer at most one stale query per round")
+    assert not (RETIRED_ROUND10 & q), (
+        "retired queries must not reappear on the gate surface "
+        "undeclared — re-admission is a deliberate surface change")
 
 
 def test_surface_is_within_the_window_carrying_capacity():
@@ -119,9 +121,11 @@ def test_surface_is_within_the_window_carrying_capacity():
     2-rounds rotation policy, the surface can hold at most
     2 x (50 - 1) = 98 gate queries (the canary re-gates every round).
     At 99+, some query's newest official row necessarily ages past two
-    rounds every round — permanent rotation debt. New capabilities
-    beyond 98 ship library-first (pytest + property tests + SCALE rows,
-    the operators/bpe.py precedent) or REPLACE an existing gate query."""
+    rounds every round — permanent rotation debt. Round 10 consolidated
+    to 96 = 2 x 48, buying one spare slot per 2-round cycle for
+    early-certification pulls like this round's. New capabilities ship
+    library-first (pytest + property tests + SCALE rows, the
+    operators/bpe.py precedent) or REPLACE an existing gate query."""
     assert len(em.queries()) <= 2 * (50 - 1), (
         "surface exceeds the 50-slot window's carrying capacity — "
         "ship the new capability library-first or replace a gate query")
@@ -129,34 +133,34 @@ def test_surface_is_within_the_window_carrying_capacity():
 
 def test_window_queries_sit_inside_the_gate_window():
     """The driver checks the FIRST 50 entries (observed cap, rounds 1-2).
-    Every stale-official and changed-this-round query must land a fresh
+    Every rotating and changed-this-round query must land a fresh
     official row."""
     names = list(em.queries().keys())
     window = set(names[:50])
-    outside = WINDOW_ROUND9 - window
+    outside = WINDOW_ROUND10 - window
     assert not outside, (
         f"required queries fall outside the 50-entry window: "
         f"{sorted(outside)}")
 
 
-def test_window_leads_with_the_round8_debt():
-    """VERDICT r08 #3 pinned the order: canary, then embedding_covariance
-    (the only query never officially green), then big_orders_customers
-    (the honored r08 deferral)."""
+def test_window_leads_with_the_changed_early_pulls():
+    """Round 10's highest verification need right after the canary: the
+    three r09-official queries whose code changed with the
+    degenerate-document convention."""
     names = list(em.queries().keys())
-    assert names[:3] == ["gate_canary", "embedding_covariance",
-                         "big_orders_customers"]
+    assert names[0] == "gate_canary"
+    assert set(names[1:4]) == CHANGED_ROUND10_EARLY
 
 
 def test_tail_queries_all_have_fresh_official_rows():
-    """After the r09 rotation the tail consists exactly of the queries
-    green in the r08 gate on byte-identical code — zero deferrals (the
-    r09 arithmetic closes at 50 with every debt item inside)."""
+    """After the r10 rotation the tail consists exactly of the queries
+    green in the r09 gate on byte-identical code — zero deferrals (the
+    r10 arithmetic closes at 50 with every debt item inside)."""
     names = list(em.queries().keys())
     tail = set(names[50:])
-    unofficial = tail - OFFICIAL_R08_UNCHANGED - DEFERRED_TO_R10
+    unofficial = tail - OFFICIAL_R09_UNCHANGED - DEFERRED_TO_R11
     assert not unofficial, (
-        f"queries whose newest official row predates r08 fall outside "
+        f"queries whose newest official row predates r09 fall outside "
         f"the 50-entry window undocumented: {sorted(unofficial)}")
 
 
@@ -176,12 +180,20 @@ def test_gate_canary_values_are_pinned(spark):
         "tiny": (0, 0.000001, None),
         "sign_zero": (0, 0.0, None),
         "uni_héllo✓": (0, 0.0, None),
+        # dsir_select's λ-micro construction on fixed literals: four
+        # libm ln calls, quantized — flips on a last-ulp libm drift
+        # (the documented gate residual), localizing it to the canary
+        "ln_libm": (1204686, 0.0, None),
         "null_int": (None, 0.0, None),
         "date": (0, 0.0, _dt.date(2024, 2, 29)),
     }
     # the sign_zero probe's whole point: the normalized zero is POSITIVE
     import math
     assert math.copysign(1.0, rows["sign_zero"][1]) == 1.0
+    # and ln_libm must equal CPython's libm too (three-way lockstep)
+    want = round((math.log(101.0) - math.log(4196.0) - math.log(31.0)
+                  + math.log(4296.0)) * 1e6)
+    assert rows["ln_libm"][0] == want
 
 
 def test_window_marker_is_exact():
@@ -192,8 +204,8 @@ def test_window_marker_is_exact():
     entry 49 (the last INSIDE) must be one that needs the fresh row."""
     names = list(em.queries().keys())
     assert names[0] == "gate_canary"
-    assert names[49] in WINDOW_ROUND9
-    assert names[50] in OFFICIAL_R08_UNCHANGED
+    assert names[49] in WINDOW_ROUND10
+    assert names[50] in OFFICIAL_R09_UNCHANGED
 
 
 def test_callables_and_sql_are_well_formed():

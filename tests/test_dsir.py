@@ -43,6 +43,21 @@ def test_null_text_doc_kept_with_zero_weight(spark):
     assert w[5].n_grams == 0 and w[5].weight_micro == 0
 
 
+def test_blank_text_doc_matches_null_semantics(spark):
+    """r10 blank-document convention: whitespace-only text yields zero
+    grams in all three ngram_bag twins, so a blank doc sits at exactly
+    the NULL doc's neutral prior — 0 grams, weight 0, kept in the
+    corpus (the budget arithmetic must see it)."""
+    rows = [(0, _TARGET, True), (1, _NOISE, False),
+            (2, None, False), (3, "   \t\n ", False), (4, "", False)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    w = {r.doc_id: r for r in
+         dsir.dsir_weights(df, "doc_id", "text", F.col("tgt")).collect()}
+    assert set(w) == {0, 1, 2, 3, 4}
+    for d in (2, 3, 4):  # NULL, blank, empty — identical neutral rows
+        assert w[d].n_grams == 0 and w[d].weight_micro == 0, (d, w[d])
+
+
 def test_gram_counts_carry_multiplicity(spark):
     """ngram_bag is a BAG: a 10-word doc has 9 bigram occurrences even
     when most grams repeat (the distinct shingles would collapse them)."""

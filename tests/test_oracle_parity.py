@@ -152,6 +152,30 @@ def test_pipeline_affix_stage_drops_truncation_duplicates(spark, tmp_path):
     assert osurv == {1, 4, 10_000_000_001}, osurv
 
 
+def test_planted_suffix_pair_passes_its_gates(spark):
+    """Restored (ADVICE r09): the planted pair (VERDICT r07 #6) only
+    exercises the suffix arm if BOTH docs survive the pipeline's quality
+    and language filters and the bare article is a proper suffix of the
+    bannered copy — pin those preconditions directly so a future
+    gate-threshold change can't silently turn the fixture into a no-op
+    (the end-to-end test alone still passes if the docs start being
+    dropped by the WRONG stage)."""
+    from pyspark.sql import functions as F
+
+    from go_simple_embedding_database_spark.functions import text as tx
+    banner, bare = entry_mod._PLANTED_SUFFIX_DOCS
+    assert bare[1] != banner[1] and banner[1].endswith(bare[1])
+    assert len(bare[1]) >= 64  # suffix bucketing's min_len anchor
+    df = spark.createDataFrame([banner, bare],
+                               "doc_id long, text string, lang string, "
+                               "source string")
+    rows = df.select(
+        (tx.quality_score(F.col("text")) >= 0.5).alias("q"),
+        (tx.language_id(F.col("text")) == F.col("lang")).alias("l"),
+    ).collect()
+    assert all(r.q and r.l for r in rows), rows
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()

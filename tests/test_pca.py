@@ -213,7 +213,7 @@ def test_pca_whiten_identity_covariance_and_numpy_parity(spark):
     x = _mat(seed=41, n=200)
     vals, vecs, n = pca.pca_components(_df(spark, x), dim=_D)
     mu = _quant(x).mean(axis=0) / pca.EMB_SCALE
-    out = pca.pca_whiten(_df(spark, x), vecs, vals, n, mean=mu)
+    out = pca.pca_whiten(_df(spark, x), vecs, vals, mean=mu)
     got = np.array([r.white for r in out.orderBy("vec_id").collect()])
     # the transform applies to the RAW float32-stored embeddings (the
     # 1e-4 quantization is the COVARIANCE machinery's contract, not the
@@ -238,11 +238,22 @@ def test_pca_whiten_drops_dead_directions(spark):
     vals, vecs, n = pca.pca_components(_df(spark, x), dim=_D)
     assert (vals > 1e-9).sum() == _D - 1
     mu = _quant(x).mean(axis=0) / pca.EMB_SCALE
-    out = pca.pca_whiten(_df(spark, x), vecs, vals, n, mean=mu)
+    out = pca.pca_whiten(_df(spark, x), vecs, vals, mean=mu)
     widths = {len(r.white) for r in out.collect()}
     assert widths == {_D - 1}
     got = np.array([r.white for r in out.orderBy("vec_id").collect()])
     assert np.all(np.isfinite(got))
+
+
+def test_pca_whiten_raises_on_fully_degenerate_spectrum(spark):
+    """ADVICE r09: when EVERY eigenvalue is <= eps (constant corpus),
+    whitening must fail loudly, not emit zero-width array<null> columns
+    into downstream distance arithmetic."""
+    import pytest
+    x = np.full((10, _D), 0.5)  # constant corpus → all-zero spectrum
+    vals, vecs, n = pca.pca_components(_df(spark, x), dim=_D)
+    with pytest.raises(ValueError, match="degenerate"):
+        pca.pca_whiten(_df(spark, x), vecs, vals)
 
 
 def test_pca_whiten_plan_has_no_shuffle_and_no_python(spark):
@@ -252,7 +263,7 @@ def test_pca_whiten_plan_has_no_shuffle_and_no_python(spark):
         formatted_plan)
     x = _mat(seed=13, n=30)
     vals, vecs, n = pca.pca_components(_df(spark, x), dim=_D)
-    plan = formatted_plan(pca.pca_whiten(_df(spark, x), vecs, vals, n))
+    plan = formatted_plan(pca.pca_whiten(_df(spark, x), vecs, vals))
     for node in ("Exchange", "ArrowEvalPython", "BatchEvalPython",
                  "MapInPandas"):
         assert node not in plan, (node, plan)

@@ -21,7 +21,10 @@ def plans(spark, sf_dir):
 
     def get(name: str) -> str:
         if name not in cache:
-            cache[name] = formatted_plan(em.queries()[name](spark, sf_dir))
+            # retired gate queries keep their plan-quality assertions:
+            # the implementations still ship as library code
+            fn = em.queries().get(name) or em.RETIRED_QUERIES[name]
+            cache[name] = formatted_plan(fn(spark, sf_dir))
         return cache[name]
 
     return get

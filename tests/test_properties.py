@@ -271,8 +271,10 @@ def test_kmeans_assignment_is_nearest_centroid(spark, vecs):
 @SETTINGS
 @given(texts=st.lists(TEXTS, min_size=1, max_size=20))
 def test_span_stats_bounds_and_totals(spark, texts):
-    """dup_frac in [0,1]; n_dup_spans <= n_spans; every doc emits a row;
-    duplicating the whole corpus drives every span cross-doc-duplicated."""
+    """dup_frac in [0,1]; n_dup_spans <= n_spans; every doc emits a row
+    (blank docs restored at 0/0 → 0.0 under the r10 degenerate-document
+    convention); duplicating the whole corpus drives every SPAN-BEARING
+    doc fully cross-doc-duplicated."""
     from go_simple_embedding_database_spark.operators.dedup import (
         duplicated_span_stats)
     df = spark.createDataFrame(
@@ -282,12 +284,15 @@ def test_span_stats_bounds_and_totals(spark, texts):
     for r in rows:
         assert 0 <= r.n_dup_spans <= r.n_spans
         assert 0.0 <= r.dup_frac <= 1.0
-    # full-corpus copy: every span of every doc now exists in its twin
+    # full-corpus copy: every span of every doc now exists in its twin;
+    # gramless (blank) docs stay at the 0/0 → 0.0 convention
     twin = spark.createDataFrame(
         [(i + 10000, t) for i, t in enumerate(texts)],
         "doc_id long, text string")
     rows2 = duplicated_span_stats(df.unionByName(twin), n=3).collect()
-    assert all(r.dup_frac == 1.0 for r in rows2)
+    assert len(rows2) == 2 * len(texts)
+    assert all(r.dup_frac == (1.0 if r.n_spans > 0 else 0.0)
+               for r in rows2)
 
 
 @SETTINGS

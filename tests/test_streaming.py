@@ -527,3 +527,115 @@ def test_streaming_moments_batch_replay_is_idempotent(spark, tmp_path):
     more = {(r.dim_i, r.dim_j): r.v
             for r in read_running_moments(spark, mpath).collect()}
     assert more[(-1, -1)] == 4
+
+
+def test_compact_moments_bitexact_and_fewer_files(spark, tmp_path):
+    """VERDICT r09 #5: N-batch ingest + compact == full recompute
+    BITWISE (per-cell bigints and the derived rounded double), the
+    partition/file count drops, a later batch still adds on top, and
+    a second compaction folds the compacted base with the new tail."""
+    import glob
+    import struct
+
+    import numpy as np
+
+    from go_simple_embedding_database_spark.operators import pca
+    from go_simple_embedding_database_spark.streaming.ingest import (
+        compact_moments, read_running_moments, write_batch_moments)
+
+    rng = np.random.RandomState(7)
+    x = rng.uniform(-1.0, 1.0, size=(40, 3))
+
+    def vec_df(lo, hi):
+        return spark.createDataFrame(
+            [(i, [float(v) for v in x[i]]) for i in range(lo, hi)],
+            "vec_id long, embedding array<double>")
+
+    mpath = str(tmp_path / "moments")
+    for b in range(4):
+        write_batch_moments(vec_df(b * 8, (b + 1) * 8), b, mpath, dim=3)
+
+    def n_part_dirs():
+        return len(glob.glob(f"{mpath}/batch_id=*"))
+
+    assert n_part_dirs() == 4
+    before = {(r.dim_i, r.dim_j): r.v
+              for r in read_running_moments(spark, mpath).collect()}
+    compact_moments(spark, mpath, watermark=3)
+    assert n_part_dirs() == 1  # 4 batch partitions -> 1 consolidated
+    after = {(r.dim_i, r.dim_j): r.v
+             for r in read_running_moments(spark, mpath).collect()}
+    assert after == before
+    want = {(r.dim_i, r.dim_j): r.v
+            for r in pca.embedding_moments(vec_df(0, 32), dim=3).collect()}
+    assert after == want
+
+    # re-running the SAME compaction is a no-op (replay idempotence)
+    compact_moments(spark, mpath, watermark=3)
+    assert n_part_dirs() == 1
+    assert {(r.dim_i, r.dim_j): r.v
+            for r in read_running_moments(spark, mpath).collect()} == want
+
+    # new batches land beside the compacted base and still add
+    write_batch_moments(vec_df(32, 40), 4, mpath, dim=3)
+    assert n_part_dirs() == 2
+    full = {(r.dim_i, r.dim_j): r.v
+            for r in pca.embedding_moments(vec_df(0, 40), dim=3).collect()}
+    assert {(r.dim_i, r.dim_j): r.v
+            for r in read_running_moments(spark, mpath).collect()} == full
+
+    # second compaction folds (compacted base + batch 4) forward, and
+    # covariance off the compacted store equals the scan bitwise
+    compact_moments(spark, mpath, watermark=4)
+    assert n_part_dirs() == 1
+    inc = {(r.dim_i, r.dim_j): r for r in pca.covariance_from_moments(
+        read_running_moments(spark, mpath)).collect()}
+    ref = {(r.dim_i, r.dim_j): r
+           for r in pca.covariance_long(vec_df(0, 40), dim=3).collect()}
+    assert set(inc) == set(ref)
+    for k, a in inc.items():
+        assert (a.n_vecs, a.cov_num) == (ref[k].n_vecs, ref[k].cov_num)
+        assert struct.pack("<d", a.cov) == struct.pack("<d", ref[k].cov)
+
+    # compactions only move forward
+    import pytest
+    with pytest.raises(ValueError, match="behind"):
+        compact_moments(spark, mpath, watermark=2)
+
+
+def test_compact_moments_crashed_cleanup_reads_identically(spark, tmp_path):
+    """Crash-safety contract: a compaction that wrote its consolidated
+    partition but DIED before deleting the superseded batch partitions
+    must leave a store that reads identically (the superseding read
+    rule) — and the re-run compaction completes the GC."""
+    import glob
+
+    from go_simple_embedding_database_spark.streaming.ingest import (
+        compact_moments, read_running_moments, write_batch_moments)
+
+    mpath = str(tmp_path / "moments")
+    batch = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])],
+        "vec_id long, embedding array<double>")
+    write_batch_moments(batch, 0, mpath, dim=2)
+    write_batch_moments(batch, 1, mpath, dim=2)
+    want = {(r.dim_i, r.dim_j): r.v
+            for r in read_running_moments(spark, mpath).collect()}
+
+    # simulate the crash: write ONLY the consolidated partition the way
+    # compact_moments does, skipping its GC step
+    from pyspark.sql import functions as F
+    folded = (spark.read.parquet(mpath).drop("batch_id")
+              .groupBy("dim_i", "dim_j").agg(F.sum("v").alias("v"))
+              .withColumn("batch_id", F.lit(-2)))  # watermark 1
+    (folded.repartition(1).write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(mpath))
+    assert len(glob.glob(f"{mpath}/batch_id=*")) == 3  # stale dirs remain
+    got = {(r.dim_i, r.dim_j): r.v
+           for r in read_running_moments(spark, mpath).collect()}
+    assert got == want  # no double count despite the stale partitions
+    compact_moments(spark, mpath, watermark=1)  # re-run finishes the GC
+    assert len(glob.glob(f"{mpath}/batch_id=*")) == 1
+    assert {(r.dim_i, r.dim_j): r.v
+            for r in read_running_moments(spark, mpath).collect()} == want

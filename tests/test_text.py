@@ -257,24 +257,87 @@ def test_words_and_lower_are_engine_stable_on_unicode(spark):
     assert got[2][0] == cases[2].lower().split()  # no casing in tokens
 
 
+def test_shingles_degenerate_document_convention(spark):
+    """r10 whole-class closure: the blank/NULL-document convention is
+    uniform across shingles' three twins (and transitively across
+    ngrams_all, doc_fingerprint and the repetition fractions): NULL text
+    → NULL (Column/SQL twins), blank text → ZERO shingles. Through r09
+    the Catalyst/Python twins emitted [''] while DuckDB's
+    list_distinct dropped the NULL-stringified empty slice — the same
+    latent divergence class as ngram_bag's, found by auditing every
+    array-producing text twin on degenerate inputs. The py kernel maps
+    None→[] by documented kernel convention (no NULL arrays inside an
+    Arrow batch)."""
+    import duckdb
+
+    cases = [("   \t\n ", []), ("", []), (None, None),
+             ("one two", ["one two"]),
+             ("a b c d", ["a b c", "b c d"])]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i int, t string")
+    got = {r.i: (list(r.g) if r.g is not None else None)
+           for r in df.select("i", tx.shingles(F.col("t")).alias("g"))
+           .collect()}
+    con = duckdb.connect()
+    sql_expr = tx.shingles_sql("?")
+    for i, (t, want) in enumerate(cases):
+        sql = con.execute(f"SELECT {sql_expr}",
+                          [t] * sql_expr.count("?")).fetchone()[0]
+        assert got[i] == want, (t, got[i], want)
+        assert (sorted(sql) if sql is not None else None) == \
+               (sorted(want) if want is not None else None), (t, sql, want)
+        py = tx.shingles_py(t)
+        assert py == (want if want is not None else []), (t, py)
+    # ngrams_all shares the convention (repetition's denominators)
+    na = {r.i: (list(r.g) if r.g is not None else None)
+          for r in df.select("i", tx.ngrams_all(F.col("t")).alias("g"))
+          .collect()}
+    na_sql = tx.ngrams_all_sql("?")
+    for i, (t, _) in enumerate(cases):
+        s = con.execute(f"SELECT {na_sql}",
+                        [t] * na_sql.count("?")).fetchone()[0]
+        assert na[i] == s, (t, na[i], s)
+    assert na[0] == [] and na[1] == [] and na[2] is None
+    # doc_fingerprint: blank/NULL → NULL on both engines
+    fp = {r.i: r.fp for r in
+          df.select("i", tx.doc_fingerprint(F.col("t")).alias("fp"))
+          .collect()}
+    fp_sql = tx.doc_fingerprint_sql("?")
+    for i, (t, _) in enumerate(cases):
+        s = con.execute(f"SELECT {fp_sql}",
+                        [t] * fp_sql.count("?")).fetchone()[0]
+        assert fp[i] == s, (t, fp[i], s)
+    assert fp[0] is None and fp[1] is None and fp[2] is None
+    # repetition fractions: blank → 0.0, NULL → NULL, both engines
+    reps = tx.repetition_features(F.col("t"))
+    rr = {r.i: (r.d2, r.d3) for r in df.select(
+        "i", reps["dup_2gram_frac"].alias("d2"),
+        reps["dup_3gram_frac"].alias("d3")).collect()}
+    rsql = tx.repetition_sql("?")
+    for i, (t, _) in enumerate(cases):
+        q = (f"SELECT {rsql['dup_2gram_frac']} AS d2, "
+             f"{rsql['dup_3gram_frac']} AS d3")
+        nq = q.count("?")
+        s2, s3 = con.execute(q, [t] * nq).fetchone()
+        assert rr[i] == (s2, s3), (t, rr[i], (s2, s3))
+    assert rr[0] == (0.0, 0.0) and rr[2] == (None, None)
+
+
 def test_ngram_bag_blank_document_convention(spark):
-    """ADVICE r08, pinned: whitespace-only (and empty) non-NULL documents
-    emit exactly ONE empty-string gram under the Catalyst and Python
-    twins (content-recorded-but-vacuous docs stay in DSIR weight/budget
-    arithmetic at the neutral '' feature), while NULL docs yield NULL →
-    zero grams. The DuckDB twin DIVERGES on this edge ([NULL], not ['']
-    — a latent hash break the ADVICE's "all three twins agree" missed);
-    it cannot fire today because every gate SF holds zero blank/NULL
-    documents (measured r09). This test pins the divergence so the r10
-    fix (blank → zero grams in all three twins, landing with
-    dsir_select's window rotation) has a failing-to-green record. See
-    the ngram_bag docstring."""
+    """r10 fix landed: whitespace-only (and empty) non-NULL documents
+    emit ZERO grams under ALL THREE twins — blank docs join NULL docs at
+    DSIR's neutral prior instead of carrying a phantom '' feature.
+    History: through r09 the Catalyst/Python twins emitted ``['']`` here
+    while the DuckDB twin emitted ``[NULL]`` (the latent hash divergence
+    this test pinned, found disproving the r08 ADVICE's "all three twins
+    agree"); the r10 guard makes the edge uniform. This test now pins
+    the AGREEMENT on every edge: blank, empty, NULL, short, normal."""
     import duckdb
 
     from go_simple_embedding_database_spark.functions.text import (
         ngram_bag, ngram_bag_py, ngram_bag_sql)
 
-    cases = [("   \t\n ", [""]), ("", [""]), (None, None),
+    cases = [("   \t\n ", []), ("", []), (None, None),
              ("one", ["one"]), ("two words here",
                                 ["two words", "words here"])]
     df = spark.createDataFrame(
@@ -289,16 +352,16 @@ def test_ngram_bag_blank_document_convention(spark):
         sql = con.execute(f"SELECT {sql_expr}",
                           [t] * sql_expr.count("?")).fetchone()[0]
         assert got[i] == py == want, (t, got[i], py, want)
-        if t is not None and t.split():
-            # non-degenerate docs: all THREE twins agree
-            assert sql == want, (t, sql, want)
-        elif t is not None:
-            # the pinned latent divergence: DuckDB's empty-word-list
-            # slice stringifies to NULL, not ''
-            assert sql == [None], (t, sql)
-    # the gate data cannot reach the divergence: zero blank/NULL docs
+        # all THREE twins agree on every edge, blank docs included
+        assert sql == want, (t, sql, want)
+    # context for the gate: the corpora hold zero blank/NULL docs, so
+    # this edge never reaches the official gate either way. The glob
+    # must be NON-EMPTY (ADVICE r09: an absent testdata dir would have
+    # passed this guard vacuously).
     import glob
-    for sf in sorted(glob.glob("/root/testdata/sf*")):
+    sfs = sorted(glob.glob("/root/testdata/sf*"))
+    assert sfs, "testdata dirs missing — blank-doc guard would be vacuous"
+    for sf in sfs:
         n = con.sql(
             f"SELECT count(*) FROM '{sf}/documents.parquet' WHERE text IS "
             "NULL OR len(regexp_replace(text, '\\s+', '', 'g')) = 0"

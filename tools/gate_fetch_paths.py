@@ -88,6 +88,15 @@ def _norm_np(v):
 # each query holds a green official gate row, proving the driver does not
 # fetch through pandas. Any divergence NOT in this dict is recorded as
 # unexplained and must be investigated.
+#
+# Re-confirmed 2026-08-16 (round 10, VERDICT r09 #7): on the current
+# stack (duckdb 1.0.0, pandas 2.2.2, pyarrow 16.1.0) fetchdf() still
+# widens nullable BIGINT to float64 (NULL->NaN) and converts DATE to
+# datetime64 Timestamp — measured directly, not assumed. None of the
+# named divergences became fixable without stripping the queries of the
+# NULL-/DATE-demonstrating semantics they exist to carry; re-pinned.
+# (incremental_revenue left the gate surface in the round-10
+# consolidation; its entry stays harmless if absent from the run.)
 KNOWN_PANDAS_DIVERGENCES: dict[str, str] = {
     "gate_canary": (
         "BY DESIGN: the canary's null_int and date probes carry exactly "

@@ -550,7 +550,9 @@ def main() -> None:
     from go_simple_embedding_database_spark.session import get_spark
 
     spark = get_spark(app_name="plans-report")
-    qs = em.queries()
+    # retired gate queries keep their PLANS.md sections: the
+    # implementations still ship as library code with plan contracts
+    qs = dict(em.queries(), **em.RETIRED_QUERIES)
     qs = dict(qs, **{n: b for n, (_t, _c, b) in EXTRA_SECTIONS.items()})
     out = [
         "# PLANS — physical-plan review of the headline operators",

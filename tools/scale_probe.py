@@ -608,7 +608,9 @@ def _event_flagships():
         "event_funnel": q["event_funnel"],
         "events_retention": q["events_retention"],
         "events_sessionize": q["events_sessionize"],
-        "events_rolling_7d": q["events_rolling_7d"],
+        # retired from the gate surface in r10; still library code with
+        # a scale contract, so the probe keeps measuring it
+        "events_rolling_7d": em.RETIRED_QUERIES["events_rolling_7d"],
         "user_spend_trend": q["user_spend_trend"],
     }
 
@@ -735,6 +737,58 @@ def _flagships():
     }
 
 
+def _bpe_deep(spark, dir_10x: str, num_merges: int = 500) -> dict:
+    """BPE training at realistic merge depth (VERDICT r09 #3): real
+    tokenizers run K=10k-32k merges; the two-pinned-supersteps storage
+    invariant (plans/checkpoints.release_local_checkpoint) was only
+    census-tested at toy K. This row trains K=500 on the 10x exact-copy
+    corpus and samples the persistent-RDD census INSIDE the merge loop
+    (the bpe_train on_superstep hook, invoked right after each
+    iteration's predecessor release — the point the invariant claims),
+    every iteration. The invariant: at most the current superstep plus
+    the one being built are ever pinned (census delta <= 2), and the
+    loop exits with the census exactly where it started."""
+    import time
+
+    from go_simple_embedding_database_spark.operators import bpe
+
+    sc = spark.sparkContext
+
+    def census() -> int:
+        return len(sc._jsc.getPersistentRDDs().keySet())
+
+    base = census()
+    deltas: list[int] = []
+
+    def on_superstep(i: int) -> None:
+        deltas.append(census() - base)
+
+    docs = spark.read.parquet(f"{dir_10x}/documents.parquet")
+    t0 = time.time()
+    merges = bpe.bpe_train(docs, "text", num_merges, min_pair_count=1,
+                           on_superstep=on_superstep)
+    sec = round(time.time() - t0, 2)
+    end_delta = census() - base
+    max_mid = max(deltas) if deltas else 0
+    rec = {"num_merges_requested": num_merges,
+           "num_merges_learned": len(merges),
+           "sec": sec, "census_base": base,
+           "census_samples": len(deltas),
+           "census_delta_max_mid_loop": max_mid,
+           "census_delta_end": end_delta,
+           "invariant_two_pinned_supersteps": bool(max_mid <= 2
+                                                   and end_delta == 0),
+           "note": "persistent-RDD census sampled at EVERY superstep "
+                   "on the 10x exact-copy corpus; <= current + "
+                   "in-flight superstep pinned, and training must "
+                   "return the census to its baseline"}
+    # the probe asserts the invariant, not just records it — a regression
+    # here is a storage leak at real merge depth, fail the artifact run
+    assert rec["invariant_two_pinned_supersteps"], rec
+    print(f"bpe_train_deep: {rec}", flush=True)
+    return rec
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -793,6 +847,9 @@ def main() -> None:
     try:
         _synthesize(spark, scratch)
         probe(_flagships(), SF_DIR, scratch, results)
+        # deep-merge BPE storage-invariant row (VERDICT r09 #3) on the
+        # same 10x corpus
+        results["bpe_train_deep"] = _bpe_deep(spark, scratch)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
