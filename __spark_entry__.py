@@ -1661,16 +1661,22 @@ def _q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-size chunks via SQL LATERAL — the one-row-to-N-rows UDF shape
     the reference's registry cannot express (SURVEY §2.4: no UDTF surface).
     Same chunk recipe as functions.text.chunk_text (4096-byte reference
-    chunking, README.md:54-68) so the DuckDB oracle is exact."""
+    chunking, README.md:54-68) so the DuckDB oracle is exact — including
+    the NULL edge: chunk_text's twins agree on ONE NULL chunk for NULL
+    text (content recorded as unknown, not coerced to ''), so the UDTF
+    must too (the r10 degenerate-corpus sweep caught the old
+    ``text or ''`` coercion diverging from the oracle)."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="chunk_idx int, chunk string")
     class ChunkUDTF:
         def eval(self, text: str, size: int):
-            t = text or ""
-            n = max((len(t) + size - 1) // size, 1)
+            if text is None:
+                yield 0, None
+                return
+            n = max((len(text) + size - 1) // size, 1)
             for i in range(n):
-                yield i, t[i * size:(i + 1) * size]
+                yield i, text[i * size:(i + 1) * size]
 
     spark.udtf.register("gsed_chunk_udtf", ChunkUDTF)
     _docs(spark, sf_dir).createOrReplaceTempView("_gsed_docs_v")
@@ -3355,15 +3361,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ln_libm probe row this round (dsir_select's λ-micro
             construction on fixed literals, both engines), closing the
             documented libm residual's observability gap;
-    (r10-a) the 3 r09-official queries whose implementation changed
+    (r10-a) the 4 r09-official queries whose implementation changed
             with the r10 degenerate-document convention (blank/NULL →
-            zero shingles in ALL twins of functions/text.shingles —
-            the same latent-divergence class as r09's ngram_bag,
-            found by auditing every array-producing text twin):
+            zero shingles/fingerprints in ALL twins — the same
+            latent-divergence class as r09's ngram_bag, found by
+            auditing every array-producing text/dedup twin):
             dedup_minhash, dedup_prefix, text_stats (doc_fingerprint
-            delegates to shingles) — pulled into the window ahead of
-            their natural r11 rotation because changed code must
-            re-certify the round it changes;
+            delegates to shingles), and dedup_winnow (whose DuckDB
+            twin didn't merely diverge on a blank doc — it CRASHED:
+            concat('0x', md5(NULL)) = '0x' does not cast to BIGINT) —
+            pulled into the window ahead of their natural r11 rotation
+            because changed code must re-certify the round it changes;
     (r10-b) the 46 r08-official tail queries on their scheduled
             rotation. Changed members re-certifying: the five
             negative-capable doubles gaining `+ 0.0` (multimodal_decode
@@ -3383,9 +3391,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             parity coverage in tests/test_retired_queries.py. Surface
             96 = 2×48 < the 2×49 carrying capacity — one spare slot
             per 2-round cycle instead of the r08-r09 zero-slack
-            treadmill;
-    (tail)  the 46 r09-official queries on byte-identical code, due to
-            rotate in r11.
+            treadmill. The dedup_winnow pull costs one more slot than
+            consolidation freed, covered by the standing one-deferral
+            allowance: incremental_revenue (r08-official,
+            byte-identical, green) tails until r11 — DEFERRED_TO_R11
+            in tests/test_driver_contract.py, the honored-deferral
+            contract big_orders_customers set in r08→r09;
+    (tail)  the 45 r09-official queries on byte-identical code (due to
+            rotate in r11) plus the one documented deferral.
             tests/test_oracle_parity.py re-checks ALL entries every CI
             run regardless of the window, and tools/self_correctness.py
             records the uncapped sweep in SELFCHECK.json each round."""
@@ -3397,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_prefix": _q_dedup_prefix,
         "text_stats": _q_text_stats,
+        "dedup_winnow": _q_dedup_winnow,
         # (r10-b) the r08-official tail on its scheduled rotation;
         # changed members first (sign-normalized exports, then the
         # degenerate-document-convention consumers)
@@ -3442,14 +3456,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "snapshot_diff": _q_snapshot_diff,
         "zorder_layout": _q_zorder_layout,
-        "incremental_revenue": _q_incremental_revenue,
         "semantic_dedup": _q_semantic_dedup,
         "bm25_search": _q_bm25_search,
         "quality_unigram": _q_quality_unigram,
         "weighted_sample": _q_weighted_sample,
         # ---- gate window ends here (50 entries above; pinned by
         # tests/test_driver_contract.py::test_window_marker_is_exact) ----
-        # (tail) r09-official on byte-identical code; rotates in r11
+        # (tail) the honored one-deferral (r08-official, byte-identical;
+        # DEFERRED_TO_R11 — must lead the r11 window after the canary),
+        # then the r09-official queries that rotate in r11
+        "incremental_revenue": _q_incremental_revenue,
         "embedding_covariance": _q_embedding_covariance,
         "big_orders_customers": _q_big_orders_customers,
         "topk_cosine": _q_topk_cosine,
@@ -3466,7 +3482,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_order_quantiles": _q_approx_order_quantiles,
         "dedup_exact": _q_dedup_exact,
         "text_language_id": _q_text_language_id,
-        "dedup_winnow": _q_dedup_winnow,
         "dedup_cosine": _q_dedup_cosine,
         "user_event_pivot": _q_user_event_pivot,
         "bucketed_join_revenue": _q_bucketed_join_revenue,

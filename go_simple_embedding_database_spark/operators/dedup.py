@@ -395,7 +395,11 @@ def length_band_jaccard_dedup(df: DataFrame, text_col: str = "text",
 
 def _shingle_hash_seq_py(text: str, n: int) -> "np.ndarray":
     """POSITIONAL (non-distinct) shingle-hash sequence — winnowing needs
-    document order, unlike the distinct set MinHash uses."""
+    document order, unlike the distinct set MinHash uses. Zero words →
+    the EMPTY sequence (the r10 degenerate-document convention shared
+    with shingles/ngram_bag: through r09 blank docs hashed a phantom ''
+    shingle here, and the DuckDB twin CRASHED on the same input —
+    concat('0x', md5(NULL)) is the string '0x', which does not cast)."""
     import re
 
     from go_simple_embedding_database_spark.functions.text import lower_x_py
@@ -403,8 +407,8 @@ def _shingle_hash_seq_py(text: str, n: int) -> "np.ndarray":
                               flags=re.ASCII) if w]
     k = len(ws)
     if k == 0:
-        seq = [""]
-    elif k <= n:
+        return np.array([], dtype=np.int64)
+    if k <= n:
         seq = [" ".join(ws)]
     else:
         seq = [" ".join(ws[i:i + n]) for i in range(k - n + 1)]
@@ -420,12 +424,21 @@ def winnow_fingerprints(text: Column, window: int = 4, n: int = 3) -> Column:
     shared fingerprint for any match longer than window+n-1 words — the
     plagiarism-detection / long-dup primitive that MinHash (whole-document
     similarity) is not. array<bigint>, Arrow-batched like the other dedup
-    kernels."""
+    kernels. Degenerate-document convention (r10, matching the DuckDB
+    twin's guards): NULL text → NULL, blank text → ZERO fingerprints —
+    a content-free doc cannot share a passage, and both map to zero rows
+    after the explode every consumer applies."""
     @pandas_udf("array<bigint>")
     def _fp(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
+            if t is None:
+                out.append(None)
+                continue
             hs = _shingle_hash_seq_py(t, n)
+            if hs.size == 0:
+                out.append(np.array([], dtype=np.int64))
+                continue
             if len(hs) <= window:
                 mins = np.array([hs.min()])
             else:
@@ -438,15 +451,30 @@ def winnow_fingerprints(text: Column, window: int = 4, n: int = 3) -> Column:
 
 
 def winnow_fingerprints_sql(expr: str, window: int = 4, n: int = 3) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints`. The degenerate-doc
+    guards are load-bearing, not cosmetic: without them a blank or NULL
+    doc's empty word list slices to a NULL shingle, md5(NULL) is NULL,
+    and ``concat('0x', NULL)`` is the string ``'0x'`` in DuckDB — which
+    does not CAST to BIGINT, so the twin CRASHED the whole oracle query
+    on the first degenerate doc (found by the r10 degenerate-input
+    audit; unreachable on gate data, fatal for any external caller)."""
     from go_simple_embedding_database_spark.functions.text import (
         WS_CHARS, lower_x_sql)
     ws = (
         f"list_filter(regexp_split_to_array({lower_x_sql(expr)}, "
         f"'[{WS_CHARS}]+'), x -> x <> '')"
     )
+    # The zero-word guard must live INSIDE the subquery (on _wd), not
+    # only in an outer CASE: DuckDB decorrelates the scalar subquery
+    # over table rows and evaluates it for EVERY row regardless of the
+    # CASE branch taken, so an outer-only guard still crashed on the
+    # degenerate rows it was guarding (caught by
+    # tests/test_degenerate_parity.py — the scalar-literal probe never
+    # decorrelates and passed).
     seq = (
-        f"[array_to_string(list_slice(_wd, i + 1, i + {n}), ' ') "
-        f"for i in range(greatest(len(_wd) - {n}, 0) + 1)]"
+        f"CASE WHEN _wd IS NULL OR len(_wd) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE [array_to_string(list_slice(_wd, i + 1, i + {n}), ' ') "
+        f"for i in range(greatest(len(_wd) - {n}, 0) + 1)] END"
     )
     hs = "list_transform(_sq, x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT))"
     mins = (
@@ -454,9 +482,11 @@ def winnow_fingerprints_sql(expr: str, window: int = 4, n: int = 3) -> str:
         f"for i in range(greatest(len(_hs) - {window}, 0) + 1)]"
     )
     return (
-        f"(SELECT list_sort(list_distinct({mins})) FROM "
+        f"CASE WHEN {expr} IS NULL THEN NULL "
+        f"WHEN len({ws}) = 0 THEN CAST([] AS BIGINT[]) "
+        f"ELSE (SELECT list_sort(list_distinct({mins})) FROM "
         f"(SELECT {hs} AS _hs FROM (SELECT {seq} AS _sq "
-        f"FROM (SELECT {ws} AS _wd) _w) _s) _h)"
+        f"FROM (SELECT {ws} AS _wd) _w) _s) _h) END"
     )
 
 

@@ -22,7 +22,11 @@ ROWS_ONLY_BY_DESIGN = set()
 # functions/text.shingles (doc_fingerprint delegates to it), whose
 # blank/NULL-document convention was unified across all three twins this
 # round (the r09 ngram_bag latent-divergence class, closed whole-class).
-CHANGED_ROUND10_EARLY = {"dedup_minhash", "dedup_prefix", "text_stats"}
+# dedup_winnow joins them: its DuckDB twin CRASHED on a blank doc
+# (concat('0x', md5(NULL)) = '0x' does not cast to BIGINT) — the same
+# audit found it, the same convention fixes it.
+CHANGED_ROUND10_EARLY = {"dedup_minhash", "dedup_prefix", "text_stats",
+                         "dedup_winnow"}
 
 # Round-10 rotation (standing policy): every query whose newest official
 # row dates from r08 sits inside the r10 window for a fresh row. Changed
@@ -48,9 +52,8 @@ ROTATING_OFFICIAL_R08 = {
     "dedup_keep", "nation_acctbal_outliers", "udtf_chunks",
     "balanced_sample", "tfidf_top_terms", "user_activity_streaks",
     "order_value_histogram", "event_funnel", "events_retention",
-    "mixture_sample", "snapshot_diff", "zorder_layout",
-    "incremental_revenue", "semantic_dedup", "bm25_search",
-    "quality_unigram", "weighted_sample",
+    "mixture_sample", "snapshot_diff", "zorder_layout", "semantic_dedup",
+    "bm25_search", "quality_unigram", "weighted_sample",
 }
 
 # Green in the r09 official gate on byte-identical implementations.
@@ -61,7 +64,7 @@ OFFICIAL_R09_UNCHANGED = {
     "embedding_centroids", "ann_ivf", "ann_lsh_join", "crud_query",
     "ann_quantized", "monthly_revenue_growth", "approx_distinct_users",
     "approx_order_quantiles", "dedup_exact", "text_language_id",
-    "dedup_winnow", "dedup_cosine", "user_event_pivot",
+    "dedup_cosine", "user_event_pivot",
     "bucketed_join_revenue", "ingest_violations", "text_quality",
     "events_asof", "events_range_join", "events_salted_agg",
     "revenue_rollup", "top_orders_per_customer", "events_windowed",
@@ -80,11 +83,13 @@ OFFICIAL_R09_UNCHANGED = {
 # stay gated by their named twins.
 RETIRED_ROUND10 = {"local_supplier_revenue", "events_rolling_7d"}
 
-# Zero deferrals this round: 1 canary + 3 early + 46 rotating = 50
-# exactly. Post-consolidation surface: 96 = 2 x 48 < the 2 x 49
-# carrying capacity — one spare window slot per 2-round cycle, ending
-# the r08-r09 zero-slack treadmill.
-DEFERRED_TO_R11 = set()
+# One deferral this round (the standing <= 1 allowance, the
+# big_orders_customers precedent from r08->r09): 1 canary + 4 early +
+# 45 rotating = 50 exactly; incremental_revenue (r08-official,
+# byte-identical, green) tails until r11 and MUST lead the r11 window
+# right after the canary. Post-consolidation surface: 96 = 2 x 48 <
+# the 2 x 49 carrying capacity.
+DEFERRED_TO_R11 = {"incremental_revenue"}
 
 # Everything that must be inside the 50-slot window this round.
 WINDOW_ROUND10 = ROTATING_OFFICIAL_R08 | CHANGED_ROUND10_EARLY
@@ -145,11 +150,13 @@ def test_window_queries_sit_inside_the_gate_window():
 
 def test_window_leads_with_the_changed_early_pulls():
     """Round 10's highest verification need right after the canary: the
-    three r09-official queries whose code changed with the
+    four r09-official queries whose code changed with the
     degenerate-document convention."""
     names = list(em.queries().keys())
     assert names[0] == "gate_canary"
-    assert set(names[1:4]) == CHANGED_ROUND10_EARLY
+    assert set(names[1:5]) == CHANGED_ROUND10_EARLY
+    # the honored deferral leads the tail so a reorder can't hide it
+    assert names[50] == "incremental_revenue"
 
 
 def test_tail_queries_all_have_fresh_official_rows():
@@ -205,7 +212,7 @@ def test_window_marker_is_exact():
     names = list(em.queries().keys())
     assert names[0] == "gate_canary"
     assert names[49] in WINDOW_ROUND10
-    assert names[50] in OFFICIAL_R09_UNCHANGED
+    assert names[50] in OFFICIAL_R09_UNCHANGED | DEFERRED_TO_R11
 
 
 def test_callables_and_sql_are_well_formed():

@@ -321,6 +321,20 @@ def test_shingles_degenerate_document_convention(spark):
         s2, s3 = con.execute(q, [t] * nq).fetchone()
         assert rr[i] == (s2, s3), (t, rr[i], (s2, s3))
     assert rr[0] == (0.0, 0.0) and rr[2] == (None, None)
+    # winnow fingerprints share the convention — and the DuckDB twin
+    # used to CRASH here (concat('0x', md5(NULL)) = '0x' -> cast error)
+    # rather than merely diverge, so this arm is also the regression pin
+    # for the oracle's degenerate-doc guards
+    from go_simple_embedding_database_spark.operators import dedup as dd
+    wn = {r.i: (sorted(r.g) if r.g is not None else None) for r in
+          df.select("i", dd.winnow_fingerprints(F.col("t")).alias("g"))
+          .collect()}
+    wn_sql = dd.winnow_fingerprints_sql("?")
+    for i, (t, _) in enumerate(cases):
+        s = con.execute(f"SELECT {wn_sql}",
+                        [t] * wn_sql.count("?")).fetchone()[0]
+        assert wn[i] == (sorted(s) if s is not None else None), (t, wn[i], s)
+    assert wn[0] == [] and wn[1] == [] and wn[2] is None
 
 
 def test_ngram_bag_blank_document_convention(spark):
