@@ -433,6 +433,34 @@ def read_running_moments(spark, moments_path: str) -> DataFrame:
             .groupBy("dim_i", "dim_j").agg(F.sum("v").alias("v")))
 
 
+def safe_compaction_watermark(spark, checkpoint_dir: str) -> int:
+    """The highest micro-batch id that can safely be folded by
+    :func:`compact_moments`: the newest batch with a COMMIT entry in
+    the streaming checkpoint. Structured Streaming writes
+    ``<ckpt>/offsets/N`` before running batch N and ``<ckpt>/commits/N``
+    after it succeeds; on recovery only an offsets-without-commit batch
+    is replayed (with the same id). A committed batch can therefore
+    never be re-run by this checkpoint — folding it cannot be undone by
+    a replay resurrecting its partition. Returns -1 when nothing has
+    committed (compact_moments at -1 folds nothing). This closes the
+    'derive the horizon from the commit log' step the compaction
+    contract documents — callers chain
+    ``compact_moments(spark, path, safe_compaction_watermark(spark,
+    ckpt))`` after (or between) ingestion runs."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    commits = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/commits")
+    fs = commits.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(commits):
+        return -1
+    best = -1
+    for st in fs.listStatus(commits):
+        name = st.getPath().getName()
+        if name.isdigit():
+            best = max(best, int(name))
+    return best
+
+
 def compact_moments(spark, moments_path: str, watermark: int) -> None:
     """Fold every moments partition with ``batch_id ≤ watermark`` (and
     any older compacted partition) into ONE consolidated partition —
@@ -462,6 +490,11 @@ def compact_moments(spark, moments_path: str, watermark: int) -> None:
     folded the replay would resurrect it as a double count). In
     practice: compact up to (last committed batch − the sink's replay
     horizon), e.g. from the checkpoint's commit log."""
+    if watermark < 0:
+        # nothing committed yet (safe_compaction_watermark returned -1)
+        # — folding nothing is a no-op, and -(watermark+1) would collide
+        # with real batch id 0
+        return
     df = spark.read.parquet(moments_path)
     ids = [r.batch_id for r in df.select("batch_id").distinct().collect()]
     prev_w = max((-i - 1 for i in ids if i < 0), default=-1)

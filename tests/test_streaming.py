@@ -639,3 +639,53 @@ def test_compact_moments_crashed_cleanup_reads_identically(spark, tmp_path):
     assert len(glob.glob(f"{mpath}/batch_id=*")) == 1
     assert {(r.dim_i, r.dim_j): r.v
             for r in read_running_moments(spark, mpath).collect()} == want
+
+
+def test_safe_compaction_watermark_from_commit_log(spark, tmp_path):
+    """safe_compaction_watermark reads the streaming checkpoint's commit
+    log: after an availableNow ingestion it names the newest committed
+    batch; compacting at it is safe (a committed batch is never
+    replayed by that checkpoint), and a resumed stream lands its next
+    batch ABOVE the folded horizon so the running total keeps tracking
+    the full recompute."""
+    import numpy as np
+
+    from go_simple_embedding_database_spark.operators import pca
+    from go_simple_embedding_database_spark.streaming.ingest import (
+        compact_moments, read_running_moments, safe_compaction_watermark,
+        streaming_moments)
+
+    rng = np.random.RandomState(11)
+    x = rng.uniform(-1.0, 1.0, size=(30, 3))
+    src = str(tmp_path / "src")
+    mpath = str(tmp_path / "moments")
+    ckpt = str(tmp_path / "ckpt")
+
+    def vec_df(lo, hi):
+        return spark.createDataFrame(
+            [(i, [float(v) for v in x[i]]) for i in range(lo, hi)],
+            "vec_id long, embedding array<double>")
+
+    # before anything committed: watermark -1 and compaction is a no-op
+    assert safe_compaction_watermark(spark, ckpt) == -1
+    vec_df(0, 20).repartition(1).write.mode("append").parquet(src)
+    q = streaming_moments(spark, src, mpath, ckpt, dim=3)
+    q.awaitTermination(120)
+
+    w = safe_compaction_watermark(spark, ckpt)
+    assert w >= 0  # at least batch 0 committed
+    compact_moments(spark, mpath, w)
+    want = {(r.dim_i, r.dim_j): r.v
+            for r in pca.embedding_moments(vec_df(0, 20), dim=3).collect()}
+    assert {(r.dim_i, r.dim_j): r.v
+            for r in read_running_moments(spark, mpath).collect()} == want
+
+    # the resumed stream's next batch id exceeds the folded horizon
+    vec_df(20, 30).repartition(1).write.mode("append").parquet(src)
+    q2 = streaming_moments(spark, src, mpath, ckpt, dim=3)
+    q2.awaitTermination(120)
+    assert safe_compaction_watermark(spark, ckpt) > w
+    full = {(r.dim_i, r.dim_j): r.v
+            for r in pca.embedding_moments(vec_df(0, 30), dim=3).collect()}
+    assert {(r.dim_i, r.dim_j): r.v
+            for r in read_running_moments(spark, mpath).collect()} == full
