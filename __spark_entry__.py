@@ -3372,7 +3372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             concat('0x', md5(NULL)) = '0x' does not cast to BIGINT) —
             pulled into the window ahead of their natural r11 rotation
             because changed code must re-certify the round it changes;
-    (r10-b) the 46 r08-official tail queries on their scheduled
+    (r10-b) 45 of the 46 r08-official tail queries on their scheduled
             rotation. Changed members re-certifying: the five
             negative-capable doubles gaining `+ 0.0` (multimodal_decode
             .f0, ingest_embed.e0/e63, events_pmi.pmi, user_spend_trend
@@ -3380,7 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             §8.8, class "scheduled", now closed); dsir_select +
             span_dedup + text_repetition + every shingle/ngram
             consumer under the uniform degenerate-document convention.
-            ROTATION ARITHMETIC: 1 + 3 + 46 = 50 exactly — made
+            ROTATION ARITHMETIC: 1 + 4 + 45 = 50 exactly — made
             possible by CONSOLIDATING two redundant gate queries into
             library-level parity tests (VERDICT r09 #8's replacement
             rule): local_supplier_revenue (revenue-join capability

@@ -689,3 +689,52 @@ def test_safe_compaction_watermark_from_commit_log(spark, tmp_path):
             for r in pca.embedding_moments(vec_df(0, 30), dim=3).collect()}
     assert {(r.dim_i, r.dim_j): r.v
             for r in read_running_moments(spark, mpath).collect()} == full
+
+
+def test_compact_moments_stacked_crashed_compactions_read_newest(spark,
+                                                                 tmp_path):
+    """Two successive compactions that BOTH died before GC leave two
+    compacted partitions plus stale batch partitions; the superseding
+    read rule must pick only the newest horizon (most negative id) and
+    ignore everything else — no double count, no stale fold."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from go_simple_embedding_database_spark.streaming.ingest import (
+        compact_moments, read_running_moments, write_batch_moments)
+
+    mpath = str(tmp_path / "moments")
+    batch = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])],
+        "vec_id long, embedding array<double>")
+    for b in range(4):
+        write_batch_moments(batch, b, mpath, dim=2)
+    want = {(r.dim_i, r.dim_j): r.v
+            for r in read_running_moments(spark, mpath).collect()}
+    assert want[(-1, -1)] == 8
+
+    def crashed_compact(watermark):
+        # consolidated write exactly as compact_moments does, GC skipped
+        from go_simple_embedding_database_spark.streaming.ingest import (
+            _effective_moments)
+        folded = (_effective_moments(spark.read.parquet(mpath))
+                  .filter(F.col("batch_id") <= watermark).drop("batch_id")
+                  .groupBy("dim_i", "dim_j").agg(F.sum("v").alias("v"))
+                  .withColumn("batch_id", F.lit(-(watermark + 1))))
+        (folded.repartition(1).write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(mpath))
+
+    crashed_compact(1)   # covers batches 0-1, leaves them on disk
+    crashed_compact(3)   # covers everything incl. the first compaction
+    # batch_id dirs now: 0,1,2,3,-2,-4 — six partitions, one authority
+    assert len(glob.glob(f"{mpath}/batch_id=*")) == 6
+    got = {(r.dim_i, r.dim_j): r.v
+           for r in read_running_moments(spark, mpath).collect()}
+    assert got == want
+    # a finishing compaction GCs all five superseded partitions
+    compact_moments(spark, mpath, watermark=3)
+    assert len(glob.glob(f"{mpath}/batch_id=*")) == 1
+    assert {(r.dim_i, r.dim_j): r.v
+            for r in read_running_moments(spark, mpath).collect()} == want

@@ -737,17 +737,15 @@ def _flagships():
     }
 
 
-def _bpe_deep(spark, dir_10x: str, num_merges: int = 500) -> dict:
-    """BPE training at realistic merge depth (VERDICT r09 #3): real
-    tokenizers run K=10k-32k merges; the two-pinned-supersteps storage
-    invariant (plans/checkpoints.release_local_checkpoint) was only
-    census-tested at toy K. This row trains K=500 on the 10x exact-copy
-    corpus and samples the persistent-RDD census INSIDE the merge loop
-    (the bpe_train on_superstep hook, invoked right after each
-    iteration's predecessor release — the point the invariant claims),
-    every iteration. The invariant: at most the current superstep plus
-    the one being built are ever pinned (census delta <= 2), and the
-    loop exits with the census exactly where it started."""
+def _bpe_census_run(spark, docs, num_merges: int, note: str,
+                    label: str) -> dict:
+    """Train BPE with the persistent-RDD census sampled INSIDE the
+    merge loop (the bpe_train on_superstep hook, invoked right after
+    each iteration's predecessor release — the point the
+    two-pinned-supersteps invariant claims), at EVERY superstep. The
+    invariant: at most the current superstep plus the one being built
+    are ever pinned (census delta <= 2), and the loop exits with the
+    census exactly where it started."""
     import time
 
     from go_simple_embedding_database_spark.operators import bpe
@@ -763,7 +761,6 @@ def _bpe_deep(spark, dir_10x: str, num_merges: int = 500) -> dict:
     def on_superstep(i: int) -> None:
         deltas.append(census() - base)
 
-    docs = spark.read.parquet(f"{dir_10x}/documents.parquet")
     t0 = time.time()
     merges = bpe.bpe_train(docs, "text", num_merges, min_pair_count=1,
                            on_superstep=on_superstep)
@@ -778,15 +775,56 @@ def _bpe_deep(spark, dir_10x: str, num_merges: int = 500) -> dict:
            "census_delta_end": end_delta,
            "invariant_two_pinned_supersteps": bool(max_mid <= 2
                                                    and end_delta == 0),
-           "note": "persistent-RDD census sampled at EVERY superstep "
-                   "on the 10x exact-copy corpus; <= current + "
-                   "in-flight superstep pinned, and training must "
-                   "return the census to its baseline"}
+           "note": note}
     # the probe asserts the invariant, not just records it — a regression
     # here is a storage leak at real merge depth, fail the artifact run
     assert rec["invariant_two_pinned_supersteps"], rec
-    print(f"bpe_train_deep: {rec}", flush=True)
+    print(f"{label}: {rec}", flush=True)
     return rec
+
+
+def _bpe_deep(spark, dir_10x: str, num_merges: int = 500) -> dict:
+    """BPE training at realistic merge depth (VERDICT r09 #3): real
+    tokenizers run K=10k-32k merges; the two-pinned-supersteps storage
+    invariant (plans/checkpoints.release_local_checkpoint) was only
+    census-tested at toy K. This row trains K=500 on the 10x exact-copy
+    corpus (whose own merge CLOSURE caps the observed depth — the
+    synthetic companion row below sustains the full 500)."""
+    docs = spark.read.parquet(f"{dir_10x}/documents.parquet")
+    return _bpe_census_run(
+        spark, docs, num_merges,
+        "persistent-RDD census sampled at EVERY superstep on the 10x "
+        "exact-copy corpus; <= current + in-flight superstep pinned, "
+        "and training must return the census to its baseline; depth "
+        "capped by this corpus's merge closure (min_pair_count=1 runs "
+        "until no pair remains)", "bpe_train_deep")
+
+
+def _bpe_deep_synthetic(spark, num_merges: int = 500) -> dict:
+    """The same census-in-the-loop observation at the FULL requested
+    K=500: the 10x driver corpus's merge closure is ~107 (its template
+    vocabulary runs out of distinct pairs), so this row trains on a
+    deterministic high-diversity vocabulary — the first 4,000
+    length-4 lowercase strings in lexicographic order, Zipf-ishly
+    repeated across 500 docs — whose closure comfortably exceeds 500.
+    Every one of the 500 supersteps samples the census; the invariant
+    must hold at each (this is the depth regime real tokenizers
+    occupy, scaled 1:20 to keep the artifact run bounded)."""
+    import itertools
+    import string
+
+    words = ["".join(t) for t in itertools.islice(
+        itertools.product(string.ascii_lowercase, repeat=4), 4000)]
+    n = len(words)
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[(i * 8 + j * j) % n] for j in range(40)))
+         for i in range(500)],
+        "doc_id long, text string")
+    return _bpe_census_run(
+        spark, docs, num_merges,
+        "deterministic 4k-word synthetic vocabulary (merge closure > "
+        "500): census sampled at every one of the 500 supersteps",
+        "bpe_train_deep_synthetic")
 
 
 def main() -> None:
@@ -847,9 +885,10 @@ def main() -> None:
     try:
         _synthesize(spark, scratch)
         probe(_flagships(), SF_DIR, scratch, results)
-        # deep-merge BPE storage-invariant row (VERDICT r09 #3) on the
-        # same 10x corpus
+        # deep-merge BPE storage-invariant rows (VERDICT r09 #3): the
+        # 10x corpus (closure-capped) and the synthetic full-depth run
         results["bpe_train_deep"] = _bpe_deep(spark, scratch)
+        results["bpe_train_deep_synthetic"] = _bpe_deep_synthetic(spark)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
