@@ -123,3 +123,40 @@ def cosine_py(x: list[float], y: list[float]) -> float:
         ny = ny + float(b) * float(b)
     den = math.sqrt(nx) * math.sqrt(ny)
     return 0.0 if den == 0.0 else dot / den
+
+
+def well_formed_vector(v: Column, dim: int) -> Column:
+    """Boolean predicate: ``v`` is a fully-populated, FINITE vector of
+    exactly ``dim`` elements — the ingest contract the reference's
+    AddRecord enforces upstream (collection/collection.go:32-45 rejects
+    malformed records), expressed as a scan-time filter for corpora
+    that arrive without that gate.
+
+    Library-first landing for the round-11 malformed-embedding class
+    fix (tests/test_malformed_embeddings.py pins the current
+    divergences): one NaN/Inf coordinate makes Spark's cosine NaN
+    where DuckDB's returns -1.0, NaN tops a Spark DESC ranking, and
+    quantization throws in both engines. Filtering at the scan closes
+    all three with ONE predicate. Pure Catalyst (isnan + comparisons
+    inside exists over a codegen'd HOF) — no UDF, stays inside
+    whole-stage codegen and pushes no worse than any other derived
+    predicate. r11 wires it into the shared embedding scan plus the
+    mirrored SQL twin below; until then it ships tested but unwired so
+    the r09-certified gate paths stay byte-identical."""
+    bad = F.exists(
+        v, lambda x: x.isNull() | F.isnan(x.cast("double"))
+        | (x.cast("double") == F.lit(float("inf")))
+        | (x.cast("double") == F.lit(float("-inf"))))
+    return v.isNotNull() & (F.size(v) == dim) & ~bad
+
+
+def well_formed_vector_sql(expr: str, dim: int) -> str:
+    """DuckDB twin of :func:`well_formed_vector` — same four checks,
+    same NULL semantics (a NULL vector fails the predicate rather than
+    yielding NULL: the conjunction starts from ``IS NOT NULL``)."""
+    return (
+        f"({expr} IS NOT NULL AND len({expr}) = {dim} "
+        f"AND len(list_filter({expr}, x -> x IS NULL "
+        f"OR isnan(CAST(x AS DOUBLE)) "
+        f"OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)"
+    )

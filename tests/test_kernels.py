@@ -97,3 +97,46 @@ def test_cosine_py_length_mismatch_raises():
         cosine_py([1.0, 2.0], [1.0, 2.0, 3.0])
     with pytest.raises(ValueError, match="length mismatch"):
         cosine_py([], [1.0])
+
+
+def test_well_formed_vector_twins_agree_on_every_edge(spark):
+    """The r11 malformed-embedding scan guard, landed library-first:
+    both twins accept exactly the fully-populated finite dim-width
+    vectors and reject NULL vectors, NULL elements, NaN, +-Inf and
+    wrong widths — the same verdict per row, engine for engine."""
+    import duckdb
+
+    from go_simple_embedding_database_spark.functions.kernels import (
+        well_formed_vector, well_formed_vector_sql)
+
+    nan, inf = float("nan"), float("inf")
+    cases = [("clean", [1.0, -2.5], True), ("zero", [0.0, 0.0], True),
+             ("nanv", [nan, 1.0], False), ("infv", [inf, 1.0], False),
+             ("neginf", [1.0, -inf], False), ("short", [1.0], False),
+             ("long", [1.0, 2.0, 3.0], False), ("nullvec", None, False)]
+    df = spark.createDataFrame([(k, v) for k, v, _ in cases],
+                               "k string, v array<double>")
+    got = {r.k: r.ok for r in df.select(
+        "k", well_formed_vector(F.col("v"), 2).alias("ok")).collect()}
+    con = duckdb.connect()
+    # literal SQL per case: the python client binds NaN in lists as NULL
+    lits = {"clean": "[1.0, -2.5]", "zero": "[0.0, 0.0]",
+            "nanv": "['nan'::DOUBLE, 1.0]", "infv": "['inf'::DOUBLE, 1.0]",
+            "neginf": "[1.0, '-inf'::DOUBLE]", "short": "[1.0]",
+            "long": "[1.0, 2.0, 3.0]", "nullvec": "NULL::DOUBLE[]"}
+    pred = well_formed_vector_sql("v", 2)
+    for k, _, want in cases:
+        assert got[k] == want, (k, got[k], want)
+        d = con.sql(f"SELECT {pred} FROM (SELECT {lits[k]} AS v)"
+                    ).fetchone()[0]
+        assert bool(d) == want, (k, d, want)
+    # the NULL-element edge (separate: array literal typing)
+    nullel = df.sparkSession.createDataFrame(
+        [("nullel",)], "k string").select(
+        "k", F.array(F.lit(None).cast("double"), F.lit(1.0)).alias("v"))
+    r = nullel.select(well_formed_vector(F.col("v"), 2).alias("ok")
+                      ).collect()[0]
+    assert r.ok is False
+    d = con.sql(f"SELECT {well_formed_vector_sql('v', 2)} FROM "
+                "(SELECT [NULL, 1.0]::DOUBLE[] AS v)").fetchone()[0]
+    assert bool(d) is False
