@@ -44,8 +44,17 @@ def test_retired_query_still_matches_its_oracle(spark, name):
     assert got, f"{name} returned zero rows — vacuous parity"
 
 
-def test_retired_names_left_the_gate_surface():
+def test_retired_names_were_readmitted_to_the_declared_surface():
+    """The r10 OPTIMIZATION pass re-admitted both (appended after the
+    50-entry build window): the optimization driver re-runs every
+    declared query and treats one that disappeared vs the last official
+    surface (r09's 98) as a regression. The registry stays because
+    tooling addresses the pair through it; the gate and this file now
+    both cover them (redundant parity, deliberately)."""
     q = set(entry_mod.queries())
-    assert not (set(entry_mod.RETIRED_QUERIES) & q)
+    assert set(entry_mod.RETIRED_QUERIES) <= q
     assert set(entry_mod.retired_oracle_sql()) == \
         set(entry_mod.RETIRED_QUERIES)
+    for name in entry_mod.RETIRED_QUERIES:
+        assert entry_mod.oracle_sql()[name] == \
+            entry_mod.retired_oracle_sql()[name]
