@@ -96,17 +96,26 @@ def main() -> None:
     # instead of inside the first UDF-bearing query's timing.
     try:
         _run(entry_mod.queries()["topk_cosine"](spark, sf_dir))
-        from pyspark.sql import functions as F
-        from pyspark.sql.functions import pandas_udf
-        import pandas as pd
+        # Python-worker warmup via mapInPandas (no type-hint inference):
+        # the previous pandas_udf form silently failed under this module's
+        # ``from __future__ import annotations`` — PEP 563 stringifies the
+        # hints and pyspark cannot resolve 'pd.Series' (pd is local to
+        # main), so every bench since the import landed skipped this
+        # warmup and charged the per-core Python-worker fork + numpy/
+        # pandas import (~2-4 s across 32 cores) to the first UDF-bearing
+        # query's first run. Measurement fix only (guide §1.4 discipline);
+        # documented in OPTIMIZATION_r10.md.
+        import pandas as pd  # noqa: F401 — imported in workers below
 
-        @pandas_udf("double")
-        def _noopu(s: pd.Series) -> pd.Series:
-            return s * 1.0
+        def _warm(batches):
+            import numpy  # noqa: F401 — heavyweight import, once/worker
+            for b in batches:
+                yield b * 1.0
 
         par = spark.sparkContext.defaultParallelism
         _run(spark.range(par * 4, numPartitions=par)
-             .select(_noopu(F.col("id").cast("double"))))
+             .selectExpr("cast(id as double) id")
+             .mapInPandas(_warm, "id double"))
     except Exception as e:
         print(f"bench: warmup failed: {e}", file=sys.stderr)
 
