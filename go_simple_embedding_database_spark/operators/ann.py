@@ -25,7 +25,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from go_simple_embedding_database_spark.functions.kernels import cosine_similarity
+from go_simple_embedding_database_spark.functions.kernels import (
+    cosine_pairs_kernel, cosine_scores_kernel)
 from go_simple_embedding_database_spark.operators.topk import topk_by_similarity
 
 
@@ -67,7 +68,7 @@ def assign_cells(df: DataFrame, centroids: DataFrame, vec_col: str = "embedding"
     tagged = df.withColumn("_rowid", F.monotonically_increasing_id())
     c = F.broadcast(centroids)
     scored = tagged.crossJoin(c).withColumn(
-        "_csim", cosine_similarity(F.col(vec_col), F.col("centroid"))
+        "_csim", cosine_pairs_kernel(F.col(vec_col), F.col("centroid"))
     )
     w = Window.partitionBy("_rowid").orderBy(F.desc("_csim"), F.asc("centroid_id"))
     return (
@@ -83,7 +84,7 @@ def assign_cells_by_id(df: DataFrame, centroids: DataFrame, id_col: str,
     unique) id column — cheaper than whole-row identity."""
     c = F.broadcast(centroids)
     scored = df.crossJoin(c).withColumn(
-        "_csim", cosine_similarity(F.col(vec_col), F.col("centroid"))
+        "_csim", cosine_pairs_kernel(F.col(vec_col), F.col("centroid"))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("centroid_id"))
     return (
@@ -128,9 +129,8 @@ def quantized_topk(df: DataFrame, qvec: list[float], k: int,
     candidates, exact top-k. Deterministic tie-break on ``id_col`` at both
     stages so the candidate set is reproducible."""
     qq = quantize_vector_py(qvec)
-    cand = (df.withColumn("_qsim", cosine_similarity(
-                scalar_quantize(F.col(vec_col)),
-                F.array(*[F.lit(v) for v in qq])))
+    cand = (df.withColumn("_qsim", cosine_scores_kernel(
+                scalar_quantize(F.col(vec_col)), qq))
             .orderBy(F.desc("_qsim"), F.asc(id_col))
             .limit(k * rescore_factor)
             .drop("_qsim"))
@@ -171,9 +171,8 @@ def quantized_candidates(spark, index_path: str, qvec: list[float], n: int,
     the fly."""
     qq = quantize_vector_py(qvec)
     qtab = spark.read.parquet(index_path)
-    return (qtab.withColumn("_qsim", cosine_similarity(
-                F.col("embedding_q").cast("array<double>"),
-                F.array(*[F.lit(v) for v in qq])))
+    return (qtab.withColumn("_qsim", cosine_scores_kernel(
+                F.col("embedding_q").cast("array<double>"), qq))
             .orderBy(F.desc("_qsim"), F.asc(id_col))
             .limit(n)
             .select(id_col))
@@ -467,8 +466,8 @@ def ivf_query_index_batch(spark, path: str, queries: DataFrame, k: int,
         pair_df = spark.createDataFrame(pairs, pair_schema)
     scored = (cells.join(F.broadcast(pair_df), "cell")
               .join(F.broadcast(queries), query_id)
-              .withColumn(score_col, cosine_similarity(F.col(vec_col),
-                                                       F.col(queries_vec))))
+              .withColumn(score_col, cosine_pairs_kernel(
+                  F.col(vec_col), F.col(queries_vec))))
     return bucketed_topk(scored, query_id,
                          [F.desc(score_col), F.asc(id_col)], k,
                          id_col).drop(queries_vec)
@@ -510,7 +509,8 @@ def lsh_similarity_join(df: DataFrame, hyperplanes: list[list[float]],
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+            cosine_pairs_kernel(F.col(f"a.{vec_col}"),
+                                F.col(f"b.{vec_col}")).alias("cosine"),
         )
     )
     return pairs.filter(F.col("cosine") >= threshold) if threshold is not None else pairs

@@ -28,11 +28,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from go_simple_embedding_database_spark.functions.kernels import cosine_similarity
+from go_simple_embedding_database_spark.functions.kernels import (
+    cosine_pairs_kernel, cosine_scores_kernel)
 
 
-def _vec_literal(qvec: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in qvec])
 
 
 def bucketed_topk(scored: DataFrame, group_col: str, order: list[Column],
@@ -79,8 +78,11 @@ def topk_by_similarity(
     by the optimizer to satisfy the contract (scores still projected for
     the returned rows).
     """
+    # Arrow-vectorized bit-exact kernel (see functions/kernels.py):
+    # the HOF expression evaluates interpreted (~15 µs/row at dim=64);
+    # the closure form ships ONLY the record vector across the boundary.
     scored = records.withColumn(
-        score_col, cosine_similarity(F.col(vec_col), _vec_literal(qvec))
+        score_col, cosine_scores_kernel(F.col(vec_col), qvec)
     )
     order = [F.desc(score_col)] + [F.asc(c) for c in (tie_break or [])]
     return scored.orderBy(*order).limit(k)
@@ -127,8 +129,10 @@ def batch_topk(
     join is not removable even when its columns go unused).
     """
     joined = records.crossJoin(F.broadcast(queries))
+    # Arrow-vectorized bit-exact kernel — the scored pair stream is the
+    # hot loop of every batch similarity scan (functions/kernels.py).
     scored = joined.withColumn(
-        score_col, cosine_similarity(F.col(records_vec), F.col(queries_vec))
+        score_col, cosine_pairs_kernel(F.col(records_vec), F.col(queries_vec))
     )
     order = [F.desc(score_col)] + [F.asc(c) for c in (tie_break or [])]
     nb = buckets or records.sparkSession.sparkContext.defaultParallelism
@@ -210,7 +214,7 @@ def similarity_join(
     scored = pairs.select(
         F.col("_l." + left_id).alias("left_id"),
         F.col("_r." + right_id).alias("right_id"),
-        cosine_similarity(lv, rv).alias(score_col),
+        cosine_pairs_kernel(lv, rv).alias(score_col),
     )
     if threshold is not None:
         scored = scored.filter(F.col(score_col) >= threshold)

@@ -140,3 +140,97 @@ def test_well_formed_vector_twins_agree_on_every_edge(spark):
     d = con.sql(f"SELECT {well_formed_vector_sql('v', 2)} FROM "
                 "(SELECT [NULL, 1.0]::DOUBLE[] AS v)").fetchone()[0]
     assert bool(d) is False
+
+
+def test_arrow_kernel_bitwise_matches_hof_kernel(spark):
+    """The Arrow-vectorized kernels (round-10 optimization) must be
+    BIT-IDENTICAL to the Catalyst HOF kernel on every well-formed edge:
+    identical/opposite/orthogonal vectors, zero norms, empty vectors,
+    NULL vectors, length mismatches, NaN/Inf values, float32 promotion,
+    and 64-dim vectors drawn from the real embeddings fixture shape.
+    struct.pack comparison — repr/round would hide last-ulp drift."""
+    import struct
+
+    from go_simple_embedding_database_spark.functions.kernels import (
+        cosine_pairs_kernel, cosine_scores_kernel, cosine_similarity,
+        cosine_similarity_arrow, cosine_scores_arrow)
+
+    rows = [
+        ([0.0, 1.0, 2.0, 3.0], [0.0, 1.0, 2.0, 3.0]),
+        ([0.0, 1.0, 2.0, 3.0], [0.0, -1.0, -2.0, -3.0]),
+        ([1.0, 1.0, 0.0, 0.0], [1.0, -1.0, 0.0, 0.0]),
+        ([0.0, 0.0, 0.0, 0.0], [1.0, 2.0, 3.0, 4.0]),   # zero norm -> 0.0
+        ([], []),                                        # empty -> 0.0
+        (None, [1.0, 2.0]),                              # NULL -> NULL
+        ([1.0, 2.0], None),
+        ([1.0, 2.0], [1.0, 2.0, 3.0]),                   # mismatch -> NULL
+        ([float("nan"), 1.0], [1.0, 1.0]),               # NaN flows
+        ([float("inf"), 1.0], [1.0, 1.0]),               # Inf flows
+        # 64-dim deterministic pseudo-embeddings (the gate shape)
+        ([float((i * 2654435761) % 1000) / 250.0 - 2.0 for i in range(64)],
+         [float((i * 40503 + 7) % 1000) / 250.0 - 2.0 for i in range(64)]),
+        ([float(i % 7) for i in range(64)],
+         [float((i + 3) % 7) for i in range(64)]),
+    ]
+    df = spark.createDataFrame(rows, "x array<double>, y array<double>")
+
+    def bits(col):
+        out = df.select(col.alias("s")).collect()
+        return [None if r.s is None
+                else struct.pack("<d", r.s) for r in out]
+
+    hof = bits(cosine_similarity(F.col("x"), F.col("y")))
+    arrow = bits(cosine_similarity_arrow(F.col("x"), F.col("y")))
+    assert arrow == hof
+
+    # closure (literal-query) form, incl. the zero-norm and NaN rows
+    for q in ([1.0, 2.0], [0.0, 0.0], [float((i * 31 + 1) % 17) / 4.0
+                                       for i in range(64)]):
+        hof_q = bits(cosine_similarity(
+            F.col("x"), F.array(*[F.lit(float(v)) for v in q])))
+        arrow_q = bits(cosine_scores_arrow(F.col("x"), q))
+        assert arrow_q == hof_q, q
+
+    # float32 promotion parity
+    f32 = spark.createDataFrame([([1.1, 2.2], [3.3, 4.4])],
+                                "x array<float>, y array<float>")
+    a = f32.select(cosine_similarity(F.col("x"), F.col("y")).alias("s")) \
+        .collect()[0].s
+    b = f32.select(cosine_similarity_arrow(F.col("x"), F.col("y"))
+                   .alias("s")).collect()[0].s
+    assert struct.pack("<d", a) == struct.pack("<d", b)
+
+
+def test_kernel_dispatch_honors_env(spark, monkeypatch):
+    """cosine_pairs_kernel/cosine_scores_kernel: HOF by default (the
+    sf0.1 bench regime sits below the ~15k-rows/stage crossover), Arrow
+    when SPARK_GRAFT_COSINE_KERNEL=arrow (the production regime). Both
+    modes must plan (and agree) — the switch is a physical choice only."""
+    import struct
+
+    from go_simple_embedding_database_spark.functions.kernels import (
+        cosine_pairs_kernel, cosine_scores_kernel)
+    from go_simple_embedding_database_spark.plans.explain_utils import (
+        formatted_plan)
+
+    df = spark.createDataFrame([([1.0, 2.0], [2.0, 1.0])],
+                               "x array<double>, y array<double>")
+    monkeypatch.delenv("SPARK_GRAFT_COSINE_KERNEL", raising=False)
+    hof_col = cosine_pairs_kernel(F.col("x"), F.col("y"))
+    assert "EvalPython" not in formatted_plan(df.select(hof_col))
+    v_hof = df.select(hof_col.alias("s")).collect()[0].s
+
+    monkeypatch.setenv("SPARK_GRAFT_COSINE_KERNEL", "arrow")
+    arrow_col = cosine_pairs_kernel(F.col("x"), F.col("y"))
+    assert "ArrowEvalPython" in formatted_plan(df.select(arrow_col))
+    v_arrow = df.select(arrow_col.alias("s")).collect()[0].s
+    assert struct.pack("<d", v_hof) == struct.pack("<d", v_arrow)
+
+    v_hof_q = df.select(
+        cosine_scores_kernel(F.col("x"), [1.0, 0.5]).alias("s")) \
+        .collect()[0].s
+    monkeypatch.delenv("SPARK_GRAFT_COSINE_KERNEL")
+    v_hof_q2 = df.select(
+        cosine_scores_kernel(F.col("x"), [1.0, 0.5]).alias("s")) \
+        .collect()[0].s
+    assert struct.pack("<d", v_hof_q) == struct.pack("<d", v_hof_q2)
