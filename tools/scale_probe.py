@@ -578,6 +578,56 @@ def _bloom_ab(spark, dirs) -> dict:
     return out
 
 
+def _cosine_kernel_ab(spark, dirs) -> dict:
+    """HOF vs Arrow cosine kernel A/B (round-10 optimization pass): the
+    batch_topk scored stream — corpus x 3-query broadcast cross join,
+    every pair scored — timed under both evaluators at 1x and deep
+    scale. Justifies the SPARK_GRAFT_COSINE_KERNEL dispatch default
+    (kernels.cosine_pairs_kernel): Catalyst HOFs are CodegenFallback
+    (~15 us/row interpreted at dim=64), the Arrow kernel is the same
+    IEEE-754 left-fold op sequence vectorized across rows (bitwise
+    equality pinned by tests/test_kernels.py) but pays a fixed
+    ArrowEvalPython stage cost — so hof wins below the ~15k-rows/stage
+    crossover (the sf0.1 gate regime) and arrow above it (the
+    production regime). Row counts recorded per side to prove both
+    evaluators computed the same stream."""
+    from pyspark.sql import functions as F
+
+    from go_simple_embedding_database_spark.functions.kernels import (
+        cosine_similarity, cosine_similarity_arrow)
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out = {}
+    for label, d in dirs:
+        emb = (spark.read.parquet(f"{d}/embeddings.parquet")
+               .select("vec_id",
+                       F.col("embedding").cast("array<double>")
+                       .alias("embedding")))
+        qset = (emb.filter(F.col("vec_id") < 3)
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("query_embedding")))
+        base = emb.crossJoin(F.broadcast(qset))
+
+        def scored(kernel):
+            return base.select(
+                "query_id", "vec_id",
+                kernel(F.col("embedding"),
+                       F.col("query_embedding")).alias("score"))
+
+        rec = {"rows": base.count()}
+        for kname, kern in (("hof", cosine_similarity),
+                            ("arrow", cosine_similarity_arrow)):
+            sec, rs = _timed_best(
+                spark, lambda k=kern: run(scored(k)), runs=2)
+            rec[f"sec_{kname}"] = sec
+            rec[f"runs_{kname}"] = rs
+        out[label] = rec
+        print(f"cosine_kernel_ab {label}: {rec}", flush=True)
+    return {"cosine_kernel_ab": out}
+
+
 def _synthesize_events(spark, out_dir: str) -> None:
     """10x events: user_id and event_id offset per replica, timestamps and
     per-user histories untouched — 10x the users, identical per-user
@@ -998,6 +1048,9 @@ def main() -> None:
             "output fixed at d(d+1)/2 rows")
         # ANN query family at the scaled operating point (VERDICT r06 #3)
         deep_results.update(_ann_deep(spark, SF_DIR, de, DEEP_REPLICAS))
+        # HOF vs Arrow cosine kernel crossover (round-10 optimization)
+        deep_results.update(_cosine_kernel_ab(
+            spark, [("1x", SF_DIR), (f"{DEEP_REPLICAS}x", de)]))
     finally:
         shutil.rmtree(db, ignore_errors=True)
         shutil.rmtree(de, ignore_errors=True)
