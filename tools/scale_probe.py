@@ -600,12 +600,19 @@ def _cosine_kernel_ab(spark, dirs) -> dict:
         df.write.format("noop").mode("overwrite").save()
 
     out = {}
-    for label, d in dirs:
+    for label, d, m_queries in dirs:
         emb = (spark.read.parquet(f"{d}/embeddings.parquet")
                .select("vec_id",
                        F.col("embedding").cast("array<double>")
                        .alias("embedding")))
-        qset = (emb.filter(F.col("vec_id") < 3)
+        # Query-batch size sets the PER-TASK scored volume (rows x M /
+        # splits) — the quantity the crossover is about. The gate-shaped
+        # M=3 row sits at/below the ~15k-rows/task crossover even at
+        # 100x (600k pairs / 64 splits); the M=100 row is the
+        # production batch_topk shape whose per-task volume is far
+        # above it, where the per-row advantage dominates the fixed
+        # ArrowEvalPython stage cost.
+        qset = (emb.filter(F.col("vec_id") < m_queries)
                 .select(F.col("vec_id").alias("query_id"),
                         F.col("embedding").alias("query_embedding")))
         base = emb.crossJoin(F.broadcast(qset))
@@ -616,7 +623,7 @@ def _cosine_kernel_ab(spark, dirs) -> dict:
                 kernel(F.col("embedding"),
                        F.col("query_embedding")).alias("score"))
 
-        rec = {"rows": base.count()}
+        rec = {"rows": base.count(), "m_queries": m_queries}
         for kname, kern in (("hof", cosine_similarity),
                             ("arrow", cosine_similarity_arrow)):
             sec, rs = _timed_best(
@@ -1061,7 +1068,9 @@ def main() -> None:
         deep_results.update(_ann_deep(spark, SF_DIR, de, DEEP_REPLICAS))
         # HOF vs Arrow cosine kernel crossover (round-10 optimization)
         deep_results.update(_cosine_kernel_ab(
-            spark, [("1x", SF_DIR), (f"{DEEP_REPLICAS}x", de)]))
+            spark, [("1x", SF_DIR, 3),
+                    (f"{DEEP_REPLICAS}x_m3", de, 3),
+                    (f"{DEEP_REPLICAS}x_m100", de, 100)]))
     finally:
         shutil.rmtree(db, ignore_errors=True)
         shutil.rmtree(de, ignore_errors=True)
