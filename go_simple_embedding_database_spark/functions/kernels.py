@@ -29,12 +29,18 @@ Two evaluators, one semantics:
   operators already select — the Arrow boundary ships exactly the
   arrays being scored (guide §4.1: pass only what the function needs).
 
-  KNOWN EDGE divergence (unreachable on well-formed corpora, same class
-  as tests/test_malformed_embeddings.py): a NULL *element* inside a
-  vector yields NULL from the HOF kernel (null poisons the fold) but
-  NaN from the Arrow kernels (Arrow→pandas renders a null list element
-  as NaN, indistinguishable from a stored NaN). NULL *vectors*, length
-  mismatches, zero norms, NaN/±Inf values behave identically in both.
+  NULL-element convention (round 11, closing the r10 "KNOWN EDGE"): a
+  NULL *element* inside an otherwise well-formed vector scores **NaN**
+  in BOTH kernel modes. Arrow→pandas renders a null list element as NaN
+  (indistinguishable from a stored NaN), so NaN is what the vectorized
+  twins compute; the dispatched HOF side reaches the same value through
+  ``_null_element_to_nan`` — a codegen CASE over the already-computed
+  fold (a NULL fold result under non-NULL, length-matched inputs can
+  ONLY mean a NULL element poisoned it), so the well-formed hot path
+  pays two O(1) size/null checks and nothing else. NULL *vectors*,
+  length mismatches, zero norms, NaN/±Inf values were already identical
+  in both modes. Pinned by
+  tests/test_kernels.py::test_null_element_vectors_agree_in_both_modes.
 """
 
 from __future__ import annotations
@@ -221,23 +227,41 @@ def _arrow_kernel_enabled() -> bool:
         "arrow"
 
 
+def _null_element_to_nan(sim: Column, x: Column, y: Column) -> Column:
+    """Map the HOF kernel's NULL-element outcome to the kernel-contract
+    NaN (module docstring). Under non-NULL inputs of EQUAL length the
+    fold result is NULL iff a NULL element poisoned it — every other
+    NULL source (NULL vector, length mismatch) is excluded by the
+    guards, so this rewrites exactly the divergent case and nothing
+    else. All guard expressions are O(1) codegen (size/isNotNull); the
+    interpreted fold itself is untouched."""
+    return F.when(
+        sim.isNull() & x.isNotNull() & y.isNotNull()
+        & (F.size(x) == F.size(y)),
+        F.lit(float("nan")),
+    ).otherwise(sim)
+
+
 def cosine_pairs_kernel(x: Column, y: Column) -> Column:
     """Bulk pair-scoring kernel with env-dispatched evaluator (see
     ``_arrow_kernel_enabled``). Semantics of ``cosine_similarity(x, y)``
-    in both modes."""
+    in both modes, plus the kernel-contract NULL-element → NaN rule —
+    the dispatch is a pure physical-plan choice on EVERY input."""
     if _arrow_kernel_enabled():
         return cosine_similarity_arrow(x, y)
-    return cosine_similarity(x, y)
+    x, y = _as_double(x), _as_double(y)
+    return _null_element_to_nan(cosine_similarity(x, y), x, y)
 
 
 def cosine_scores_kernel(vec: Column, qvec: list[float]) -> Column:
     """Bulk literal-query scoring kernel with env-dispatched evaluator.
     Semantics of ``cosine_similarity(vec, array(<qvec literals>))`` in
-    both modes."""
+    both modes, plus the kernel-contract NULL-element → NaN rule."""
     if _arrow_kernel_enabled():
         return cosine_scores_arrow(vec, qvec)
-    return cosine_similarity(
-        vec, F.array(*[F.lit(float(v)) for v in qvec]))
+    vec = _as_double(vec)
+    q = F.array(*[F.lit(float(v)) for v in qvec])
+    return _null_element_to_nan(cosine_similarity(vec, q), vec, q)
 
 
 def cosine_scores_arrow(vec: Column, qvec: list[float]) -> Column:

@@ -56,7 +56,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import ngram_bag, ngram_bag_sql
+from ..functions.text import ngram_bag_kernel, ngram_bag_sql
 from .sampling import hash_bucket, hash_bucket_sql
 
 DEFAULT_BUCKETS = 4096  # divides 2^16: the md5-hex-prefix bucket is uniform
@@ -72,7 +72,8 @@ def ngram_bucket_table(df: DataFrame, id_col: str, text_col: str,
     rows here (zero grams in all three ngram_bag twins since r10); the
     corpus left join in :func:`dsir_weights` restores those documents."""
     return (df.select(F.col(id_col), is_target.alias("_t"),
-                      F.explode(ngram_bag(F.col(text_col), n)).alias("_g"))
+                      F.explode(ngram_bag_kernel(F.col(text_col), n))
+                      .alias("_g"))
             .select(id_col, "_t",
                     hash_bucket(F.col("_g"), num_buckets).alias("_b"))
             .localCheckpoint(eager=False))
@@ -105,10 +106,23 @@ def dsir_log_ratios(grams: DataFrame,
 
 def dsir_weights(df: DataFrame, id_col: str, text_col: str,
                  is_target: Column, n: int = 2,
-                 num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+                 num_buckets: int = DEFAULT_BUCKETS,
+                 spine_df: DataFrame | None = None) -> DataFrame:
     """(id, n_grams, weight_micro) for EVERY corpus document (NULL-text
     docs carry 0/0). weight_micro is an exact bigint sum of per-bucket
-    λ micros — engine-order-independent."""
+    λ micros — engine-order-independent.
+
+    ``spine_df`` (optional) supplies the relation for the restore-
+    missing-docs left join's LEFT branch. It must hold exactly the same
+    ``id_col`` set as ``df`` — the natural caller is one that lifted
+    ``df`` to cluster parallelism for the tokenizer (a round-robin
+    repartition): the lift is load-bearing for the gram explode but
+    DEAD WEIGHT on the id spine, where it planned as an
+    Exchange-on-Exchange (round-robin, then hash for the join — the
+    r10-documented dsir_select blemish; a full extra shuffle of the ids
+    at scale). Passing the unlifted source as the spine drops that
+    round-robin exchange; the spine branch was already a separate
+    column-pruned scan, so no new scan is introduced."""
     grams = ngram_bucket_table(df, id_col, text_col, is_target, n,
                                num_buckets)
     lam = dsir_log_ratios(grams, num_buckets)
@@ -116,7 +130,8 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
                .groupBy(id_col)
                .agg(F.count("*").alias("n_grams"),
                     F.sum("_lam").alias("weight_micro")))
-    return (df.select(id_col).join(per_doc, id_col, "left")
+    spine = (spine_df if spine_df is not None else df).select(id_col)
+    return (spine.join(per_doc, id_col, "left")
             .select(id_col,
                     F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
                     F.coalesce(F.col("weight_micro"), F.lit(0))
@@ -125,10 +140,13 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
 
 def dsir_select(df: DataFrame, id_col: str, text_col: str,
                 is_target: Column, budget: int, n: int = 2,
-                num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+                num_buckets: int = DEFAULT_BUCKETS,
+                spine_df: DataFrame | None = None) -> DataFrame:
     """Top-``budget`` documents by (weight_micro desc, id asc) —
-    TakeOrderedAndProject, the scale-safe top-k physical strategy."""
-    w = dsir_weights(df, id_col, text_col, is_target, n, num_buckets)
+    TakeOrderedAndProject, the scale-safe top-k physical strategy.
+    ``spine_df``: see :func:`dsir_weights`."""
+    w = dsir_weights(df, id_col, text_col, is_target, n, num_buckets,
+                     spine_df=spine_df)
     return (w.orderBy(F.desc("weight_micro"), F.asc(id_col))
             .limit(budget))
 

@@ -224,7 +224,8 @@ def ngram_novelty(docs: DataFrame, text_col: str = "text",
     Returns (id_col, n_grams, novelty) — novelty rounded to 6 decimals
     for cross-engine hash parity.
     """
-    from go_simple_embedding_database_spark.functions.text import shingles
+    from go_simple_embedding_database_spark.functions.text import (
+        shingles_kernel)
 
     # A doc with zero words produces the degenerate empty shingle ''
     # under Spark's shingles() short-doc rule, where the SQL twin's list
@@ -233,7 +234,8 @@ def ngram_novelty(docs: DataFrame, text_col: str = "text",
     # of nothing is undefined, not 1.0). Non-empty word slices can never
     # join to '', so no real gram is affected.
     grams = (docs.select(F.col(id_col).alias("_id"),
-                         F.explode(shingles(F.col(text_col), n)).alias("_g"))
+                         F.explode(shingles_kernel(F.col(text_col), n))
+                         .alias("_g"))
              .filter(F.col("_g") != "")
              .localCheckpoint(eager=False))
     first = grams.groupBy("_g").agg(F.min("_id").alias("_first"))

@@ -32,6 +32,114 @@ from go_simple_embedding_database_spark.functions.kernels import (
     cosine_pairs_kernel, cosine_scores_kernel)
 
 
+def _batch_scorer_mode() -> str:
+    """batch_topk scoring-form dispatch (round 11, guide §8 "move heavy
+    bytes once"): the default ``pair`` form materializes the broadcast
+    cross join, so every record VECTOR crosses the scoring stage M times
+    (once per query) — at the production batch shape (M=100) that is
+    100× the bytes the decision needs. ``record`` (set
+    ``SPARK_GRAFT_BATCH_SCORER=record``) scores via mapInPandas over the
+    records alone with the collected query batch riding the closure:
+    each record vector is read ONCE and scored against all M queries
+    vectorized — bit-identical scores (the same strict left-fold op
+    sequence; pinned by tests/test_topk.py), ~M× less scoring-stage
+    input. Default stays ``pair``: at the gate shape (M=3, 20k rows) the
+    mapInPandas stage cost is not amortized (the same sub-crossover
+    economics as SPARK_GRAFT_COSINE_KERNEL) and the queries-side collect
+    is a semantic no-op but an extra tiny job. SCALE.json's
+    batch_scorer_ab rows carry the measured A/B at M=100."""
+    import os
+    return os.environ.get("SPARK_GRAFT_BATCH_SCORER", "pair").lower()
+
+
+def _record_form_scores(records, queries, records_vec: str,
+                        queries_vec: str, query_id: str, records_id: str,
+                        score_col: str, tie_cols: list[str]):
+    """(query_id, records_id, score, *tie_cols) for EVERY (record, query)
+    pair — the slim scored relation of batch_topk's record form. Each
+    record row enters the Python worker once; scores against the M
+    closure queries are computed with the EXACT per-pair op sequence of
+    ``cosine_similarity`` (strict left fold per dim, vectorized across
+    rows AND queries; den-before-dot on length mismatch; zero-norm → 0.0;
+    NULL vector → NULL; NULL element → NaN per the kernel contract —
+    Arrow renders it NaN before the fold, exactly like the pair twins)."""
+    import numpy as np
+    import pandas as pd
+
+    from go_simple_embedding_database_spark.functions.kernels import (
+        _fold_norm_block, _stack_f64)
+
+    q_rows = queries.select(query_id, queries_vec).collect()
+    qids = [r[0] for r in q_rows]
+    qvecs = [None if r[1] is None else
+             np.asarray([float(v) for v in r[1]], dtype=np.float64)
+             for r in q_rows]
+    qnorm = [None if q is None else _fold_norm_block(q.reshape(1, -1))[0]
+             for q in qvecs]
+    m = len(qids)
+    in_cols = list(dict.fromkeys([records_id, records_vec] + tie_cols))
+    keep_cols = [c for c in in_cols if c != records_vec]
+
+    def score_batches(batches):
+        for pdf in batches:
+            n = len(pdf)
+            xv = pdf[records_vec].to_numpy()
+            vals = np.zeros((n, m), dtype=np.float64)
+            mask = np.zeros((n, m), dtype=bool)
+            groups: dict[int, list[int]] = {}
+            null_rows: list[int] = []
+            for i in range(n):
+                if xv[i] is None:
+                    null_rows.append(i)
+                else:
+                    groups.setdefault(len(xv[i]), []).append(i)
+            if null_rows:
+                mask[np.asarray(null_rows), :] = True
+            for dx, idxs in groups.items():
+                ii = np.asarray(idxs)
+                X = _stack_f64([xv[i] for i in idxs])
+                # record-side norms: one fold per record, bit-identical
+                # to the per-pair fold (deterministic op sequence)
+                nxs = _fold_norm_block(X)
+                for j, q in enumerate(qvecs):
+                    if q is None:
+                        mask[ii, j] = True
+                    elif len(q) != dx:
+                        # den-before-dot mismatch rule (kernels module)
+                        den = nxs * qnorm[j]
+                        zero = den == 0.0
+                        vals[ii[zero], j] = 0.0
+                        mask[ii[~zero], j] = True
+                    else:
+                        dot = np.zeros(len(ii))
+                        for d in range(dx):
+                            dot = dot + X[:, d] * q[d]
+                        den = nxs * qnorm[j]
+                        with np.errstate(divide="ignore",
+                                         invalid="ignore"):
+                            vals[ii, j] = np.where(den == 0.0, 0.0,
+                                                   dot / den)
+            rep = np.repeat(np.arange(n), m)
+            out = pdf[keep_cols].iloc[rep].reset_index(drop=True)
+            out[query_id] = pd.Series(qids * n, dtype=object) \
+                if not isinstance(qids[0] if qids else 0, (int, float)) \
+                else np.tile(np.asarray(qids), n)
+            # FloatingArray(values, mask): stored NaN stays NaN, only
+            # masked entries are SQL NULL (the kernels-module rule)
+            out[score_col] = pd.Series(
+                pd.arrays.FloatingArray(vals.reshape(-1), mask.reshape(-1)))
+            yield out[[query_id, *keep_cols, score_col]]
+
+    qf = queries.schema[query_id]
+    fields = [f"`{query_id}` {qf.dataType.simpleString()}"]
+    for c in keep_cols:
+        fields.append(
+            f"`{c}` {records.schema[c].dataType.simpleString()}")
+    fields.append(f"`{score_col}` double")
+    return (records.select(*in_cols)
+            .mapInPandas(score_batches, ", ".join(fields)))
+
+
 
 
 def bucketed_topk(scored: DataFrame, group_col: str, order: list[Column],
@@ -128,18 +236,18 @@ def batch_topk(
     is a whole extra corpus scan Catalyst cannot prune away (an inner
     join is not removable even when its columns go unused).
     """
-    joined = records.crossJoin(F.broadcast(queries))
-    # Arrow-vectorized bit-exact kernel — the scored pair stream is the
-    # hot loop of every batch similarity scan (functions/kernels.py).
-    scored = joined.withColumn(
-        score_col, cosine_pairs_kernel(F.col(records_vec), F.col(queries_vec))
-    )
     order = [F.desc(score_col)] + [F.asc(c) for c in (tie_break or [])]
     nb = buckets or records.sparkSession.sparkContext.defaultParallelism
-    w1 = Window.partitionBy(query_id, "_b").orderBy(*order)
-    w2 = Window.partitionBy(query_id).orderBy(*order)
 
     if records_id is None:
+        joined = records.crossJoin(F.broadcast(queries))
+        # Arrow-vectorized bit-exact kernel — the scored pair stream is
+        # the hot loop of every batch similarity scan (functions/kernels).
+        scored = joined.withColumn(
+            score_col,
+            cosine_pairs_kernel(F.col(records_vec), F.col(queries_vec)))
+        w1 = Window.partitionBy(query_id, "_b").orderBy(*order)
+        w2 = Window.partitionBy(query_id).orderBy(*order)
         pre = (scored.withColumn("_b", F.spark_partition_id() % nb)
                .withColumn("_rn", F.row_number().over(w1))
                .filter(F.col("_rn") <= k).drop("_rn", "_b"))
@@ -147,9 +255,22 @@ def batch_topk(
                 .filter(F.col("_rn") <= k)
                 .drop("_rn", queries_vec))
 
-    slim_cols = list(dict.fromkeys(
-        [query_id, records_id, score_col] + (tie_break or [])))
-    slim = scored.select(*slim_cols)
+    tie_cols = [c for c in (tie_break or [])]
+    if (_batch_scorer_mode() == "record"
+            and all(c in records.columns for c in tie_cols)):
+        # Record form (§8): each record vector enters the scoring stage
+        # ONCE for all M queries instead of M times as pair rows.
+        slim = _record_form_scores(records, queries, records_vec,
+                                   queries_vec, query_id, records_id,
+                                   score_col, tie_cols)
+    else:
+        joined = records.crossJoin(F.broadcast(queries))
+        scored = joined.withColumn(
+            score_col,
+            cosine_pairs_kernel(F.col(records_vec), F.col(queries_vec)))
+        slim_cols = list(dict.fromkeys(
+            [query_id, records_id, score_col] + tie_cols))
+        slim = scored.select(*slim_cols)
     winners = bucketed_topk(slim, query_id, order, k, records_id, nb)
     if not attach_payload:
         return winners

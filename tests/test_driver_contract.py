@@ -15,60 +15,35 @@ import __spark_entry__ as em
 # it carries a full DuckDB oracle (VERDICT r05 #2).
 ROWS_ONLY_BY_DESIGN = set()
 
-# Queries whose implementation / oracle changes in round 10 AND whose
-# newest official row is r09 (they would otherwise tail until r11) —
-# changed code must re-certify the round it changes, so they are pulled
-# into the window ahead of their natural rotation. All three consume
-# functions/text.shingles (doc_fingerprint delegates to it), whose
-# blank/NULL-document convention was unified across all three twins this
-# round (the r09 ngram_bag latent-divergence class, closed whole-class).
-# dedup_winnow joins them: its DuckDB twin CRASHED on a blank doc
-# (concat('0x', md5(NULL)) = '0x' does not cast to BIGINT) — the same
-# audit found it, the same convention fixes it.
-CHANGED_ROUND10_EARLY = {"dedup_minhash", "dedup_prefix", "text_stats",
-                         "dedup_winnow"}
+# (r11-a) The r08-official debt class — the highest verification need on
+# the surface, mandated to lead the r11 window (VERDICT r10 #3): the
+# honored r10 deferral, then the two r10-optimization re-admissions that
+# sat in NEITHER driver oracle window last round.
+R08_DEBT_R11 = {"incremental_revenue", "local_supplier_revenue",
+                "events_rolling_7d"}
 
-# Round-10 rotation (standing policy): every query whose newest official
-# row dates from r08 sits inside the r10 window for a fresh row. Changed
-# members re-certify their r10 code: the five negative-capable
-# sign-normalized exports (multimodal_decode, ingest_embed, events_pmi,
-# user_spend_trend, similarity_join_knn — SURVEY §8.8 class "scheduled",
-# closed), dsir_select (ngram_bag blank fix), span_dedup/text_repetition
-# (ngrams_all convention + the duplicated_span_stats 0/0 restore), and
-# every shingle consumer (dedup_jaccard, dedup_containment,
-# dedup_simhash, dedup_simhash_pairs, dedup_clusters, incremental_dedup,
-# split_leakage_safe, ngram_novelty, ngram_vocab, frequent_tokens,
-# pipeline_clean_corpus).
-ROTATING_OFFICIAL_R08 = {
-    "multimodal_decode", "ingest_embed", "events_pmi", "user_spend_trend",
-    "similarity_join_knn", "dsir_select", "span_dedup", "text_repetition",
-    "dedup_jaccard", "dedup_containment", "dedup_simhash",
-    "dedup_simhash_pairs", "dedup_clusters", "incremental_dedup",
-    "split_leakage_safe", "ngram_novelty", "ngram_vocab",
-    "frequent_tokens", "pipeline_clean_corpus", "bloom_prune_join",
-    "ann_recall", "multimodal_metadata", "corpus_upsert",
-    "pack_sequences", "token_budget", "kmeans_cells",
-    "split_contamination", "pii_scrub", "pagerank_suppliers",
-    "dedup_keep", "nation_acctbal_outliers", "udtf_chunks",
-    "balanced_sample", "tfidf_top_terms", "user_activity_streaks",
-    "order_value_histogram", "event_funnel", "events_retention",
-    "mixture_sample", "snapshot_diff", "zorder_layout", "semantic_dedup",
-    "bm25_search", "quality_unigram", "weighted_sample",
-}
+# (r11-b) Queries whose DEFAULT-mode physical plan was restructured by
+# the round-11 optimization pass — changed plans re-certify the round
+# they change: dsir_select (spine-branch dead round-robin exchange
+# removed) and batch_topk (scoring-form dispatch + the NULL-element
+# kernel guard).
+CHANGED_ROUND11 = {"dsir_select", "batch_topk"}
 
-# Green in the r09 official gate on byte-identical implementations.
-# Only these may sit outside the round-10 window; all rotate in r11.
-OFFICIAL_R09_UNCHANGED = {
-    "embedding_covariance", "big_orders_customers", "topk_cosine",
-    "topk_small_collection", "batch_topk", "cosine_kernel_pairs",
-    "embedding_centroids", "ann_ivf", "ann_lsh_join", "crud_query",
-    "ann_quantized", "monthly_revenue_growth", "approx_distinct_users",
+# (r11-c) Green in the r09 official gate on code byte-identical through
+# r10; all rotate into the r11 window on the standing
+# refreshed-within-2-rounds policy. The similarity members additionally
+# re-certify the round-11 NULL-element kernel guard their default plans
+# now carry.
+ROTATING_OFFICIAL_R09 = {
+    "topk_cosine", "topk_small_collection", "ann_ivf", "ann_lsh_join",
+    "ann_quantized", "crud_query", "dedup_cosine", "cosine_kernel_pairs",
+    "embedding_covariance", "big_orders_customers", "embedding_centroids",
+    "monthly_revenue_growth", "approx_distinct_users",
     "approx_order_quantiles", "dedup_exact", "text_language_id",
-    "dedup_cosine", "user_event_pivot",
-    "bucketed_join_revenue", "ingest_violations", "text_quality",
-    "events_asof", "events_range_join", "events_salted_agg",
-    "revenue_rollup", "top_orders_per_customer", "events_windowed",
-    "text_chunks", "events_sessionize", "point_lookup",
+    "user_event_pivot", "bucketed_join_revenue", "ingest_violations",
+    "text_quality", "events_asof", "events_range_join",
+    "events_salted_agg", "revenue_rollup", "top_orders_per_customer",
+    "events_windowed", "text_chunks", "events_sessionize", "point_lookup",
     "collections_catalog", "record_pretty", "source_length_stats",
     "pricing_summary", "segment_revenue", "set_ops_customers",
     "semi_anti_customers", "user_moving_avg", "order_percentiles",
@@ -76,24 +51,45 @@ OFFICIAL_R09_UNCHANGED = {
     "events_json_props", "shipping_priority", "table_profile",
 }
 
-# Retired from the 50-slot BUILD gate window in round 10 (consolidation
-# — VERDICT r09 #8's replacement rule), then RE-ADMITTED to the declared
-# surface by the r10 optimization pass: the optimization driver re-runs
-# EVERY declared query and treats one that disappeared vs the last
-# official surface (r09's 98) as a regression, so both sit appended
-# AFTER the 50-entry window (outside build-round rotation accounting).
-READMITTED_R10_OPT = {"local_supplier_revenue", "events_rolling_7d"}
+# Official in the r10 gate (CORRECTNESS_r10.json) — the r11 tail. All
+# byte-identical in DEFAULT mode this round: the round-11 text/kmeans
+# kernel dispatches change plans only under their SPARK_GRAFT_*_KERNEL
+# env (plans/r11 before/after diffs pin this). TWO of them
+# (similarity_join_knn, ann_recall) do carry the round-11 kernel guard
+# in their default plans with only r10-official rows: the window has no
+# free slot (1 + 3 + 2 + 44 = 50 exactly), their only delta is the same
+# shared guard expression seven in-window similarity queries re-certify,
+# and the guard is proven result-invariant bitwise
+# (tests/test_kernels.py) and on the whole surface by SELFCHECK — the
+# documented, bounded exception this round (they lead the tail so a
+# reorder can't hide them).
+OFFICIAL_R10_TAIL = {
+    "similarity_join_knn", "ann_recall", "dedup_minhash", "dedup_prefix",
+    "text_stats", "dedup_winnow", "multimodal_decode", "ingest_embed",
+    "events_pmi", "user_spend_trend", "span_dedup", "text_repetition",
+    "dedup_jaccard", "dedup_containment", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_clusters", "incremental_dedup",
+    "split_leakage_safe", "ngram_novelty", "ngram_vocab",
+    "frequent_tokens", "pipeline_clean_corpus", "bloom_prune_join",
+    "multimodal_metadata", "corpus_upsert", "pack_sequences",
+    "token_budget", "kmeans_cells", "split_contamination", "pii_scrub",
+    "pagerank_suppliers", "dedup_keep", "nation_acctbal_outliers",
+    "udtf_chunks", "balanced_sample", "tfidf_top_terms",
+    "user_activity_streaks", "order_value_histogram", "event_funnel",
+    "events_retention", "mixture_sample", "snapshot_diff",
+    "zorder_layout", "semantic_dedup", "bm25_search", "quality_unigram",
+    "weighted_sample",
+}
 
-# One deferral this round (the standing <= 1 allowance, the
-# big_orders_customers precedent from r08->r09): 1 canary + 4 early +
-# 45 rotating = 50 exactly; incremental_revenue (r08-official,
-# byte-identical, green) tails until r11 and MUST lead the r11 window
-# right after the canary. Post-consolidation surface: 96 = 2 x 48 <
-# the 2 x 49 carrying capacity.
-DEFERRED_TO_R11 = {"incremental_revenue"}
+# Guard-carrying tail queries (the documented exception above).
+GUARD_TAIL_EXCEPTIONS = {"similarity_join_knn", "ann_recall"}
+
+# No stale-query deferral this round: every query whose newest official
+# row predates r10 sits inside the window (R08_DEBT_R11 leads it).
+DEFERRED_TO_R12 = set()
 
 # Everything that must be inside the 50-slot window this round.
-WINDOW_ROUND10 = ROTATING_OFFICIAL_R08 | CHANGED_ROUND10_EARLY
+WINDOW_ROUND11 = R08_DEBT_R11 | CHANGED_ROUND11 | ROTATING_OFFICIAL_R09
 
 
 def test_every_query_has_an_oracle_or_documented_exemption():
@@ -106,37 +102,25 @@ def test_every_query_has_an_oracle_or_documented_exemption():
 
 def test_declared_sets_cover_the_surface_exactly():
     q = set(em.queries())
-    declared = (WINDOW_ROUND10 | OFFICIAL_R09_UNCHANGED | {"gate_canary"}
-                | DEFERRED_TO_R11 | READMITTED_R10_OPT)
+    declared = WINDOW_ROUND11 | OFFICIAL_R10_TAIL | {"gate_canary"}
     assert declared == q, (
         f"undeclared queries: {q - declared} / stale declarations: "
         f"{declared - q}")
-    assert not (WINDOW_ROUND10 & OFFICIAL_R09_UNCHANGED), (
+    assert not (WINDOW_ROUND11 & OFFICIAL_R10_TAIL), (
         "a query cannot be both in-window and tail-green")
-    assert not (ROTATING_OFFICIAL_R08 & CHANGED_ROUND10_EARLY)
-    assert not (DEFERRED_TO_R11 & (WINDOW_ROUND10 | OFFICIAL_R09_UNCHANGED))
-    assert len(DEFERRED_TO_R11) <= 1, (
+    assert not (R08_DEBT_R11 & ROTATING_OFFICIAL_R09)
+    assert len(DEFERRED_TO_R12) <= 1, (
         "the rotation may defer at most one stale query per round")
-    assert READMITTED_R10_OPT <= q, (
-        "re-admitted queries must stay on the declared surface — the "
-        "optimization driver flags a disappeared query as a regression")
-    # The re-admissions sit AFTER the 50-entry window: the build gate's
-    # first-50 ordering contract must not shift.
-    order = list(em.queries())
-    assert all(order.index(n) >= 50 for n in READMITTED_R10_OPT), (
-        "re-admitted queries must not displace the 50-entry window")
+    assert GUARD_TAIL_EXCEPTIONS <= OFFICIAL_R10_TAIL
 
 
 def test_surface_is_within_the_window_carrying_capacity():
     """With a 50-slot gate window and the every-query-refreshed-within-
     2-rounds rotation policy, the surface can hold at most
     2 x (50 - 1) = 98 gate queries (the canary re-gates every round).
-    At 99+, some query's newest official row necessarily ages past two
-    rounds every round — permanent rotation debt. Round 10 consolidated
-    to 96 = 2 x 48, buying one spare slot per 2-round cycle for
-    early-certification pulls like this round's. New capabilities ship
-    library-first (pytest + property tests + SCALE rows, the
-    operators/bpe.py precedent) or REPLACE an existing gate query."""
+    At 98 the treadmill is exactly full — which is why the r08-debt
+    class had to lead this window and two guard-carrying tail queries
+    ride on shared-expression evidence (see OFFICIAL_R10_TAIL)."""
     assert len(em.queries()) <= 2 * (50 - 1), (
         "surface exceeds the 50-slot window's carrying capacity — "
         "ship the new capability library-first or replace a gate query")
@@ -148,38 +132,34 @@ def test_window_queries_sit_inside_the_gate_window():
     official row."""
     names = list(em.queries().keys())
     window = set(names[:50])
-    outside = WINDOW_ROUND10 - window
+    outside = WINDOW_ROUND11 - window
     assert not outside, (
         f"required queries fall outside the 50-entry window: "
         f"{sorted(outside)}")
 
 
-def test_window_leads_with_the_changed_early_pulls():
-    """Round 10's highest verification need right after the canary: the
-    four r09-official queries whose code changed with the
-    degenerate-document convention."""
+def test_window_leads_with_the_debt_and_restructured_pulls():
+    """Round 11's highest verification need right after the canary: the
+    r08-official debt class (the honored deferral + the two
+    re-admissions), then the two default-plan restructures."""
     names = list(em.queries().keys())
     assert names[0] == "gate_canary"
-    assert set(names[1:5]) == CHANGED_ROUND10_EARLY
-    # the honored deferral leads the tail so a reorder can't hide it
-    assert names[50] == "incremental_revenue"
+    assert names[1] == "incremental_revenue"   # the honored r10 deferral
+    assert set(names[1:4]) == R08_DEBT_R11
+    assert set(names[4:6]) == CHANGED_ROUND11
+    # the guard-carrying exceptions lead the tail so a reorder can't
+    # hide them
+    assert set(names[50:52]) == GUARD_TAIL_EXCEPTIONS
 
 
 def test_tail_queries_all_have_fresh_official_rows():
-    """After the r10 rotation the tail consists exactly of the queries
-    green in the r09 gate on byte-identical code — zero deferrals (the
-    r10 arithmetic closes at 50 with every debt item inside)."""
+    """After the r11 rotation the tail consists exactly of the queries
+    official in the r10 gate (CORRECTNESS_r10.json), byte-identical in
+    default mode this round except the two documented guard carriers."""
     names = list(em.queries().keys())
     tail = set(names[50:])
-    # READMITTED_R10_OPT: newest official rows are r08 (they were tail
-    # queries when retired); parity has been continuously re-proven on
-    # byte-identical code by tests/test_retired_queries.py, and the r10
-    # optimization driver re-checks every declared query fresh.
-    unofficial = (tail - OFFICIAL_R09_UNCHANGED - DEFERRED_TO_R11
-                  - READMITTED_R10_OPT)
-    assert not unofficial, (
-        f"queries whose newest official row predates r09 fall outside "
-        f"the 50-entry window undocumented: {sorted(unofficial)}")
+    assert tail == OFFICIAL_R10_TAIL, (
+        f"tail drift: {tail ^ OFFICIAL_R10_TAIL}")
 
 
 def test_gate_canary_values_are_pinned(spark):
@@ -222,8 +202,8 @@ def test_window_marker_is_exact():
     entry 49 (the last INSIDE) must be one that needs the fresh row."""
     names = list(em.queries().keys())
     assert names[0] == "gate_canary"
-    assert names[49] in WINDOW_ROUND10
-    assert names[50] in OFFICIAL_R09_UNCHANGED | DEFERRED_TO_R11
+    assert names[49] in WINDOW_ROUND11
+    assert names[50] in OFFICIAL_R10_TAIL
 
 
 def test_callables_and_sql_are_well_formed():

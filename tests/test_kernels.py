@@ -226,11 +226,55 @@ def test_kernel_dispatch_honors_env(spark, monkeypatch):
     v_arrow = df.select(arrow_col.alias("s")).collect()[0].s
     assert struct.pack("<d", v_hof) == struct.pack("<d", v_arrow)
 
-    v_hof_q = df.select(
+    # env is INTENTIONALLY still 'arrow' here: this draw exercises the
+    # scores kernel's arrow dispatch (ADVICE r10 — the old name v_hof_q
+    # misdescribed it, inviting a reorder that would drop the coverage)
+    v_arrow_q = df.select(
         cosine_scores_kernel(F.col("x"), [1.0, 0.5]).alias("s")) \
         .collect()[0].s
     monkeypatch.delenv("SPARK_GRAFT_COSINE_KERNEL")
-    v_hof_q2 = df.select(
+    v_hof_q = df.select(
         cosine_scores_kernel(F.col("x"), [1.0, 0.5]).alias("s")) \
         .collect()[0].s
-    assert struct.pack("<d", v_hof_q) == struct.pack("<d", v_hof_q2)
+    assert struct.pack("<d", v_arrow_q) == struct.pack("<d", v_hof_q)
+
+
+def test_null_element_vectors_agree_in_both_modes(spark, monkeypatch):
+    """Round-11 closure of the r10 'KNOWN EDGE': a NULL element inside a
+    vector scores NaN under BOTH kernel modes (module docstring's
+    NULL-element convention), so SPARK_GRAFT_COSINE_KERNEL is a pure
+    physical-plan choice on EVERY input, malformed ones included. NULL
+    vectors and length mismatches keep their NULL/0.0 semantics."""
+    import math
+
+    from go_simple_embedding_database_spark.functions.kernels import (
+        cosine_pairs_kernel, cosine_scores_kernel)
+
+    rows = [
+        ([1.0, None, 2.0], [1.0, 1.0, 1.0]),   # NULL element -> NaN
+        ([1.0, 1.0, 1.0], [None, None, None]),  # all-NULL elements -> NaN
+        ([1.0, None], [1.0, 2.0, 3.0]),         # NULL elem + mismatch -> NULL
+        ([0.0, 0.0], [1.0, None, 3.0]),         # zero-norm x + mismatch
+        (None, [1.0, None]),                    # NULL vector -> NULL
+        ([1.0, 2.0, 3.0], [1.0, 1.0, 1.0]),     # well-formed control
+    ]
+    df = spark.createDataFrame(rows, "x array<double>, y array<double>")
+
+    def sample():
+        out = df.select(
+            cosine_pairs_kernel(F.col("x"), F.col("y")).alias("p"),
+            cosine_scores_kernel(F.col("x"), [1.0, 1.0, 1.0]).alias("q"),
+        ).collect()
+        return [("nan" if isinstance(v, float) and math.isnan(v) else v)
+                for r in out for v in (r.p, r.q)]
+
+    monkeypatch.delenv("SPARK_GRAFT_COSINE_KERNEL", raising=False)
+    hof = sample()
+    monkeypatch.setenv("SPARK_GRAFT_COSINE_KERNEL", "arrow")
+    arrow = sample()
+    assert hof == arrow
+    # the formerly-divergent case is now NaN in both modes
+    assert hof[0] == "nan" and hof[2] == "nan"
+    # NULL vector stays NULL; zero-norm-side mismatch stays 0.0 (row 3's
+    # scores draw: [0.0, 0.0] vs the 3-dim literal query)
+    assert hof[8] is None and hof[7] == 0.0

@@ -1,8 +1,10 @@
 """Capture ``explain("formatted")`` plans for declared queries.
 
-Round-10 optimization evidence: writes ``plans/r10/<query>_<tag>.txt``
+Optimization-round evidence: writes ``plans/<round>/<query>_<tag>.txt``
 for each named query (or all queries with ``--all``), so before/after
 plan diffs are on the record for the judge (who cannot run Spark).
+``SPARK_GRAFT_PLANS_DIR`` overrides the output directory (default
+``plans/r11``).
 
 Usage::
 
@@ -18,15 +20,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as em
+from go_simple_embedding_database_spark.plans.explain_utils import (
+    formatted_plan)
 from go_simple_embedding_database_spark.session import get_spark
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "plans", "r10")
-
-
-def formatted_plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted")
+OUT_DIR = os.environ.get(
+    "SPARK_GRAFT_PLANS_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "plans", "r11"))
 
 
 def main() -> None:
