@@ -3382,8 +3382,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rotation (every one byte-identical through r10; the
             similarity members among them — topk_cosine,
             topk_small_collection, ann_ivf, ann_lsh_join, ann_quantized,
-            crud_query, dedup_cosine — additionally re-certify the
-            round-11 NULL-element kernel guard their plans now carry).
+            crud_query — additionally re-certify the round-11
+            NULL-element kernel guard their plans now carry;
+            dedup_cosine scores via normalized dot products and is
+            guard-free).
 
     ROTATION ARITHMETIC: 1 + 3 + 2 + 44 = 50 exactly. Two queries whose
     default plan also carries the kernel guard sit OUTSIDE the window

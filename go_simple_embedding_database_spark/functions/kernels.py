@@ -233,13 +233,23 @@ def _null_element_to_nan(sim: Column, x: Column, y: Column) -> Column:
     fold result is NULL iff a NULL element poisoned it — every other
     NULL source (NULL vector, length mismatch) is excluded by the
     guards, so this rewrites exactly the divergent case and nothing
-    else. All guard expressions are O(1) codegen (size/isNotNull); the
-    interpreted fold itself is untouched."""
-    return F.when(
-        sim.isNull() & x.isNotNull() & y.isNotNull()
-        & (F.size(x) == F.size(y)),
-        F.lit(float("nan")),
-    ).otherwise(sim)
+    else.
+
+    Implementation is ``coalesce(sim, <guarded NaN>)``: coalesce
+    evaluates ``sim`` exactly ONCE and short-circuits — on the
+    well-formed hot path (sim non-NULL) the guard expression is never
+    evaluated at all, so the per-row cost is one null check. The two
+    rejected shapes, measured: a plain ``when(sim.isNull() & ..., NaN)
+    .otherwise(sim)`` plants the fold under BOTH the condition and the
+    ELSE branch and Catalyst does not CSE across conditional branches
+    (2× the kernel cost — caught in the r11 plan diff); let-binding the
+    fold through a one-element transform evaluates it once but pays an
+    interpreted array/struct wrap per row (+28% on the sf0.1 scoring
+    scan, measured by alternating A/B)."""
+    return F.coalesce(
+        sim,
+        F.when(x.isNotNull() & y.isNotNull() & (F.size(x) == F.size(y)),
+               F.lit(float("nan"))))
 
 
 def cosine_pairs_kernel(x: Column, y: Column) -> Column:

@@ -34,22 +34,26 @@ from go_simple_embedding_database_spark.functions.kernels import (
 
 def _batch_scorer_mode() -> str:
     """batch_topk scoring-form dispatch (round 11, guide §8 "move heavy
-    bytes once"): the default ``pair`` form materializes the broadcast
-    cross join, so every record VECTOR crosses the scoring stage M times
-    (once per query) — at the production batch shape (M=100) that is
-    100× the bytes the decision needs. ``record`` (set
-    ``SPARK_GRAFT_BATCH_SCORER=record``) scores via mapInPandas over the
+    bytes once"): the ``pair`` form materializes the broadcast cross
+    join, so every record VECTOR crosses the scoring stage M times (once
+    per query) — at the production batch shape (M=100) that is 100× the
+    bytes the decision needs. ``record`` scores via mapInPandas over the
     records alone with the collected query batch riding the closure:
     each record vector is read ONCE and scored against all M queries
     vectorized — bit-identical scores (the same strict left-fold op
     sequence; pinned by tests/test_topk.py), ~M× less scoring-stage
-    input. Default stays ``pair``: at the gate shape (M=3, 20k rows) the
-    mapInPandas stage cost is not amortized (the same sub-crossover
-    economics as SPARK_GRAFT_COSINE_KERNEL) and the queries-side collect
-    is a semantic no-op but an extra tiny job. SCALE.json's
-    batch_scorer_ab rows carry the measured A/B at M=100."""
+    input.
+
+    Default is ``record`` — unlike the cosine/text/kmeans kernel
+    dispatches, this one wins at BOTH measured shapes, so no crossover
+    split is needed: the gate shape (M=3, 20k rows, alternating
+    in-process A/B on the declared query) measured pair 0.82 s vs
+    record 0.66 s median, and the production shape (100×, M=100,
+    SCALE.json batch_scorer_ab) measured pair-HOF 91.0 s / pair-Arrow
+    11.4 s / record 2.68 s. ``SPARK_GRAFT_BATCH_SCORER=pair`` restores
+    the broadcast-cross-join form (comparison/fallback)."""
     import os
-    return os.environ.get("SPARK_GRAFT_BATCH_SCORER", "pair").lower()
+    return os.environ.get("SPARK_GRAFT_BATCH_SCORER", "record").lower()
 
 
 def _record_form_scores(records, queries, records_vec: str,
@@ -211,9 +215,15 @@ def batch_topk(
 ) -> DataFrame:
     """Top-k per query for a whole DataFrame of queries in ONE scan.
 
-    The query side is broadcast (queries are small by construction — they
-    are the working set of a request batch); the big records table is
-    scanned once. The per-query selection is a TWO-stage window: stage 1
+    The query side rides with every task either way (queries are small
+    by construction — the working set of a request batch): in the
+    default ``record`` scoring form (round 11, see ``_batch_scorer_mode``)
+    the collected query batch travels in the mapInPandas closure and
+    each record VECTOR enters the scoring stage exactly once for all M
+    queries; in the ``pair`` form (env fallback, and the shape used when
+    ``records_id`` is absent or a tie column lives on the query side)
+    the queries are broadcast and the cross join materializes M pair
+    rows per record. The big records table is scanned once in both. The per-query selection is a TWO-stage window: stage 1
     partitions by (query, bucket) so every query's candidates spread over
     ``buckets`` tasks (a single ``partitionBy(query_id)`` window would
     funnel ALL N scored rows of a query through one task — an OOM/straggler

@@ -635,6 +635,199 @@ def _cosine_kernel_ab(spark, dirs) -> dict:
     return {"cosine_kernel_ab": out}
 
 
+def _text_kernel_ab(spark, dirs) -> dict:
+    """HOF vs Arrow text-tokenizer A/B (round-11 optimization): the
+    shingle explode — the front stage of every dedup pair generator —
+    timed under both SPARK_GRAFT_TEXT_KERNEL evaluators at 1x and deep
+    scale. Same crossover logic as the cosine kernel: the Catalyst
+    shingles() HOF tree evaluates interpreted per shingle, the Arrow
+    twin runs the (UNICHECK-audited) Python kernel over Arrow batches
+    but pays the fixed ArrowEvalPython stage cost. Values are identical
+    (tests/test_text.py pins the twins); row counts recorded to prove
+    both evaluators produced the same gram stream."""
+    from pyspark.sql import functions as F
+
+    from go_simple_embedding_database_spark.functions.text import (
+        shingles_kernel)
+    from go_simple_embedding_database_spark.session import (
+        ensure_parallelism)
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out = {}
+    for label, d in dirs:
+        docs = ensure_parallelism(
+            spark.read.parquet(f"{d}/documents.parquet")
+            .select("doc_id", "text"))
+
+        def grams():
+            return docs.select(
+                "doc_id",
+                F.explode(shingles_kernel(F.col("text"), 3)).alias("_g"))
+
+        rec = {}
+        for mode in ("hof", "arrow"):
+            os.environ["SPARK_GRAFT_TEXT_KERNEL"] = mode
+            try:
+                sec, rs = _timed_best(spark, lambda: run(grams()), runs=2)
+                rec[f"sec_{mode}"] = sec
+                rec[f"runs_{mode}"] = rs
+                rec[f"rows_{mode}"] = grams().count()
+            finally:
+                del os.environ["SPARK_GRAFT_TEXT_KERNEL"]
+        out[label] = rec
+        print(f"text_kernel_ab {label}: {rec}", flush=True)
+    return {"text_kernel_ab": out}
+
+
+def _kmeans_argmin_ab(spark, dirs) -> dict:
+    """HOF vs Arrow k-means argmin A/B (round-11): one assignment pass
+    (kmeans_assign — the per-row k x 2 interpreted HOF folds vs the
+    vectorized twin) over the embeddings at 1x and deep scale, centroids
+    fixed from a 1x fit so both scales and both evaluators score the
+    identical model. Assignment counts recorded per mode (equal counts +
+    the bitwise parity tests pin same-stream)."""
+    from pyspark.sql import functions as F
+
+    from go_simple_embedding_database_spark.operators.clustering import (
+        kmeans_assign, kmeans_fit)
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    base = (spark.read.parquet(f"{dirs[0][1]}/embeddings.parquet")
+            .select("vec_id", "embedding"))
+    _, cents = kmeans_fit(base, k=8, n_iter=1)
+    out = {}
+    for label, d in dirs:
+        emb = (spark.read.parquet(f"{d}/embeddings.parquet")
+               .select("vec_id", "embedding"))
+
+        def assign():
+            return kmeans_assign(emb, cents)
+
+        rec = {}
+        for mode in ("hof", "arrow"):
+            os.environ["SPARK_GRAFT_KMEANS_KERNEL"] = mode
+            try:
+                sec, rs = _timed_best(spark, lambda: run(assign()), runs=2)
+                rec[f"sec_{mode}"] = sec
+                rec[f"runs_{mode}"] = rs
+                rec[f"rows_{mode}"] = assign().count()
+            finally:
+                del os.environ["SPARK_GRAFT_KMEANS_KERNEL"]
+        out[label] = rec
+        print(f"kmeans_argmin_ab {label}: {rec}", flush=True)
+    return {"kmeans_argmin_ab": out}
+
+
+def _batch_scorer_ab(spark, dirs) -> dict:
+    """Pair-form (HOF and Arrow cosine kernels) vs record-form
+    (SPARK_GRAFT_BATCH_SCORER=record) batch_topk scoring A/B (round-11,
+    guide §8): the full slim winners pipeline (attach_payload=False) at
+    the gate shape (M=3) and the production batch shape (M=100), where
+    the pair form ships every record vector M times through the scoring
+    stage and the record form ships it once. Winner row counts recorded
+    per form (bitwise equality pinned by tests/test_topk.py)."""
+    from pyspark.sql import functions as F
+
+    from go_simple_embedding_database_spark.operators.topk import (
+        batch_topk)
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out = {}
+    for label, d, m_queries in dirs:
+        emb = (spark.read.parquet(f"{d}/embeddings.parquet")
+               .select("vec_id",
+                       F.col("embedding").cast("array<double>")
+                       .alias("embedding")))
+        qset = (emb.filter(F.col("vec_id") < m_queries)
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("query_embedding")))
+
+        def winners():
+            return batch_topk(emb, qset, 10, score_col="score",
+                              tie_break=["vec_id"], records_id="vec_id",
+                              attach_payload=False)
+
+        rec = {"m_queries": m_queries}
+        for fname, env in (("pair_hof", {}),
+                           ("pair_arrow",
+                            {"SPARK_GRAFT_COSINE_KERNEL": "arrow"}),
+                           ("record",
+                            {"SPARK_GRAFT_BATCH_SCORER": "record"})):
+            for k, v in env.items():
+                os.environ[k] = v
+            try:
+                sec, rs = _timed_best(spark, lambda: run(winners()),
+                                      runs=2)
+                rec[f"sec_{fname}"] = sec
+                rec[f"runs_{fname}"] = rs
+                rec[f"rows_{fname}"] = winners().count()
+            finally:
+                for k in env:
+                    del os.environ[k]
+        out[label] = rec
+        print(f"batch_scorer_ab {label}: {rec}", flush=True)
+    return {"batch_scorer_ab": out}
+
+
+def _pagerank_superstep_shuffle(spark) -> dict:
+    """PageRank contribution pre-aggregation at scale (VERDICT r10 #7):
+    the round-10 zero-seed-union rewrite feeds EDGE-grain rows into each
+    superstep's hash aggregate — this probe records, from Spark's own
+    SQL metrics, what each per-round exchange actually moved at 10x/100x
+    disjoint replicas of the sf0.1 customer-supplier graph, on both the
+    broadcast and the no-broadcast (100 TB) join paths. Map-side partial
+    aggregation must keep every per-round exchange at NODE grain
+    (records ~ O(nodes x map partitions), bytes ~ the node relation),
+    never edge grain."""
+    from pyspark.sql import functions as F
+
+    from go_simple_embedding_database_spark.operators.graph import pagerank
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet") \
+        .select("l_orderkey", "l_suppkey")
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet") \
+        .select("o_orderkey", "o_custkey")
+    pairs = (li.join(od, li.l_orderkey == od.o_orderkey)
+             .select("o_custkey", "l_suppkey").distinct())
+    fwd = pairs.select((F.col("o_custkey") * 2).alias("src"),
+                       (F.col("l_suppkey") * 2 + 1).alias("dst"))
+    base = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+    base = base.localCheckpoint(eager=True)   # fix the graph once
+    max_node = base.agg(F.max(F.greatest("src", "dst"))).collect()[0][0]
+    span = int(max_node) + 1
+    out = {}
+    for replicas in (10, DEEP_REPLICAS):
+        reps = spark.range(replicas).select(F.col("id").alias("_r"))
+        edges = (base.crossJoin(reps)
+                 .select((F.col("src") + F.col("_r") * span).alias("src"),
+                         (F.col("dst") + F.col("_r") * span).alias("dst")))
+        n_edges = edges.count()
+        for bcast in (True, False):
+            ranks = pagerank(edges, n_iter=5, broadcast_ranks=bcast)
+            m = _exchange_metrics(ranks.agg(F.sum("rank")))
+            n_nodes = ranks.count()
+            key = f"{replicas}x_{'broadcast' if bcast else 'shuffle'}"
+            out[key] = {
+                "n_edges": n_edges, "n_nodes": n_nodes,
+                "n_exchanges": m["n_exchanges"],
+                "per_exchange": m["per_exchange"],
+                "max_exchange_records": m["max_exchange_records"],
+                "edge_grain_records": n_edges + n_nodes,
+            }
+            print(f"pagerank_superstep_shuffle {key}: "
+                  f"nodes={n_nodes} edges={n_edges} "
+                  f"max_exchange_records={m['max_exchange_records']} "
+                  f"per_exchange={m['per_exchange']}", flush=True)
+    return {"pagerank_superstep_shuffle": out}
+
+
 def _synthesize_events(spark, out_dir: str) -> None:
     """10x events: user_id and event_id offset per replica, timestamps and
     per-user histories untouched — 10x the users, identical per-user
@@ -1071,6 +1264,18 @@ def main() -> None:
             spark, [("1x", SF_DIR, 3),
                     (f"{DEEP_REPLICAS}x_m3", de, 3),
                     (f"{DEEP_REPLICAS}x_m100", de, 100)]))
+        # round-11 dispatch A/Bs: text tokenizer twins (exact-copy docs
+        # keep tokenization volume comparable), k-means argmin twins and
+        # the batch_topk record-form scorer (perm-embedding replicas)
+        deep_results.update(_text_kernel_ab(
+            spark, [("1x", SF_DIR), (f"{DEEP_REPLICAS}x", db)]))
+        deep_results.update(_kmeans_argmin_ab(
+            spark, [("1x", SF_DIR), (f"{DEEP_REPLICAS}x", de)]))
+        deep_results.update(_batch_scorer_ab(
+            spark, [("1x", SF_DIR, 3),
+                    (f"{DEEP_REPLICAS}x_m100", de, 100)]))
+        # round-11: PageRank per-superstep exchange grain at 10x/100x
+        deep_results.update(_pagerank_superstep_shuffle(spark))
     finally:
         shutil.rmtree(db, ignore_errors=True)
         shutil.rmtree(de, ignore_errors=True)
