@@ -754,9 +754,14 @@ def _batch_scorer_ab(spark, dirs) -> dict:
                               attach_payload=False)
 
         rec = {"m_queries": m_queries}
-        for fname, env in (("pair_hof", {}),
+        # The scorer env is set EXPLICITLY on every row: record is the
+        # batch_topk default since round 11, so a bare {} would measure
+        # the record form three times over.
+        for fname, env in (("pair_hof",
+                            {"SPARK_GRAFT_BATCH_SCORER": "pair"}),
                            ("pair_arrow",
-                            {"SPARK_GRAFT_COSINE_KERNEL": "arrow"}),
+                            {"SPARK_GRAFT_BATCH_SCORER": "pair",
+                             "SPARK_GRAFT_COSINE_KERNEL": "arrow"}),
                            ("record",
                             {"SPARK_GRAFT_BATCH_SCORER": "record"})):
             for k, v in env.items():
